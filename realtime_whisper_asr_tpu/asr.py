@@ -1,0 +1,263 @@
+"""TPU Whisper ASR backend: the framework's implementation of the ASR protocol.
+
+This is the native replacement for the reference's CustomFasterWhisperASR →
+CTranslate2 stack (reference `asr_components.py:182-311`). The protocol it
+exposes is the whisper_streaming backend contract consumed by the online
+processors (SURVEY.md §1 L3→L1):
+
+    transcribe(audio, init_prompt="") -> segments
+    ts_words(segments) -> [(beg, end, word)]
+    segments_end_ts(segments) -> [end, ...]
+    set_translate_task(); use_vad(); attribute ``sep``
+
+plus ``detect_language(audio)``. Compute path: fused Pallas log-mel →
+jit-compiled encoder on the static 30 s window → KV-cached greedy/beam decode
+with DTW word timestamps. All shapes static; no retraces across calls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_whisper_asr_tpu.models import whisper as W
+from realtime_whisper_asr_tpu.models.whisper import decode as D
+from realtime_whisper_asr_tpu.models.whisper import timestamps as TS
+from realtime_whisper_asr_tpu.models.whisper.tokenizer import Tokenizer, get_tokenizer
+
+logger = logging.getLogger(__name__)
+
+SAMPLING_RATE = 16000
+WINDOW_SECONDS = 30.0
+WINDOW_SAMPLES = int(WINDOW_SECONDS * SAMPLING_RATE)
+
+
+@dataclasses.dataclass
+class Word:
+    start: float
+    end: float
+    word: str
+    probability: float = 1.0
+
+
+@dataclasses.dataclass
+class Segment:
+    start: float
+    end: float
+    text: str
+    words: list[Word]
+    avg_logprob: float = 0.0
+    no_speech_prob: float = 0.0
+
+
+class TPUWhisperASR:
+    """Whisper backend on TPU. ``sep=""`` — words carry their leading space."""
+
+    sep = ""
+
+    def __init__(
+        self,
+        model_size: str = "tiny",
+        language: Optional[str] = "en",
+        checkpoint_dir: Optional[str] = None,
+        params=None,
+        cfg: Optional[W.WhisperConfig] = None,
+        tokenizer: Optional[Tokenizer] = None,
+        dtype=jnp.bfloat16,
+        beam_size: int = 1,
+        seed: int = 0,
+        word_timestamps: bool = True,
+    ):
+        if checkpoint_dir is not None:
+            self.cfg, self.params = W.load_checkpoint_dir(checkpoint_dir, dtype)
+        elif params is not None:
+            self.cfg, self.params = cfg, params
+        else:
+            self.cfg = cfg or W.get_config(model_size)
+            logger.warning(
+                "no checkpoint provided; initializing %s with random weights", self.cfg.name
+            )
+            self.params = W.init_params(self.cfg, jax.random.PRNGKey(seed), dtype)
+        self.tokenizer = tokenizer or get_tokenizer(self.cfg, checkpoint_dir)
+        self.original_language = language if self.cfg.is_multilingual else None
+        self.task = "transcribe"
+        self.beam_size = beam_size
+        self.word_timestamps = word_timestamps
+        self.transcribe_kargs: dict = {}
+        self._vad_flag = False  # protocol parity; VAD is the VAC processor's job
+        self._encode = jax.jit(W.encode, static_argnames=("cfg",))
+        try:
+            self._extra_suppress = tuple(self.tokenizer.non_speech_ids())
+        except AttributeError:
+            self._extra_suppress = ()
+
+    # ------------------------------------------------------------------ utils
+
+    def _pad_window(self, audio: np.ndarray) -> np.ndarray:
+        """Pad/trim to the static 30 s window (bucketing keeps jit retrace-free)."""
+        if len(audio) > WINDOW_SAMPLES:
+            audio = audio[:WINDOW_SAMPLES]
+        out = np.zeros(WINDOW_SAMPLES, np.float32)
+        out[: len(audio)] = audio
+        return out
+
+    def _encode_window(self, audio: np.ndarray) -> jnp.ndarray:
+        from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
+
+        mel = log_mel_spectrogram(jnp.asarray(self._pad_window(audio)), n_mels=self.cfg.n_mels)
+        return self._encode(self.params, self.cfg, mel.astype(self.params_dtype)[None])
+
+    @property
+    def params_dtype(self):
+        return jax.tree.leaves(self.params)[0].dtype
+
+    # --------------------------------------------------------------- protocol
+
+    def transcribe(self, audio: np.ndarray, init_prompt: str = "") -> list[Segment]:
+        """Transcribe up to 30 s of 16 kHz float32 mono audio into segments.
+
+        The streaming processors always call with a ≤30 s buffer (the reference
+        trims at 15 s by default); longer input is windowed sequentially.
+        """
+        audio = np.asarray(audio, np.float32)
+        if len(audio) <= WINDOW_SAMPLES:
+            return self._transcribe_window(audio, init_prompt, 0.0)
+        segments: list[Segment] = []
+        offset = 0
+        while offset < len(audio):
+            window = audio[offset : offset + WINDOW_SAMPLES]
+            segs = self._transcribe_window(window, init_prompt, offset / SAMPLING_RATE)
+            segments.extend(segs)
+            if segs and segs[-1].end * SAMPLING_RATE > offset + 1:
+                offset = int(segs[-1].end * SAMPLING_RATE)
+            else:
+                offset += WINDOW_SAMPLES
+        return segments
+
+    def _transcribe_window(
+        self, audio: np.ndarray, init_prompt: str, time_offset: float
+    ) -> list[Segment]:
+        t0 = time.perf_counter()
+        xa = self._encode_window(audio)
+        opts = D.DecodeOptions(
+            task=self.task,
+            language=self.original_language,
+            beam_size=self.beam_size,
+            timestamps=True,
+            word_timestamps=self.word_timestamps,
+            **self.transcribe_kargs,
+        )
+        prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
+        result = D.greedy_decode(
+            self.params, self.cfg, xa, opts,
+            prompt_tokens=prompt_ids, extra_suppress=self._extra_suppress,
+        )
+        n_frames = min(len(audio) // (2 * 160), self.cfg.n_audio_ctx)
+        segs = self._parse_segments(result, n_frames, time_offset)
+        logger.debug(
+            "transcribe window %.1fs in %.0f ms -> %d segments",
+            len(audio) / SAMPLING_RATE, 1e3 * (time.perf_counter() - t0), len(segs),
+        )
+        return segs
+
+    def _parse_segments(
+        self, result: D.DecodeResult, n_frames: int, time_offset: float
+    ) -> list[Segment]:
+        cfg = self.cfg
+        ids = result.tokens[0][: result.lengths[0]].tolist()
+        if ids and ids[-1] == cfg.eot:
+            ids = ids[:-1]
+        # word times via DTW over captured cross-attention
+        words: list[tuple[float, float, str]] = []
+        if self.word_timestamps and result.xattn is not None and ids:
+            words = TS.word_timestamps(
+                ids, result.xattn[0][: len(ids)], self.tokenizer, n_frames, time_offset
+            )
+        # split into segments at timestamp-token pairs
+        segments: list[Segment] = []
+        ts0 = cfg.timestamp_begin
+        cur_text: list[int] = []
+        seg_start = time_offset
+        last_end = time_offset
+        widx = 0
+        for tok in ids:
+            if tok >= ts0:
+                t = time_offset + cfg.timestamp_to_seconds(tok)
+                if cur_text:
+                    seg_words = []
+                    take = sum(1 for i in cur_text if i < cfg.eot)
+                    for b, e, wtext in words[widx : widx + take]:
+                        seg_words.append(Word(b, e, wtext))
+                    widx += len(seg_words)
+                    segments.append(
+                        Segment(
+                            start=seg_start,
+                            end=max(t, seg_start),
+                            text=self.tokenizer.decode(cur_text),
+                            words=seg_words,
+                            avg_logprob=float(result.avg_logprob[0]),
+                            no_speech_prob=float(result.no_speech_prob[0]),
+                        )
+                    )
+                    cur_text = []
+                seg_start = t
+                last_end = t
+            elif tok < cfg.eot:
+                cur_text.append(tok)
+        if cur_text:
+            seg_words = [Word(b, e, w) for b, e, w in words[widx:]]
+            end = seg_words[-1].end if seg_words else last_end + 2.0
+            end = max(end, seg_start)  # timestamp sanity (cf. reference 一键…py:1524-1541)
+            segments.append(
+                Segment(
+                    start=seg_start,
+                    end=end,
+                    text=self.tokenizer.decode(cur_text),
+                    words=seg_words,
+                    avg_logprob=float(result.avg_logprob[0]),
+                    no_speech_prob=float(result.no_speech_prob[0]),
+                )
+            )
+        return segments
+
+    def ts_words(self, segments: Sequence[Segment]) -> list[tuple[float, float, str]]:
+        out = []
+        for seg in segments:
+            if seg.no_speech_prob > 0.9 and seg.avg_logprob < -1.0:
+                continue
+            for w in seg.words:
+                out.append((w.start, w.end, w.word))
+        return out
+
+    def segments_end_ts(self, segments: Sequence[Segment]) -> list[float]:
+        return [s.end for s in segments]
+
+    def set_translate_task(self):
+        self.task = "translate"
+
+    def use_vad(self):
+        self._vad_flag = True
+
+    # ------------------------------------------------------------ extra API
+
+    def detect_language(self, audio: np.ndarray) -> tuple[str, float]:
+        """(language, probability) from one decoder step at SOT."""
+        cfg = self.cfg
+        if not cfg.is_multilingual:
+            return "en", 1.0
+        xa = self._encode_window(np.asarray(audio, np.float32))
+        cache = W.init_cache(self.params, cfg, xa)
+        logits, _, _ = W.decode_step(
+            self.params, cfg, jnp.asarray([cfg.sot], jnp.int32), jnp.int32(0), cache
+        )
+        lang_ids = np.arange(cfg.sot + 1, cfg.sot + 1 + cfg.num_languages)
+        # normalize over language tokens only (whisper's detect_language semantics)
+        lang_probs = np.asarray(jax.nn.softmax(logits[0, lang_ids].astype(jnp.float32)))
+        best = int(np.argmax(lang_probs))
+        return W.LANGUAGES[best], float(lang_probs[best])

@@ -1,0 +1,404 @@
+"""Pure-JAX Whisper encoder-decoder.
+
+TPU-first re-design of the inference core the reference outsources to
+CTranslate2 (reference `asr_components.py:232-265`) and PyTorch whisper
+(`一键实时识别麦克风.py:1094-1111`):
+
+- functional params-as-pytree design; every entry point jits cleanly,
+- per-layer weights are STACKED along a leading layer axis and applied with
+  ``lax.scan`` — one compiled block body regardless of depth (large-v3's 32
+  layers compile as fast as tiny's 4),
+- static shapes throughout: mel input is (B, 2*n_audio_ctx, n_mels); the
+  decoder KV cache is a fixed (L, B, n_text_ctx, H, Dh) buffer written at a
+  dynamic position,
+- f32 layernorm/softmax islands inside a configurable compute dtype (bf16 on
+  TPU), matmuls with ``preferred_element_type=f32`` for MXU accuracy,
+- cross-attention K/V precomputed once per encoded window (the basis of
+  streaming prefill reuse) and cross-attention pattern capture for DTW word
+  timestamps (timestamps.py).
+
+Weight layout convention: linear weights are (in, out) so application is
+``x @ w`` (lane-contiguous on TPU); conv weights are (k, in, out).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from realtime_whisper_asr_tpu.models.whisper.config import WhisperConfig
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _attend(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    return_weights: bool = False,
+):
+    """q,k,v: (B,H,Tq,Dh)/(B,H,Tk,Dh). Softmax in f32. mask: additive, broadcastable."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    out = out.astype(v.dtype)
+    return (out, w) if return_weights else (out, None)
+
+
+def _mha_block(p: Params, x: jnp.ndarray, n_head: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Pre-LN self-attention (full-sequence form)."""
+    h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
+    q = _split_heads(_linear(h, p["attn"]["wq"], p["attn"]["bq"]), n_head)
+    k = _split_heads(_linear(h, p["attn"]["wk"], None), n_head)
+    v = _split_heads(_linear(h, p["attn"]["wv"], p["attn"]["bv"]), n_head)
+    o, _ = _attend(q, k, v, mask)
+    return x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"])
+
+
+def _mlp_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = layer_norm(x, p["mlp_ln"]["g"], p["mlp_ln"]["b"])
+    h = jax.nn.gelu(_linear(h, p["mlp"]["w1"], p["mlp"]["b1"]), approximate=False)
+    return x + _linear(h, p["mlp"]["w2"], p["mlp"]["b2"])
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed sinusoidal positional embedding for the encoder."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def _init_attn(key, d: int, dtype) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    s = d**-0.5
+    return {
+        "wq": (jax.random.normal(k1, (d, d)) * s).astype(dtype),
+        "bq": jnp.zeros((d,), dtype),
+        "wk": (jax.random.normal(k2, (d, d)) * s).astype(dtype),
+        "wv": (jax.random.normal(k3, (d, d)) * s).astype(dtype),
+        "bv": jnp.zeros((d,), dtype),
+        "wo": (jax.random.normal(k4, (d, d)) * s).astype(dtype),
+        "bo": jnp.zeros((d,), dtype),
+    }
+
+
+def _init_block(key, d: int, dtype, cross: bool) -> Params:
+    keys = jax.random.split(key, 4)
+    p = {
+        "attn_ln": {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+        "attn": _init_attn(keys[0], d, dtype),
+        "mlp_ln": {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+        "mlp": {
+            "w1": (jax.random.normal(keys[1], (d, 4 * d)) * d**-0.5).astype(dtype),
+            "b1": jnp.zeros((4 * d,), dtype),
+            "w2": (jax.random.normal(keys[2], (4 * d, d)) * (4 * d) ** -0.5).astype(dtype),
+            "b2": jnp.zeros((d,), dtype),
+        },
+    }
+    if cross:
+        p["cross_ln"] = {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+        p["cross"] = _init_attn(keys[3], d, dtype)
+    return p
+
+
+def _stack_blocks(blocks: list[Params]) -> Params:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_params(cfg: WhisperConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random-init parameters (HF-checkpoint loading lives in load.py)."""
+    ke, kd, kc1, kc2, kt = jax.random.split(key, 5)
+    d = cfg.n_audio_state
+    enc_blocks = [
+        _init_block(k, d, dtype, cross=False)
+        for k in jax.random.split(ke, cfg.n_audio_layer)
+    ]
+    dec_blocks = [
+        _init_block(k, cfg.n_text_state, dtype, cross=True)
+        for k in jax.random.split(kd, cfg.n_text_layer)
+    ]
+    return {
+        "encoder": {
+            "conv1": {
+                "w": (jax.random.normal(kc1, (3, cfg.n_mels, d)) * (3 * cfg.n_mels) ** -0.5).astype(dtype),
+                "b": jnp.zeros((d,), dtype),
+            },
+            "conv2": {
+                "w": (jax.random.normal(kc2, (3, d, d)) * (3 * d) ** -0.5).astype(dtype),
+                "b": jnp.zeros((d,), dtype),
+            },
+            "pos_emb": jnp.asarray(_sinusoids(cfg.n_audio_ctx, d), dtype),
+            "blocks": _stack_blocks(enc_blocks),
+            "ln_post": {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+        },
+        "decoder": {
+            "tok_emb": (jax.random.normal(kt, (cfg.n_vocab, cfg.n_text_state)) * 0.02).astype(dtype),
+            "pos_emb": jnp.zeros((cfg.n_text_ctx, cfg.n_text_state), dtype),
+            "blocks": _stack_blocks(dec_blocks),
+            "ln": {"g": jnp.ones((cfg.n_text_state,), dtype), "b": jnp.zeros((cfg.n_text_state,), dtype)},
+        },
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+    """mel: (B, 2*n_audio_ctx, n_mels) -> (B, n_audio_ctx, d).
+
+    Conv stem (k3 s1 + k3 s2, exact GELU) then ``lax.scan`` over stacked
+    transformer blocks.
+    """
+    enc = params["encoder"]
+    dn = ("NHC", "HIO", "NHC")
+    x = jax.lax.conv_general_dilated(mel, enc["conv1"]["w"].astype(mel.dtype), (1,), [(1, 1)], dimension_numbers=dn)
+    x = jax.nn.gelu(x + enc["conv1"]["b"].astype(mel.dtype), approximate=False)
+    x = jax.lax.conv_general_dilated(x, enc["conv2"]["w"].astype(mel.dtype), (2,), [(1, 1)], dimension_numbers=dn)
+    x = jax.nn.gelu(x + enc["conv2"]["b"].astype(mel.dtype), approximate=False)
+    x = x + enc["pos_emb"].astype(x.dtype)
+
+    def body(h, blk):
+        h = _mha_block(blk, h, cfg.n_audio_head, mask=None)
+        h = _mlp_block(blk, h)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DecoderCache:
+    """Static-shape KV cache pytree.
+
+    self_k/self_v: (L, B, n_text_ctx, H, Dh) — written at dynamic position.
+    cross_k/cross_v: (L, B, n_audio_ctx, H, Dh) — precomputed per window.
+    """
+
+    self_k: jnp.ndarray
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    DecoderCache, data_fields=["self_k", "self_v", "cross_k", "cross_v"], meta_fields=[]
+)
+
+
+def precompute_cross_kv(params: Params, cfg: WhisperConfig, xa: jnp.ndarray):
+    """xa: (B, n_audio_ctx, d) encoder output -> stacked cross K/V (L,B,T,H,Dh)."""
+    dec = params["decoder"]
+
+    def body(_, blk):
+        # K/V come from the raw encoder output (cross_ln only normalizes the query).
+        k = _split_heads(_linear(xa, blk["cross"]["wk"], None), cfg.n_text_head)
+        v = _split_heads(_linear(xa, blk["cross"]["wv"], blk["cross"]["bv"]), cfg.n_text_head)
+        # store (B, T, H, Dh) layout for cache
+        return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+
+    _, (ck, cv) = jax.lax.scan(body, None, dec["blocks"])
+    return ck, cv
+
+
+def init_cache(params: Params, cfg: WhisperConfig, xa: jnp.ndarray) -> DecoderCache:
+    b = xa.shape[0]
+    h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
+    ck, cv = precompute_cross_kv(params, cfg, xa)
+    zeros = jnp.zeros((cfg.n_text_layer, b, cfg.n_text_ctx, h, dh), xa.dtype)
+    return DecoderCache(self_k=zeros, self_v=zeros, cross_k=ck, cross_v=cv)
+
+
+def decode_step(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # (B,) int32 — token at position `pos`
+    pos: jnp.ndarray,  # scalar int32
+    cache: DecoderCache,
+    alignment_mask: Optional[jnp.ndarray] = None,  # (L, H) f32 weights for xattn capture
+):
+    """One incremental decode step. Returns (logits (B, n_vocab), cache, xattn).
+
+    xattn: (B, n_audio_ctx) alignment-head-averaged cross-attention weights for
+    DTW word timestamps, or None if alignment_mask is None.
+    """
+    dec = params["decoder"]
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][pos]
+    x = x[:, None, :].astype(cache.self_k.dtype)  # (B,1,d)
+    n_head = cfg.n_text_head
+    t_mask = (jnp.arange(cfg.n_text_ctx) > pos)[None, None, None, :] * jnp.float32(-1e9)
+
+    capture = alignment_mask is not None
+    align = alignment_mask if capture else jnp.zeros((cfg.n_text_layer, n_head), jnp.float32)
+
+    def body(h, xs):
+        blk, kc, vc, ck, cv, am = xs
+        # self-attention with cache write at pos
+        hn = layer_norm(h, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
+        q = _split_heads(_linear(hn, blk["attn"]["wq"], blk["attn"]["bq"]), n_head)
+        k = _linear(hn, blk["attn"]["wk"], None).reshape(h.shape[0], 1, n_head, -1)
+        v = _linear(hn, blk["attn"]["wv"], blk["attn"]["bv"]).reshape(h.shape[0], 1, n_head, -1)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=1)
+        o, _ = _attend(q, kc.transpose(0, 2, 1, 3), vc.transpose(0, 2, 1, 3), t_mask)
+        h = h + _linear(_merge_heads(o), blk["attn"]["wo"], blk["attn"]["bo"])
+        # cross-attention against precomputed K/V
+        hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
+        q = _split_heads(_linear(hn, blk["cross"]["wq"], blk["cross"]["bq"]), n_head)
+        o, w = _attend(
+            q, ck.transpose(0, 2, 1, 3), cv.transpose(0, 2, 1, 3), None, return_weights=True
+        )
+        h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
+        h = _mlp_block(blk, h)
+        # w: (B, H, 1, T_audio); weighted head average for alignment
+        xattn_l = jnp.einsum("bhqt,h->bt", w[:, :, :, :], am)
+        return h, (kc, vc, xattn_l)
+
+    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v, align)
+    x, (new_k, new_v, xattn_layers) = jax.lax.scan(body, x, xs)
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    logits = jnp.dot(
+        x[:, 0, :], dec["tok_emb"].astype(x.dtype).T, preferred_element_type=jnp.float32
+    )
+    new_cache = DecoderCache(
+        self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
+    )
+    xattn = jnp.sum(xattn_layers, axis=0) if capture else None  # (B, n_audio_ctx)
+    return logits, new_cache, xattn
+
+
+def decode_span(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,  # (B, S) int32 — span of tokens starting at position pos0
+    pos0: jnp.ndarray,  # scalar int32
+    cache: DecoderCache,
+):
+    """Process S tokens at once (prompt prefill), writing the KV cache.
+
+    Returns (logits (B, S, n_vocab), cache). Equivalent to S decode_step calls
+    but one matmul-shaped pass — this is how prompts (≤448 tokens of carried
+    context, reference enhanced_asr_processor.py:295-341) are absorbed without
+    a per-token loop.
+    """
+    dec = params["decoder"]
+    b, s = tokens.shape
+    n_head = cfg.n_text_head
+    pos = pos0 + jnp.arange(s)
+    x = (dec["tok_emb"][tokens] + dec["pos_emb"][pos]).astype(cache.self_k.dtype)
+    # query q (local index) may attend to cache key j iff j <= pos0 + q
+    j = jnp.arange(cfg.n_text_ctx)[None, :]
+    qpos = pos[:, None]
+    mask = jnp.where(j > qpos, -1e9, 0.0).astype(jnp.float32)[None, None]  # (1,1,S,ctx)
+
+    def body(h, xs):
+        blk, kc, vc, ck, cv = xs
+        hn = layer_norm(h, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
+        q = _split_heads(_linear(hn, blk["attn"]["wq"], blk["attn"]["bq"]), n_head)
+        k = _linear(hn, blk["attn"]["wk"], None).reshape(b, s, n_head, -1)
+        v = _linear(hn, blk["attn"]["wv"], blk["attn"]["bv"]).reshape(b, s, n_head, -1)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos0, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos0, axis=1)
+        o, _ = _attend(q, kc.transpose(0, 2, 1, 3), vc.transpose(0, 2, 1, 3), mask)
+        h = h + _linear(_merge_heads(o), blk["attn"]["wo"], blk["attn"]["bo"])
+        hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
+        q = _split_heads(_linear(hn, blk["cross"]["wq"], blk["cross"]["bq"]), n_head)
+        o, _ = _attend(q, ck.transpose(0, 2, 1, 3), cv.transpose(0, 2, 1, 3), None)
+        h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
+        h = _mlp_block(blk, h)
+        return h, (kc, vc)
+
+    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    x, (new_k, new_v) = jax.lax.scan(body, x, xs)
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    logits = jnp.dot(x, dec["tok_emb"].astype(x.dtype).T, preferred_element_type=jnp.float32)
+    return logits, DecoderCache(
+        self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
+    )
+
+
+def decode_full(
+    params: Params, cfg: WhisperConfig, tokens: jnp.ndarray, xa: jnp.ndarray
+) -> jnp.ndarray:
+    """Teacher-forced decoder: tokens (B,T), xa (B,n_audio_ctx,d) -> logits (B,T,V).
+
+    Used for training (train/), sequence scoring, and architecture parity tests.
+    """
+    dec = params["decoder"]
+    b, t = tokens.shape
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][:t]
+    x = x.astype(xa.dtype)
+    n_head = cfg.n_text_head
+    causal = jnp.triu(jnp.full((t, t), -1e9, jnp.float32), k=1)[None, None]
+
+    def body(h, blk):
+        h = _mha_block(blk, h, n_head, causal)
+        # cross attention (full sequence)
+        hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
+        q = _split_heads(_linear(hn, blk["cross"]["wq"], blk["cross"]["bq"]), n_head)
+        k = _split_heads(_linear(xa, blk["cross"]["wk"], None), n_head)
+        v = _split_heads(_linear(xa, blk["cross"]["wv"], blk["cross"]["bv"]), n_head)
+        o, _ = _attend(q, k, v, None)
+        h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
+        h = _mlp_block(blk, h)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, dec["blocks"])
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    return jnp.dot(x, dec["tok_emb"].astype(x.dtype).T, preferred_element_type=jnp.float32)

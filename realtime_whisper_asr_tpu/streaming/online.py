@@ -1,0 +1,232 @@
+"""OnlineASRProcessor: the streaming re-transcription loop.
+
+The L5→L3 online protocol of SURVEY.md §1 — ``init(offset)``,
+``insert_audio_chunk(float32[...])``, ``process_iter() -> (beg, end, text) |
+(None, None, "")``, ``finish()`` — implemented once with the reference's two
+processor variants unified behind options:
+
+- LocalAgreement-n commits (agreement_n, reference enhanced_asr_processor.py:383)
+- segment-boundary buffer trimming at ``buffer_trimming_sec`` (default 15 s,
+  reference 一键实时识别麦克风.py:1992)
+- dynamic trimming window 5–30 s driven by processing delay and host memory
+  (reference DynamicBufferManager, enhanced_asr_processor.py:159-236)
+- word-boundary prompt carry of the last ``prompt_chars`` committed characters
+  as ``init_prompt`` (reference enhanced_asr_processor.py:295-341)
+- exception → ``init(offset)`` reset recovery (enhanced_asr_processor.py:369-381)
+
+StreamState (audio buffer, committed words, offsets, hypothesis state) is
+explicitly serializable for checkpoint/resume (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+from typing import Callable, Optional
+
+import numpy as np
+
+from realtime_whisper_asr_tpu.streaming.hypothesis import HypothesisBuffer, Word
+
+logger = logging.getLogger(__name__)
+
+SAMPLING_RATE = 16000
+
+
+class DynamicBufferManager:
+    """Adjusts the trimming window between min/max by latency and memory."""
+
+    def __init__(
+        self,
+        initial_sec: float = 15.0,
+        min_sec: float = 5.0,
+        max_sec: float = 30.0,
+        delay_threshold_s: float = 3.0,
+        memory_threshold: float = 0.80,
+        step_sec: float = 2.5,
+    ):
+        self.current = initial_sec
+        self.min_sec = min_sec
+        self.max_sec = max_sec
+        self.delay_threshold_s = delay_threshold_s
+        self.memory_threshold = memory_threshold
+        self.step_sec = step_sec
+
+    def _memory_fraction(self) -> float:
+        try:
+            info: dict[str, float] = {}
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    key, val = line.split(":", 1)
+                    info[key] = float(val.split()[0])
+            return 1.0 - info.get("MemAvailable", info.get("MemFree", 0.0)) / info["MemTotal"]
+        except Exception:
+            return 0.0
+
+    def adjust(self, processing_delay_s: float) -> float:
+        if processing_delay_s > self.delay_threshold_s or self._memory_fraction() > self.memory_threshold:
+            self.current = max(self.min_sec, self.current - self.step_sec)
+        else:
+            self.current = min(self.max_sec, self.current + self.step_sec / 5.0)
+        return self.current
+
+
+class OnlineASRProcessor:
+    SAMPLING_RATE = SAMPLING_RATE
+
+    def __init__(
+        self,
+        asr,
+        agreement_n: int = 2,
+        buffer_trimming: tuple[str, float] = ("segment", 15.0),
+        prompt_chars: int = 300,
+        dynamic_buffer: bool = False,
+        clock: Callable[[], float] = _time.monotonic,
+        logfile=None,
+    ):
+        self.asr = asr
+        self.agreement_n = agreement_n
+        self.buffer_trimming_way, self.buffer_trimming_sec = buffer_trimming
+        self.prompt_chars = prompt_chars
+        self.buffer_manager = (
+            DynamicBufferManager(initial_sec=self.buffer_trimming_sec) if dynamic_buffer else None
+        )
+        self.clock = clock
+        self.init()
+
+    # ---------------------------------------------------------------- protocol
+
+    def init(self, offset: Optional[float] = None):
+        """Reset all streaming state (session start / error recovery)."""
+        self.audio_buffer = np.array([], dtype=np.float32)
+        self.transcript_buffer = HypothesisBuffer(agreement_n=self.agreement_n)
+        self.buffer_time_offset = offset if offset is not None else 0.0
+        self.transcript_buffer.last_commited_time = self.buffer_time_offset
+        self.commited: list[Word] = []
+
+    def insert_audio_chunk(self, audio: np.ndarray):
+        self.audio_buffer = np.append(self.audio_buffer, np.asarray(audio, np.float32))
+
+    def prompt(self) -> tuple[str, str]:
+        """(prompt, non_prompt): committed text scrolled out of the buffer, cut
+        to the last ``prompt_chars`` chars at a word boundary."""
+        k = len(self.commited)
+        while k > 0 and self.commited[k - 1][1] > self.buffer_time_offset:
+            k -= 1
+        prompt_words = [t for _, _, t in self.commited[:k]]
+        non_prompt = self.asr.sep.join(t for _, _, t in self.commited[k:])
+        out: list[str] = []
+        length = 0
+        while prompt_words and length < self.prompt_chars:
+            w = prompt_words.pop(-1)
+            length += len(w) + 1
+            out.append(w)
+        return self.asr.sep.join(reversed(out)), non_prompt
+
+    def process_iter(self) -> tuple[Optional[float], Optional[float], str]:
+        """Re-transcribe the buffer, commit agreed words, trim, return commit."""
+        t_start = self.clock()
+        prompt, non_prompt = self.prompt()
+        logger.debug(
+            "transcribing %.2f s from %.2f s",
+            len(self.audio_buffer) / SAMPLING_RATE,
+            self.buffer_time_offset,
+        )
+        try:
+            res = self.asr.transcribe(self.audio_buffer, init_prompt=prompt)
+            tsw = self.asr.ts_words(res)
+            self.transcript_buffer.insert(tsw, self.buffer_time_offset)
+            o = self.transcript_buffer.flush()
+            self.commited.extend(o)
+        except Exception:
+            # reference behavior: reset streaming state and continue
+            # (enhanced_asr_processor.py:369-381)
+            logger.exception("process_iter failed; resetting stream state")
+            self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
+            return (None, None, "")
+
+        trim_sec = self.buffer_trimming_sec
+        if self.buffer_manager is not None:
+            trim_sec = self.buffer_manager.adjust(self.clock() - t_start)
+        if len(self.audio_buffer) / SAMPLING_RATE > trim_sec:
+            self.chunk_completed_segment(res)
+        return self.to_flush(o)
+
+    def finish(self) -> tuple[Optional[float], Optional[float], str]:
+        """Flush the uncommitted tail at stream end."""
+        o = self.transcript_buffer.complete()
+        f = self.to_flush(o)
+        logger.debug("final non-committed: %s", f)
+        self.buffer_time_offset += len(self.audio_buffer) / SAMPLING_RATE
+        self.audio_buffer = np.array([], dtype=np.float32)
+        return f
+
+    # ---------------------------------------------------------------- trimming
+
+    def chunk_completed_segment(self, res) -> None:
+        """Trim at the last completed-segment boundary before the last commit."""
+        if not self.commited:
+            return
+        ends = self.asr.segments_end_ts(res)
+        t = self.commited[-1][1]
+        if len(ends) > 1:
+            e = ends[-2] + self.buffer_time_offset
+            while len(ends) > 2 and e > t:
+                ends.pop(-1)
+                e = ends[-2] + self.buffer_time_offset
+            if e <= t:
+                self.chunk_at(e)
+                return
+        logger.debug("--- last segment not within committed area")
+
+    def chunk_at(self, time: float) -> None:
+        self.transcript_buffer.pop_commited(time)
+        cut_seconds = time - self.buffer_time_offset
+        if cut_seconds <= 0:
+            return
+        self.audio_buffer = self.audio_buffer[int(cut_seconds * SAMPLING_RATE) :]
+        self.buffer_time_offset = time
+        logger.debug("chunked at %.2f s", time)
+
+    # ----------------------------------------------------------------- helpers
+
+    def set_agreement_n(self, n: int) -> None:
+        self.agreement_n = n
+        self.transcript_buffer.set_agreement_n(n)
+
+    def to_flush(self, words: list[Word]) -> tuple[Optional[float], Optional[float], str]:
+        if not words:
+            return (None, None, "")
+        text = self.asr.sep.join(t for _, _, t in words)
+        return (words[0][0], words[-1][1], text)
+
+    # --------------------------------------------------------- checkpointing
+
+    def state_dict(self) -> dict:
+        """Serializable streaming state (SURVEY.md §5 checkpoint/resume)."""
+        tb = self.transcript_buffer
+        return {
+            "audio_buffer": self.audio_buffer.copy(),
+            "buffer_time_offset": self.buffer_time_offset,
+            "commited": list(self.commited),
+            "hb_commited_in_buffer": list(tb.commited_in_buffer),
+            "hb_buffer": list(tb.buffer),
+            "hb_history": [list(h) for h in tb.history],
+            "hb_last_commited_time": tb.last_commited_time,
+            "hb_last_commited_word": tb.last_commited_word,
+            "agreement_n": self.agreement_n,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.init()
+        self.audio_buffer = np.asarray(state["audio_buffer"], np.float32)
+        self.buffer_time_offset = state["buffer_time_offset"]
+        self.commited = [tuple(w) for w in state["commited"]]
+        tb = self.transcript_buffer
+        tb.commited_in_buffer = [tuple(w) for w in state["hb_commited_in_buffer"]]
+        tb.buffer = [tuple(w) for w in state["hb_buffer"]]
+        for h in state["hb_history"]:
+            tb.history.append([tuple(w) for w in h])
+        tb.last_commited_time = state["hb_last_commited_time"]
+        tb.last_commited_word = state["hb_last_commited_word"]
+        self.set_agreement_n(state["agreement_n"])

@@ -1,0 +1,209 @@
+"""VAD-controlled streaming: VADIterator state machine + VAC online processor.
+
+Re-provides the Silero VADIterator/FixedVADIterator contract the reference
+consumes (SURVEY.md §2.2; dynamic ``min_silence_samples`` mutation at
+`asr_components.py:36-51`; arbitrary-length buffering at :58-78) and the
+VACOnlineASRProcessor routing semantics (`asr_components.py:81-179`):
+
+- voice start → ``online.init(offset=start_time)`` and forward buffered audio,
+- voice end → mark current utterance final,
+- ``process_iter``: finish() when final; process when ≥ online_chunk_size
+  buffered; else (None, None, "").
+
+The probability model is pluggable (``prob_fn: (frames (N,512)) -> (N,)``):
+the DSP energy VAD (models/vad/energy.py, host) or the JAX conv-GRU VAD
+(models/vad/silero_like.py, on-device batch) both fit.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+SAMPLING_RATE = 16000
+FRAME = 512  # samples per VAD window (Silero convention at 16 kHz)
+
+
+class VADIterator:
+    """Streaming speech start/end detector over 512-sample frames.
+
+    Accepts arbitrary-length float32 chunks (internally re-framed), returns
+    ``{'start': sample_idx}`` / ``{'end': sample_idx}`` events in absolute
+    samples. ``min_silence_samples`` is mutable at runtime — the dynamic
+    silence adaptation path (reference `asr_components.py:49`,
+    `一键实时识别麦克风.py:1614-1644`) writes it directly or via
+    ``set_min_silence_duration_ms``.
+    """
+
+    def __init__(
+        self,
+        prob_fn: Callable[[np.ndarray], np.ndarray],
+        threshold: float = 0.5,
+        sampling_rate: int = SAMPLING_RATE,
+        min_silence_duration_ms: int = 500,
+        speech_pad_ms: int = 100,
+    ):
+        self.prob_fn = prob_fn
+        self.threshold = threshold
+        self.sampling_rate = sampling_rate
+        self.min_silence_samples = sampling_rate * min_silence_duration_ms / 1000
+        self.speech_pad_samples = sampling_rate * speech_pad_ms / 1000
+        self.reset_states()
+
+    def reset_states(self):
+        self.triggered = False
+        self.temp_end = 0
+        self.current_sample = 0
+        self.buffer = np.array([], dtype=np.float32)
+
+    def set_min_silence_duration_ms(self, ms: float) -> None:
+        self.min_silence_samples = self.sampling_rate * ms / 1000
+
+    def __call__(self, chunk: np.ndarray) -> Optional[dict]:
+        """Feed a chunk; returns at most one event dict (or a merged one)."""
+        self.buffer = np.append(self.buffer, np.asarray(chunk, np.float32))
+        ret: Optional[dict] = None
+        while len(self.buffer) >= FRAME:
+            frame = self.buffer[:FRAME]
+            self.buffer = self.buffer[FRAME:]
+            ev = self._process_frame(frame)
+            if ev is not None:
+                if ret is None:
+                    ret = ev
+                elif "end" in ret and "start" in ev and ev["start"] > ret["end"]:
+                    # unlikely quick end+start inside one chunk: merge
+                    ret.update(ev)
+                else:
+                    ret.update(ev)
+        return ret
+
+    def _process_frame(self, frame: np.ndarray) -> Optional[dict]:
+        prob = float(self.prob_fn(frame[None, :])[0])
+        self.current_sample += FRAME
+        if prob >= self.threshold:
+            if self.temp_end:
+                self.temp_end = 0
+            if not self.triggered:
+                self.triggered = True
+                start = int(self.current_sample - FRAME - self.speech_pad_samples)
+                return {"start": max(start, 0)}
+            return None
+        if prob < self.threshold - 0.15 and self.triggered:
+            if not self.temp_end:
+                self.temp_end = self.current_sample
+            if self.current_sample - self.temp_end >= self.min_silence_samples:
+                end = int(self.temp_end + self.speech_pad_samples)
+                self.temp_end = 0
+                self.triggered = False
+                return {"end": end}
+        return None
+
+
+class VACOnlineASRProcessor:
+    """VAD-gated wrapper around OnlineASRProcessor (the reference's preferred
+    EnhancedVACOnlineASRProcessor path, `enhanced_asr_processor.py:401-503`)."""
+
+    SAMPLING_RATE = SAMPLING_RATE
+
+    def __init__(
+        self,
+        online,  # OnlineASRProcessor
+        vad_iterator: VADIterator,
+        online_chunk_size: float = 0.5,
+    ):
+        self.online = online
+        self.vac = vad_iterator
+        self.online_chunk_size = online_chunk_size
+        self.init()
+
+    def init(self, offset: Optional[float] = None):
+        self.online.init(offset)
+        self.vac.reset_states()
+        self.current_online_chunk_buffer_size = 0
+        self.is_currently_final = False
+        self.status: Optional[str] = None  # 'voice' | 'nonvoice'
+        self.audio_buffer = np.array([], dtype=np.float32)
+        self.buffer_offset = 0  # absolute samples dropped from audio_buffer
+
+    # ------------------------------------------------------------------- audio
+
+    def insert_audio_chunk(self, audio: np.ndarray) -> None:
+        audio = np.asarray(audio, np.float32)
+        res = self.vac(audio)
+        self.audio_buffer = np.append(self.audio_buffer, audio)
+
+        if res is not None:
+            frame = list(res.values())[0] - self.buffer_offset
+            if "start" in res and "end" not in res:
+                self.status = "voice"
+                send_audio = self.audio_buffer[max(frame, 0) :]
+                self.online.init(offset=(frame + self.buffer_offset) / SAMPLING_RATE)
+                self.online.insert_audio_chunk(send_audio)
+                self.current_online_chunk_buffer_size += len(send_audio)
+                self._clip_buffer()
+            elif "end" in res and "start" not in res:
+                self.status = "nonvoice"
+                send_audio = self.audio_buffer[: max(frame, 0)]
+                self.online.insert_audio_chunk(send_audio)
+                self.current_online_chunk_buffer_size += len(send_audio)
+                self.is_currently_final = True
+                self._clip_buffer()
+            else:
+                # start+end inside one chunk: forward the voiced span, final
+                beg = max(res["start"] - self.buffer_offset, 0)
+                end = max(res["end"] - self.buffer_offset, 0)
+                self.online.init(offset=(beg + self.buffer_offset) / SAMPLING_RATE)
+                send_audio = self.audio_buffer[beg:end]
+                self.online.insert_audio_chunk(send_audio)
+                self.current_online_chunk_buffer_size += len(send_audio)
+                self.is_currently_final = True
+                self._clip_buffer()
+        else:
+            if self.status == "voice":
+                self.online.insert_audio_chunk(audio)
+                self.current_online_chunk_buffer_size += len(audio)
+                self._clip_buffer()
+            else:
+                # keep at most 1 s of lookback while silent (speech_pad window)
+                keep = SAMPLING_RATE
+                if len(self.audio_buffer) > keep:
+                    self.buffer_offset += len(self.audio_buffer) - keep
+                    self.audio_buffer = self.audio_buffer[-keep:]
+
+    def _clip_buffer(self):
+        self.buffer_offset += len(self.audio_buffer)
+        self.audio_buffer = np.array([], dtype=np.float32)
+
+    # ---------------------------------------------------------------- protocol
+
+    def process_iter(self) -> tuple[Optional[float], Optional[float], str]:
+        if self.is_currently_final:
+            return self.finish()
+        if self.current_online_chunk_buffer_size > SAMPLING_RATE * self.online_chunk_size:
+            self.current_online_chunk_buffer_size = 0
+            return self.online.process_iter()
+        return (None, None, "")
+
+    def finish(self) -> tuple[Optional[float], Optional[float], str]:
+        ret = self.online.finish()
+        self.current_online_chunk_buffer_size = 0
+        self.is_currently_final = False
+        return ret
+
+    # ----------------------------------------------------------------- control
+
+    def set_silence_duration(self, ms: float) -> bool:
+        """Runtime VAD silence adjustment — the L5→L3 extension the reference
+        adds (`asr_components.py:36-51`, called from 一键…py:1638)."""
+        try:
+            self.vac.set_min_silence_duration_ms(ms)
+            return True
+        except Exception:
+            return False
+
+    def set_agreement_n(self, n: int) -> None:
+        self.online.set_agreement_n(n)

@@ -1,0 +1,114 @@
+"""Decode-loop tests: timestamp grammar, EOT handling, prompts, offline ASR API.
+
+Random weights (test-tiny config) — assertions are structural: the logit-filter
+grammar must hold for ANY model, which makes it a strong test of the filter
+masks without needing real checkpoints.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from realtime_whisper_asr_tpu.asr import TPUWhisperASR, Segment
+from realtime_whisper_asr_tpu.models import whisper as W
+from realtime_whisper_asr_tpu.models.whisper import decode as D
+from realtime_whisper_asr_tpu.models.whisper.tokenizer import MockTokenizer
+
+
+@pytest.fixture(scope="module")
+def asr():
+    return TPUWhisperASR(cfg=W.get_config("test-tiny"), model_size="test-tiny",
+                         dtype=jnp.float32, word_timestamps=True)
+
+
+def _audio(seconds=4.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * 16000)) / 16000
+    return (0.3 * np.sin(2 * np.pi * 300 * t) + 0.1 * rng.standard_normal(t.shape)).astype(
+        np.float32
+    )
+
+
+def test_timestamp_grammar(asr):
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio())
+    res = D.greedy_decode(asr.params, cfg, xa, D.DecodeOptions(timestamps=True))
+    ids = res.tokens[0][: res.lengths[0]].tolist()
+    # random weights may never sample EOT; then the loop must stop at max_new
+    assert ids[-1] == cfg.eot or len(ids) == D.DecodeOptions().max_new_tokens
+    body = ids[:-1] if ids[-1] == cfg.eot else ids
+    assert body, "decoded nothing"
+    ts0 = cfg.timestamp_begin
+    # rule: first sampled token is a timestamp within max_initial_timestamp
+    assert body[0] >= ts0 and body[0] <= ts0 + 50
+    # rule: monotonic timestamps
+    ts = [t for t in body if t >= ts0]
+    assert ts == sorted(ts)
+    # rule: no two consecutive timestamps followed by a third
+    for a, b, c in zip(body, body[1:], body[2:]):
+        assert not (a >= ts0 and b >= ts0 and c >= ts0)
+    # rule: suppressed specials never sampled
+    for t in body:
+        assert t not in {cfg.sot, cfg.sot_prev, cfg.sot_lm, cfg.no_speech, cfg.no_timestamps}
+
+
+def test_no_timestamps_mode(asr):
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=1))
+    res = D.greedy_decode(asr.params, cfg, xa, D.DecodeOptions(timestamps=False))
+    ids = res.tokens[0][: res.lengths[0]].tolist()
+    assert all(t < cfg.timestamp_begin for t in ids[:-1])
+    assert res.avg_logprob[0] <= 0.0
+
+
+def test_prompt_bucketing_no_retrace(asr):
+    """Different prompt lengths within one bucket must hit the same trace."""
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=2))
+    opts = D.DecodeOptions(timestamps=True)
+    before = D._greedy_loop._cache_size()
+    D.greedy_decode(asr.params, cfg, xa, opts, prompt_tokens=[100, 200, 300])
+    mid = D._greedy_loop._cache_size()
+    D.greedy_decode(asr.params, cfg, xa, opts, prompt_tokens=[111, 222])
+    D.greedy_decode(asr.params, cfg, xa, opts, prompt_tokens=[1, 2, 3, 4])
+    after = D._greedy_loop._cache_size()
+    assert mid == before + 1
+    assert after == mid  # same bucket -> no retrace
+
+
+def test_transcribe_segments(asr):
+    segs = asr.transcribe(_audio(6.0, seed=3))
+    assert isinstance(segs, list)
+    for s in segs:
+        assert isinstance(s, Segment)
+        assert 0.0 <= s.start <= s.end <= 31.0
+        for w in s.words:
+            assert s.start - 0.5 <= w.start <= w.end or w.start <= w.end
+    words = asr.ts_words(segs)
+    begs = [b for b, e, w in words]
+    assert begs == sorted(begs)
+    ends = asr.segments_end_ts(segs)
+    assert ends == sorted(ends)
+
+
+def test_transcribe_with_prompt_and_translate(asr):
+    asr.set_translate_task()
+    try:
+        segs = asr.transcribe(_audio(2.0, seed=4), init_prompt="w100 w200 w300")
+        assert isinstance(segs, list)
+    finally:
+        asr.task = "transcribe"
+
+
+def test_detect_language(asr):
+    lang, prob = asr.detect_language(_audio(2.0, seed=5))
+    assert lang in W.LANGUAGES
+    assert 0.0 < prob <= 1.0
+
+
+def test_mock_tokenizer_roundtrip():
+    tok = MockTokenizer(W.get_config("test-tiny"))
+    ids = [5, 17, 30000]
+    assert tok.encode(tok.decode(ids)) == ids

@@ -1,0 +1,112 @@
+"""Architecture parity: our pure-JAX Whisper vs transformers' torch Whisper.
+
+A small random-weight HF model is converted through load.params_from_hf_state_dict;
+encoder outputs and teacher-forced decoder logits must match to f32 tolerance.
+This validates conv padding, positional embeddings, attention scaling/masking,
+layernorm placement, and the weight converter — with zero network access.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from realtime_whisper_asr_tpu.models import whisper as W
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def hf_and_jax():
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=51865,
+        num_mel_bins=80,
+        d_model=64,
+        encoder_layers=2,
+        encoder_attention_heads=2,
+        decoder_layers=2,
+        decoder_attention_heads=2,
+        encoder_ffn_dim=256,
+        decoder_ffn_dim=256,
+        max_source_positions=1500,
+        max_target_positions=448,
+    )
+    torch.manual_seed(0)
+    hf_model = transformers.WhisperModel(hf_cfg).eval()
+    cfg = W.config_from_hf(hf_cfg.to_dict(), name="parity")
+    params = W.params_from_hf_state_dict(hf_model.state_dict(), cfg, dtype=jnp.float32)
+    return hf_model, cfg, params
+
+
+def _mel(batch=1, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((batch, 3000, 80)).astype(np.float32) * 0.5
+
+
+def test_encoder_parity(hf_and_jax):
+    hf_model, cfg, params = hf_and_jax
+    mel = _mel()
+    with torch.no_grad():
+        golden = hf_model.encoder(torch.from_numpy(mel.transpose(0, 2, 1))).last_hidden_state.numpy()
+    ours = np.asarray(W.encode(params, cfg, jnp.asarray(mel)))
+    assert ours.shape == golden.shape == (1, 1500, 64)
+    np.testing.assert_allclose(ours, golden, atol=3e-3, rtol=0)
+
+
+def test_decoder_teacher_forced_parity(hf_and_jax):
+    hf_model, cfg, params = hf_and_jax
+    mel = _mel(seed=1)
+    tokens = np.array([[cfg.sot, cfg.lang_token("en"), cfg.transcribe, 400, 500, 600]], np.int32)
+    with torch.no_grad():
+        enc = hf_model.encoder(torch.from_numpy(mel.transpose(0, 2, 1))).last_hidden_state
+        dec = hf_model.decoder(
+            input_ids=torch.from_numpy(tokens.astype(np.int64)), encoder_hidden_states=enc
+        ).last_hidden_state
+        golden_logits = (dec @ hf_model.decoder.embed_tokens.weight.T).numpy()
+    xa = W.encode(params, cfg, jnp.asarray(mel))
+    ours = np.asarray(W.decode_full(params, cfg, jnp.asarray(tokens), xa))
+    assert ours.shape == golden_logits.shape
+    np.testing.assert_allclose(ours, golden_logits, atol=1e-2, rtol=0)
+
+
+def test_incremental_matches_teacher_forced(hf_and_jax):
+    """KV-cached decode_step must reproduce decode_full logits position by position."""
+    _, cfg, params = hf_and_jax
+    mel = _mel(seed=2)
+    xa = W.encode(params, cfg, jnp.asarray(mel))
+    tokens = np.array([[cfg.sot, cfg.lang_token("en"), cfg.transcribe, 123, 4567, 89]], np.int32)
+    full = np.asarray(W.decode_full(params, cfg, jnp.asarray(tokens), xa))
+
+    cache = W.init_cache(params, cfg, xa)
+    step = jax.jit(W.decode_step, static_argnames=("cfg",))
+    for t in range(tokens.shape[1]):
+        logits, cache, _ = step(params, cfg, jnp.asarray(tokens[:, t]), jnp.int32(t), cache)
+        np.testing.assert_allclose(np.asarray(logits), full[:, t], atol=1e-2, rtol=0)
+
+
+def test_xattn_capture_shape(hf_and_jax):
+    _, cfg, params = hf_and_jax
+    xa = W.encode(params, cfg, jnp.asarray(_mel(seed=3)))
+    cache = W.init_cache(params, cfg, xa)
+    amask = jnp.ones((cfg.n_text_layer, cfg.n_text_head), jnp.float32)
+    logits, cache, xattn = W.decode_step(
+        params, cfg, jnp.asarray([cfg.sot], jnp.int32), jnp.int32(0), cache, alignment_mask=amask
+    )
+    assert xattn.shape == (1, cfg.n_audio_ctx)
+    # attention rows sum to 1 per head; mask sums over L*H heads
+    assert abs(float(jnp.sum(xattn)) - cfg.n_text_layer * cfg.n_text_head) < 1e-3
+
+
+def test_special_token_layout():
+    cfg = W.get_config("tiny")
+    assert (cfg.eot, cfg.sot, cfg.no_timestamps, cfg.timestamp_begin) == (50257, 50258, 50363, 50364)
+    assert cfg.lang_token("en") == 50259 and cfg.lang_token("zh") == 50260
+    assert cfg.transcribe == 50359 and cfg.translate == 50358
+    v3 = W.get_config("large-v3")
+    assert v3.num_languages == 100 and v3.timestamp_begin == 50365
+    assert v3.lang_token("yue") == 50358
+    en = W.get_config("tiny.en")
+    assert en.eot == 50256 and not en.is_multilingual
+    assert en.sot_sequence() == (50257, 50362)
