@@ -32,7 +32,7 @@ class HypothesisBuffer:
         self.buffer: list[Word] = []  # previous hypothesis (tail not yet committed)
         self.new: list[Word] = []  # incoming hypothesis
         # hypothesis history for n > 2 (reference keeps a ring of the last n)
-        self.history: deque[list[Word]] = deque(maxlen=max(agreement_n - 1, 1))
+        self.history: deque[list[Word]] = deque(maxlen=agreement_n)
         self.last_commited_time = 0.0
         self.last_commited_word: str | None = None
 
@@ -93,23 +93,21 @@ class HypothesisBuffer:
         return commit
 
     def _flush_agreement_n(self) -> list[Word]:
-        """Common word-prefix across the last n hypotheses (reference
+        """Common word-prefix across the last n distinct hypotheses (reference
         enhanced_asr_processor.py:108-135), preserving n=2 bookkeeping."""
         self.history.append(list(self.new))
         commit: list[Word] = []
-        if len(self.history) == self.history.maxlen and self.buffer:
-            hyps = [self.buffer] + list(self.history)
+        if len(self.history) == self.agreement_n:
+            hyps = list(self.history)
             min_len = min(len(h) for h in hyps)
             agree = 0
             for i in range(min_len):
-                w0 = hyps[0][i][2]
-                if all(h[i][2] == w0 for h in hyps[1:]):
+                w0 = hyps[-1][i][2]
+                if all(h[i][2] == w0 for h in hyps[:-1]):
                     agree += 1
                 else:
                     break
-            for i in range(agree):
-                nb, ne, nt = self.new[i]
-                commit.append((nb, ne, nt))
+            commit = self.new[:agree]
             # remove committed prefix everywhere
             self.new = self.new[agree:]
             self.history = deque(
@@ -125,7 +123,7 @@ class HypothesisBuffer:
         if n < 2:
             raise ValueError("agreement_n must be >= 2")
         self.agreement_n = n
-        self.history = deque(self.history, maxlen=max(n - 1, 1))
+        self.history = deque(self.history, maxlen=n)
 
     def pop_commited(self, time: float) -> None:
         """Forget committed words ending at/before ``time`` (buffer trim)."""

@@ -157,6 +157,10 @@ class OnlineASRProcessor:
         o = self.transcript_buffer.complete()
         f = self.to_flush(o)
         logger.debug("final non-committed: %s", f)
+        # clear the flushed tail so a second finish() (utterance-end inside VAC
+        # followed by session-end, reference 一键…py:1887) can't duplicate it
+        self.commited.extend(o)
+        self.transcript_buffer.buffer = []
         self.buffer_time_offset += len(self.audio_buffer) / SAMPLING_RATE
         self.audio_buffer = np.array([], dtype=np.float32)
         return f

@@ -1,0 +1,295 @@
+"""Host streaming core tests: HypothesisBuffer, OnlineASRProcessor, VAC, VAD.
+
+Uses a TimecodedFakeASR: test audio encodes absolute time in its amplitude
+(sample k of the session has value k/SR * 1e-3), so the fake backend can
+recover the buffer's absolute window from content alone and serve ground-truth
+words deterministically — making commits, trimming, and prompts exactly
+predictable (the injectable-clock/fake-backend strategy of SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from realtime_whisper_asr_tpu.streaming import (
+    HypothesisBuffer,
+    OnlineASRProcessor,
+    VACOnlineASRProcessor,
+    VADIterator,
+)
+from realtime_whisper_asr_tpu.models.vad import EnergyVAD
+
+SR = 16000
+
+
+def timecoded_audio(t0: float, t1: float) -> np.ndarray:
+    k = np.arange(int(t0 * SR), int(t1 * SR))
+    return (k / SR * 1e-3).astype(np.float32)
+
+
+class TimecodedFakeASR:
+    """Serves ground-truth words inside the buffer window; optionally makes the
+    last word 'unstable' (changes until it is >1 s inside the buffer end)."""
+
+    sep = ""
+
+    def __init__(self, words, unstable_tail=True):
+        self.words = words  # [(beg, end, text)] absolute
+        self.unstable_tail = unstable_tail
+        self.prompts = []
+
+    def transcribe(self, audio, init_prompt=""):
+        self.prompts.append(init_prompt)
+        if len(audio) == 0:
+            return []
+        t0 = float(audio[0]) * 1e3
+        t1 = t0 + len(audio) / SR
+        out = []
+        for b, e, w in self.words:
+            if b >= t0 - 1e-6 and e <= t1 + 1e-6:
+                if self.unstable_tail and e > t1 - 1.0:
+                    w = w + "?"  # unstable guess near the audio frontier
+                out.append((b - t0, e - t0, w))
+        return out
+
+    def ts_words(self, segments):
+        return segments
+
+    def segments_end_ts(self, segments):
+        return [e for b, e, w in segments]
+
+
+def make_words(n, start=0.25, dur=0.4, gap=0.1):
+    t = start
+    words = []
+    for i in range(n):
+        words.append((round(t, 2), round(t + dur, 2), f" word{i}"))
+        t += dur + gap
+    return words
+
+
+# ---------------------------------------------------------------- hypothesis
+
+
+def test_agreement2_commits_stable_prefix():
+    hb = HypothesisBuffer(agreement_n=2)
+    hb.insert([(0.0, 0.4, "a"), (0.5, 0.9, "b")], 0.0)
+    assert hb.flush() == []  # first hypothesis: nothing to agree with
+    hb.insert([(0.0, 0.4, "a"), (0.5, 0.9, "b"), (1.0, 1.4, "c")], 0.0)
+    assert [w for _, _, w in hb.flush()] == ["a", "b"]
+    hb.insert([(1.0, 1.4, "c"), (1.5, 1.9, "d")], 0.0)
+    assert [w for _, _, w in hb.flush()] == ["c"]
+
+
+def test_agreement2_disagreement_blocks_commit():
+    hb = HypothesisBuffer(agreement_n=2)
+    hb.insert([(0.0, 0.4, "a"), (0.5, 0.9, "x")], 0.0)
+    hb.flush()
+    hb.insert([(0.0, 0.4, "b"), (0.5, 0.9, "x")], 0.0)
+    assert hb.flush() == []  # first word disagrees -> nothing commits
+
+
+def test_ngram_dedup_on_insert():
+    hb = HypothesisBuffer(agreement_n=2)
+    for _ in range(2):
+        hb.insert([(0.0, 0.4, "a"), (0.5, 0.9, "b")], 0.0)
+        hb.flush()
+    assert [w for _, _, w in hb.commited_in_buffer] == ["a", "b"]
+    # new hypothesis re-hears the committed tail right at the boundary
+    hb.insert([(0.45, 0.9, "a"), (0.5, 0.95, "b"), (1.0, 1.4, "c")], 0.0)
+    assert [w for _, _, w in hb.new] == ["c"]
+
+
+def test_agreement3_needs_three_consistent():
+    hb = HypothesisBuffer(agreement_n=3)
+    hb.insert([(0.0, 0.4, "a")], 0.0)
+    assert hb.flush() == []
+    hb.insert([(0.0, 0.4, "a"), (0.5, 0.9, "b")], 0.0)
+    assert hb.flush() == []
+    hb.insert([(0.0, 0.4, "a"), (0.5, 0.9, "b")], 0.0)
+    out = hb.flush()
+    assert [w for _, _, w in out] == ["a"]
+
+
+# -------------------------------------------------------------------- online
+
+
+def run_online(n_words=40, chunk_s=1.0, trimming=15.0, **kw):
+    words = make_words(n_words)
+    asr = TimecodedFakeASR(words)
+    proc = OnlineASRProcessor(asr, buffer_trimming=("segment", trimming), **kw)
+    total = words[-1][1] + 1.0
+    committed = []
+    t = 0.0
+    while t < total:
+        proc.insert_audio_chunk(timecoded_audio(t, min(t + chunk_s, total)))
+        t += chunk_s
+        b, e, txt = proc.process_iter()
+        if txt:
+            committed.append((b, e, txt))
+    b, e, txt = proc.finish()
+    if txt:
+        committed.append((b, e, txt))
+    return words, asr, proc, committed
+
+
+def test_online_commits_everything_in_order():
+    words, asr, proc, committed = run_online()
+    text = "".join(t for _, _, t in committed)
+    expect = "".join(w for _, _, w in words)
+    # unstable-tail guesses must never be committed mid-stream; the final
+    # flush() may carry a trailing unstable word
+    assert text.replace("?", "") == expect
+    mid = "".join(t for _, _, t in committed[:-1])
+    assert "?" not in mid
+    begs = [b for b, _, _ in committed]
+    assert begs == sorted(begs)
+
+
+def test_online_buffer_is_trimmed():
+    words, asr, proc, _ = run_online(n_words=50, trimming=10.0)
+    assert len(proc.audio_buffer) / SR < 20.0
+    assert proc.buffer_time_offset > 0
+
+
+def test_online_prompt_carries_committed_text():
+    words, asr, proc, _ = run_online(n_words=50, trimming=10.0)
+    nonempty = [p for p in asr.prompts if p]
+    assert nonempty, "trimming must scroll committed text into the prompt"
+    assert "word0" in nonempty[-1] or "word1" in nonempty[-1]
+    assert len(nonempty[-1]) <= 310
+
+
+def test_online_checkpoint_resume():
+    words = make_words(30)
+    asr = TimecodedFakeASR(words)
+    proc = OnlineASRProcessor(asr)
+    t = 0.0
+    for _ in range(8):
+        proc.insert_audio_chunk(timecoded_audio(t, t + 1.0))
+        t += 1.0
+        proc.process_iter()
+    state = proc.state_dict()
+
+    proc2 = OnlineASRProcessor(TimecodedFakeASR(words))
+    proc2.load_state_dict(state)
+    outs1, outs2 = [], []
+    for p, acc in ((proc, outs1), (proc2, outs2)):
+        tt = t
+        for _ in range(8):
+            p.insert_audio_chunk(timecoded_audio(tt, tt + 1.0))
+            tt += 1.0
+            acc.append(p.process_iter())
+        acc.append(p.finish())
+    assert outs1 == outs2
+
+
+def test_online_error_resets_state():
+    class FailingASR(TimecodedFakeASR):
+        def __init__(self, words):
+            super().__init__(words)
+            self.fail_next = False
+
+        def transcribe(self, audio, init_prompt=""):
+            if self.fail_next:
+                self.fail_next = False
+                raise RuntimeError("simulated backend failure")
+            return super().transcribe(audio, init_prompt)
+
+    words = make_words(20)
+    asr = FailingASR(words)
+    proc = OnlineASRProcessor(asr)
+    t = 0.0
+    results = []
+    for i in range(12):
+        proc.insert_audio_chunk(timecoded_audio(t, t + 1.0))
+        t += 1.0
+        if i == 5:
+            asr.fail_next = True
+        results.append(proc.process_iter())
+    # the failing iteration returns empty and the stream keeps going
+    assert results[5] == (None, None, "")
+    assert any(txt for _, _, txt in results[6:])
+
+
+# ----------------------------------------------------------------------- vad
+
+
+class ScriptedProbs:
+    """prob_fn driven by a [(start_s, end_s)] voice script."""
+
+    def __init__(self, spans):
+        self.spans = spans
+        self.pos = 0
+
+    def __call__(self, frames):
+        out = []
+        for _ in frames:
+            t = self.pos * 512 / SR
+            out.append(1.0 if any(a <= t < b for a, b in self.spans) else 0.0)
+            self.pos += 1
+        return np.array(out, np.float32)
+
+
+def test_vad_iterator_events_and_min_silence():
+    vad = VADIterator(ScriptedProbs([(1.0, 3.0)]), min_silence_duration_ms=500, speech_pad_ms=0)
+    events = []
+    t = 0.0
+    while t < 5.0:
+        ev = vad(np.zeros(int(0.1 * SR), np.float32))
+        if ev:
+            events.append((round(t, 1), ev))
+        t += 0.1
+    assert len(events) == 2
+    (t_start, ev_s), (t_end, ev_e) = events
+    assert "start" in ev_s and abs(ev_s["start"] / SR - 1.0) < 0.1
+    assert "end" in ev_e and abs(ev_e["end"] / SR - 3.0) < 0.1
+    # end event is delayed by min_silence (0.5 s)
+    assert 3.4 <= t_end <= 3.7
+
+
+def test_vad_dynamic_min_silence():
+    vad = VADIterator(ScriptedProbs([(0.5, 1.0), (1.3, 1.8)]), min_silence_duration_ms=500,
+                      speech_pad_ms=0)
+    vad.set_min_silence_duration_ms(100)
+    events = []
+    t = 0.0
+    while t < 3.0:
+        ev = vad(np.zeros(int(0.1 * SR), np.float32))
+        if ev:
+            events.append(ev)
+        t += 0.1
+    # with 100 ms silence, the 300 ms gap splits speech into two utterances
+    starts = [e for e in events if "start" in e]
+    ends = [e for e in events if "end" in e]
+    assert len(starts) == 2 and len(ends) == 2
+
+
+def test_vac_processor_routes_and_finalizes():
+    words = [(1.2, 1.6, " hello"), (1.7, 2.1, " world")]
+    asr = TimecodedFakeASR(words, unstable_tail=False)
+    online = OnlineASRProcessor(asr)
+    vad = VADIterator(ScriptedProbs([(1.0, 2.5)]), min_silence_duration_ms=300, speech_pad_ms=0)
+    vac = VACOnlineASRProcessor(online, vad, online_chunk_size=0.5)
+    outs = []
+    t = 0.0
+    while t < 4.0:
+        vac.insert_audio_chunk(timecoded_audio(t, t + 0.1))
+        t += 0.1
+        outs.append(vac.process_iter())
+    texts = "".join(txt for _, _, txt in outs if txt)
+    assert "hello" in texts and "world" in texts
+    assert vac.set_silence_duration(250) is True
+
+
+def test_energy_vad_discriminates():
+    vad = EnergyVAD()
+    rng = np.random.default_rng(0)
+    silence = (1e-4 * rng.standard_normal((40, 512))).astype(np.float32)
+    p_sil = vad(silence)
+    t = np.arange(40 * 512) / SR
+    speech = (0.3 * np.sin(2 * np.pi * 700 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(
+        np.float32
+    ).reshape(40, 512)
+    p_speech = vad(speech)
+    assert p_sil[5:].max() < 0.4
+    assert p_speech[2:].mean() > 0.6
