@@ -74,6 +74,9 @@ class TPUWhisperASR:
         seed: int = 0,
         word_timestamps: bool = True,
     ):
+        from realtime_whisper_asr_tpu.utils.warmup import start_background_warmup
+
+        start_background_warmup()  # absorb the axon first-transfer cost early
         if checkpoint_dir is not None:
             self.cfg, self.params = W.load_checkpoint_dir(checkpoint_dir, dtype)
         elif params is not None:

@@ -1,0 +1,58 @@
+"""Fused audio-dedup feature extraction (on-device).
+
+The reference computes a 5-dim feature vector per chunk in numpy — RMS,
+spectral centroid, zero-crossing rate, 85 % rolloff, spectral bandwidth
+(`audio_deduplicator.py:60-181`) — one FFT per mic chunk on the host. Here the
+whole vector is ONE jitted JAX function (and batches of chunks are one call),
+so the dedup gate costs a single device roundtrip.
+
+Feature semantics match the reference: max-normalized 5-vector; cosine
+similarity shifted to [0, 1] (`audio_deduplicator.py:183-207`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-10
+
+
+@functools.partial(jax.jit, static_argnames=("sampling_rate",))
+def dedup_features(chunks: jnp.ndarray, sampling_rate: int = 16000) -> jnp.ndarray:
+    """(B, N) float32 audio chunks -> (B, 5) max-normalized feature vectors."""
+    chunks = chunks.astype(jnp.float32)
+    b, n = chunks.shape
+    rms = jnp.sqrt(jnp.mean(chunks * chunks, axis=-1))
+
+    spec = jnp.abs(jnp.fft.rfft(chunks, axis=-1))
+    freqs = jnp.fft.rfftfreq(n, 1.0 / sampling_rate).astype(jnp.float32)
+    total = jnp.sum(spec, axis=-1) + _EPS
+    centroid = jnp.sum(spec * freqs[None, :], axis=-1) / total
+
+    signs = jnp.sign(chunks)
+    zcr = jnp.mean(jnp.abs(jnp.diff(signs, axis=-1)) > 0, axis=-1)
+
+    energy = spec * spec
+    cum = jnp.cumsum(energy, axis=-1)
+    target = 0.85 * cum[:, -1:]
+    rolloff_idx = jnp.argmax(cum >= target, axis=-1)
+    rolloff = freqs[rolloff_idx]
+
+    bandwidth = jnp.sqrt(
+        jnp.sum(spec * jnp.square(freqs[None, :] - centroid[:, None]), axis=-1) / total
+    )
+
+    feats = jnp.stack([rms, centroid, zcr, rolloff, bandwidth], axis=-1)
+    return feats / (jnp.max(jnp.abs(feats), axis=-1, keepdims=True) + _EPS)
+
+
+def cosine_similarity01(a: np.ndarray, b: np.ndarray) -> float:
+    """Cosine similarity mapped to [0, 1] (reference audio_deduplicator.py:183-207)."""
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na < _EPS or nb < _EPS:
+        return 0.0
+    return float((np.dot(a, b) / (na * nb) + 1.0) / 2.0)

@@ -1,0 +1,218 @@
+"""Pipeline-stage tests: skip detector, audio dedup, speech rate, stretch,
+separation, and the fused device feature op.
+
+Skip-detector cases mirror the suite the reference documents but never ships
+(使用说明-新功能.md §4: duplicate/partial/similarity/time-window/min-length/
+stats/reset) — here they exist and run.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from realtime_whisper_asr_tpu.ops import bandpass_filter, dedup_features, time_stretch
+from realtime_whisper_asr_tpu.pipeline import (
+    AudioDeduplicator,
+    AdaptiveSilenceController,
+    BandpassSeparator,
+    SkipDetector,
+    SpeechRateAudioProcessor,
+    SpeechRateDetector,
+    SpeechRateAdaptiveProcessor,
+    create_separator,
+)
+from realtime_whisper_asr_tpu.pipeline.dedup_audio import _features_numpy
+from realtime_whisper_asr_tpu.pipeline.speech_rate import gap_based_silence_ms
+
+SR = 16000
+
+
+# ------------------------------------------------------------- skip detector
+
+
+def test_skip_exact_duplicate_inside_window():
+    sd = SkipDetector(time_window_s=10.0)
+    assert sd.should_skip("hello world", 0.0) == (False, "new")
+    skip, reason = sd.should_skip("hello world", 3.0)
+    assert skip and reason == "exact_duplicate"
+
+
+def test_skip_expires_outside_window():
+    sd = SkipDetector(time_window_s=10.0)
+    sd.should_skip("hello world", 0.0)
+    assert sd.should_skip("hello world", 11.0) == (False, "new")
+
+
+def test_extension_replaces_and_passes():
+    sd = SkipDetector()
+    sd.should_skip("hello wor", 0.0)
+    skip, reason = sd.should_skip("hello world and more", 1.0)
+    assert not skip and reason == "extension"
+    # the shorter old entry was replaced: re-sending it now is a partial match
+    skip, reason = sd.should_skip("hello wor", 2.0)
+    assert skip
+
+
+def test_partial_containment():
+    sd = SkipDetector(containment_threshold=0.8)
+    sd.should_skip("the quick brown fox jumps", 0.0)
+    skip, reason = sd.should_skip("quick brown fox jumps", 1.0)
+    assert skip and reason == "partial_match"
+
+
+def test_repetition_pattern():
+    sd = SkipDetector()
+    skip, reason = sd.should_skip("abcabcabcabc", 0.0)
+    assert skip and reason == "repetition"
+    skip, reason = sd.should_skip("yes yes yes yes yes", 1.0)
+    assert skip and reason == "repetition"
+
+
+def test_similarity_threshold():
+    sd = SkipDetector(similarity_threshold=0.85)
+    sd.should_skip("the meeting starts at nine tomorrow", 0.0)
+    # trailing punctuation: superstring containment
+    skip, reason = sd.should_skip("the meeting starts at nine tomorrow.", 1.0)
+    assert skip and reason in ("similar", "partial_match")
+    # in-place edit: pure similarity
+    skip, reason = sd.should_skip("the meeting starts at nine tomorrows", 2.0)
+    assert skip and reason in ("similar", "partial_match")
+    # genuinely different text passes
+    assert sd.should_skip("completely unrelated sentence here", 3.0)[0] is False
+
+
+def test_min_length_and_stats_and_reset():
+    sd = SkipDetector(min_length=2)
+    assert sd.should_skip("a", 0.0) == (True, "too_short")
+    sd.should_skip("some fresh text", 1.0)
+    st = sd.get_stats()
+    assert st["total"] == 2 and st["skipped"] == 1 and 0 < st["skip_rate"] < 1
+    sd.reset()
+    assert sd.get_stats()["total"] == 0 and sd.history == []
+
+
+# --------------------------------------------------------------- audio dedup
+
+
+def _tone(f, seconds=0.5, amp=0.3, seed=None):
+    t = np.arange(int(seconds * SR)) / SR
+    x = amp * np.sin(2 * np.pi * f * t)
+    if seed is not None:
+        x = x + 0.01 * np.random.default_rng(seed).standard_normal(t.shape)
+    return x.astype(np.float32)
+
+
+def test_device_features_match_numpy():
+    chunk = _tone(440, seed=1)
+    dev = np.asarray(dedup_features(jnp.asarray(chunk)[None])[0])
+    host = _features_numpy(chunk)
+    np.testing.assert_allclose(dev, host, atol=1e-3)
+
+
+def test_dedup_skips_repeats_passes_novel():
+    dd = AudioDeduplicator(similarity_threshold=0.95, time_window_s=5.0)
+    a = _tone(440, seed=1)
+    assert dd.should_skip(a, 0.0)[0] is False
+    skip, reason = dd.should_skip(a, 1.0)
+    assert skip and reason.startswith("duplicate")
+    # clearly different audio passes
+    b = (0.2 * np.random.default_rng(7).standard_normal(len(a))).astype(np.float32)
+    assert dd.should_skip(b, 2.0)[0] is False
+    st = dd.get_stats()
+    assert st["total"] == 3 and st["skipped"] == 1
+
+
+def test_dedup_window_expiry():
+    dd = AudioDeduplicator(time_window_s=2.0)
+    a = _tone(440)
+    dd.should_skip(a, 0.0)
+    assert dd.should_skip(a, 5.0)[0] is False  # expired
+
+
+# --------------------------------------------------------------- speech rate
+
+
+def test_rate_detector_classifies():
+    det = SpeechRateDetector()
+    for _ in range(3):
+        det.add_result("abcdefghijklmnopqrst", 1.0, 0.0)  # 20 cps
+    assert det.classify() == "fast"
+    det2 = SpeechRateDetector()
+    for _ in range(3):
+        det2.add_result("abc", 1.0, 0.0)  # 3 cps
+    assert det2.classify() == "slow"
+
+
+def test_silence_controller_steps_and_decays():
+    c = AdaptiveSilenceController(initial_ms=500, min_ms=200, max_ms=1000, step_ms=100)
+    assert c.update("fast") == 400
+    assert c.update("fast") == 300
+    assert c.update("normal") == 350  # decay toward 500
+    assert c.update("slow") == 450
+    assert c.update("slow") == 550
+
+
+def test_gap_heuristic_bands():
+    assert 200 <= gap_based_silence_ms(1.0) <= 300
+    assert 300 <= gap_based_silence_ms(3.0) <= 600
+    assert 600 <= gap_based_silence_ms(8.0) <= 1000
+
+
+def test_adaptive_processor_drives_vac():
+    class FakeVAC:
+        def __init__(self):
+            self.ms = None
+
+        def set_silence_duration(self, ms):
+            self.ms = ms
+            return True
+
+    vac = FakeVAC()
+    proc = SpeechRateAdaptiveProcessor(vac, update_interval_s=2.0, clock=lambda: 0.0)
+    for i in range(4):
+        proc.on_result("abcdefghijklmnopqrstuvwxyz" * 2, 0.0, 1.0, current_time=float(i * 3))
+    assert vac.ms is not None and vac.ms < 500  # fast speech shrank silence
+
+
+# ------------------------------------------------------ stretch & separation
+
+
+def test_time_stretch_length_and_content():
+    audio = _tone(440, seconds=1.0)
+    out = np.asarray(time_stretch(jnp.asarray(audio), 1.25))
+    assert abs(len(out) - len(audio) / 1.25) < 512
+    # energy preserved to within a factor
+    assert 0.3 < np.std(out) / np.std(audio) < 3.0
+    # dominant frequency unchanged (pitch preservation)
+    f_in = np.argmax(np.abs(np.fft.rfft(audio)))
+    spec_out = np.abs(np.fft.rfft(out, len(audio)))
+    f_out = np.argmax(spec_out)
+    assert abs(f_in - f_out) <= 3
+
+
+def test_stretch_processor_bounds_and_fallback():
+    p = SpeechRateAudioProcessor()
+    assert p.stretch_rate_for(None) == 1.0
+    assert p.stretch_rate_for(30.0) == 1.2
+    assert p.stretch_rate_for(2.0) == 0.8
+    tiny = np.zeros(128, np.float32)
+    assert p.process(tiny, 30.0) is tiny  # too short -> untouched
+
+
+def test_bandpass_separator_attenuates_out_of_band():
+    sep = BandpassSeparator(use_device=True)
+    low = _tone(50, seconds=0.5)     # below band
+    mid = _tone(800, seconds=0.5)    # in band
+    out_low = sep.separate(low)
+    out_mid = sep.separate(mid)
+    assert np.std(out_low) < 0.15 * np.std(low)
+    assert np.std(out_mid) > 0.5 * np.std(mid)
+    assert len(out_low) == len(low)
+
+
+def test_separator_factory():
+    assert create_separator(None) is None
+    assert create_separator("filter").name == "filter"
+    sep = create_separator("demucs")  # no demucs installed -> bandpass fallback
+    assert sep is not None
