@@ -1,0 +1,332 @@
+"""Session orchestration: the realtime loop (SURVEY.md §1 L5).
+
+``StreamingApp`` wires the full stage pipeline per config — vocal separation →
+audio-dedup gate → VAC/online processor → timestamp validation → skip detector
+→ sinks (async console, translation, CSV log) — around an injectable ASR
+backend and audio stream, mirroring the reference's record_session
+(`一键实时识别麦克风.py:1247-1959`) and session loop (:2184-2396) with
+language hot-swap, but as a library class a CLI (cli.py) or test can drive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from realtime_whisper_asr_tpu.config import ConfigManager
+from realtime_whisper_asr_tpu.io.protector import AudioDeviceProtector
+from realtime_whisper_asr_tpu.pipeline import (
+    AudioDeduplicator,
+    SkipDetector,
+    SpeechRateAdaptiveProcessor,
+    create_separator,
+)
+from realtime_whisper_asr_tpu.services import (
+    AsyncOutput,
+    LogManager,
+    PerformanceDisplay,
+    PerformanceMonitor,
+    TranslationManager,
+)
+from realtime_whisper_asr_tpu.streaming import (
+    OnlineASRProcessor,
+    VACOnlineASRProcessor,
+    VADIterator,
+)
+
+logger = logging.getLogger(__name__)
+
+SR = 16000
+
+
+def validate_timestamps(beg, end, text: str) -> bool:
+    """Result sanity rules (reference 一键…py:1524-1541): drop end<beg; drop
+    zero-length results with suspiciously long text."""
+    if beg is None or end is None:
+        return False
+    if end < beg:
+        return False
+    if end == beg and len(text) > 50:
+        return False
+    return True
+
+
+@dataclasses.dataclass
+class SessionStats:
+    results: int = 0
+    skipped: int = 0
+    chunks: int = 0
+    dedup_skipped: int = 0
+    duration_s: float = 0.0
+    recoveries: int = 0
+
+
+class StreamingApp:
+    def __init__(
+        self,
+        config: Optional[ConfigManager] = None,
+        asr=None,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        vad_prob_fn: Optional[Callable] = None,
+        output: Optional[Callable[[str], None]] = None,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        self.cm = config or ConfigManager(autoload=False)
+        self.language = language
+        self.task = task
+        self.clock = clock
+        cfg = self.cm.get_language_specific_config(language) if language else dict(self.cm.config)
+        cfg.pop("language_specific", None)
+        self.cfg = cfg
+
+        # --- ASR backend (injectable for tests) ---
+        if asr is None:
+            import jax.numpy as jnp
+
+            from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+
+            m = cfg["model"]
+            asr = TPUWhisperASR(
+                model_size=m["size"],
+                language=language,
+                checkpoint_dir=m.get("checkpoint_dir"),
+                dtype=jnp.bfloat16 if m.get("dtype") == "bfloat16" else jnp.float32,
+                beam_size=m.get("beam_size", 1),
+                word_timestamps=m.get("word_timestamps", True),
+            )
+            if task == "translate":
+                asr.set_translate_task()
+        self.asr = asr
+
+        # --- streaming processor ---
+        s = cfg["streaming"]
+        online = OnlineASRProcessor(
+            asr,
+            agreement_n=s["agreement_n"],
+            buffer_trimming=("segment", s["buffer_trimming_sec"]),
+            prompt_chars=s["prompt_chars"],
+            dynamic_buffer=s["dynamic_buffer"],
+            clock=clock,
+        )
+        v = cfg["vad"]
+        if v["enable"]:
+            if vad_prob_fn is None:
+                if v.get("backend") == "silero_like":
+                    from realtime_whisper_asr_tpu.models.vad import SileroLikeVAD
+
+                    vad_prob_fn = SileroLikeVAD()
+                else:
+                    from realtime_whisper_asr_tpu.models.vad import EnergyVAD
+
+                    vad_prob_fn = EnergyVAD()
+            self.processor = VACOnlineASRProcessor(
+                online,
+                VADIterator(
+                    vad_prob_fn,
+                    threshold=v["threshold"],
+                    min_silence_duration_ms=v["min_silence_duration_ms"],
+                    speech_pad_ms=v["speech_pad_ms"],
+                ),
+                online_chunk_size=s["online_chunk_size"],
+            )
+        else:
+            self.processor = online
+        self.min_chunk_seconds = s.get("min_chunk_seconds", 1.0)
+
+        # --- pipeline stages ---
+        sep_cfg = cfg["vocal_separation"]
+        self.separator = (
+            create_separator(sep_cfg["method"], low_hz=sep_cfg["low_hz"], high_hz=sep_cfg["high_hz"])
+            if sep_cfg["enable"]
+            else None
+        )
+        dd = cfg["audio_deduplication"]
+        self.deduplicator = (
+            AudioDeduplicator(
+                similarity_threshold=dd["similarity_threshold"],
+                duplicate_threshold=dd["duplicate_threshold"],
+                time_window_s=dd["time_window_s"],
+                history_size=dd["history_size"],
+            )
+            if dd["enable"]
+            else None
+        )
+        sk = cfg["skip_detector"]
+        self.skip_detector = (
+            SkipDetector(
+                similarity_threshold=sk["similarity_threshold"],
+                time_window_s=sk["time_window_s"],
+                min_length=sk["min_length"],
+                containment_threshold=sk["containment_threshold"],
+            )
+            if sk["enable"]
+            else None
+        )
+        ra = cfg["speech_rate_adaptive"]
+        self.rate_adaptive = (
+            SpeechRateAdaptiveProcessor(
+                self.processor,
+                update_interval_s=ra["update_interval_s"],
+                initial_ms=ra["initial_silence_ms"],
+                min_ms=ra["min_silence_ms"],
+                max_ms=ra["max_silence_ms"],
+                step_ms=ra["step_ms"],
+            )
+            if ra["enable"] and cfg["vad"]["enable"]
+            else None
+        )
+
+        # --- services ---
+        self.output = AsyncOutput(write=output) if output else AsyncOutput()
+        tr = cfg["translation"]
+        self.translation = None
+        if tr["enable"] and task == "transcribe":
+            self.translation = TranslationManager(
+                output_callback=lambda src, t: self.output.print(f"🌐 {t}"),
+                translate_interval=tr["interval_s"],
+                target_language=tr["target_language"],
+            )
+            self.translation.start()
+        self.monitor = PerformanceMonitor() if cfg["performance"]["monitor_enable"] else None
+        self.display = PerformanceDisplay(interval_s=cfg["performance"]["display_interval_s"])
+        lg = cfg["logging"]
+        self.log_manager = (
+            LogManager(log_dir=lg["dir"], console=lg["console_log_enabled"]) if lg["enable"] else None
+        )
+
+    # ---------------------------------------------------------------- session
+
+    def process_chunk(self, chunk: np.ndarray, stats: SessionStats, now: float) -> Optional[str]:
+        """One hot-loop iteration body (reference 一键…py:1444-1677)."""
+        stats.chunks += 1
+        if self.separator is not None:
+            chunk = self.separator.separate(chunk)
+        if self.deduplicator is not None:
+            skip, _ = self.deduplicator.should_skip(chunk, now)
+            if skip:
+                stats.dedup_skipped += 1
+                return None
+        self.processor.insert_audio_chunk(chunk)
+        t0 = self.clock()
+        beg, end, text = self.processor.process_iter()
+        proc_s = self.clock() - t0
+        if not text:
+            return None
+        if self.monitor is not None and beg is not None and end is not None:
+            self.monitor.record_recognition(max(end - beg, 1e-3), max(proc_s, 1e-6))
+        if not validate_timestamps(beg, end, text):
+            logger.debug("dropping invalid timestamps: %.2f-%.2f %r", beg, end, text)
+            return None
+        if self.skip_detector is not None:
+            skip, reason = self.skip_detector.should_skip(text, now)
+            if skip:
+                stats.skipped += 1
+                if self.log_manager:
+                    self.log_manager.log_skip(text, reason)
+                return None
+        stats.results += 1
+        self.output.print(f"💬 {text}")
+        if self.log_manager:
+            self.log_manager.log_recognition(beg, end, text, latency_ms=proc_s * 1e3,
+                                             language=self.language or "", model="")
+        if self.translation is not None:
+            self.translation.add_text(text)
+        if self.rate_adaptive is not None:
+            self.rate_adaptive.on_result(text, beg, end, now)
+        return text
+
+    def record_session(
+        self,
+        stream,
+        chunk_seconds: float = 0.25,
+        max_seconds: Optional[float] = None,
+        until_exhausted: bool = True,
+        use_protector: bool = True,
+    ) -> SessionStats:
+        """Run the realtime loop over a stream (mic or simulated).
+
+        Stops on stream exhaustion (simulated), max_seconds, or Ctrl+C —
+        always flushing the final hypothesis (reference 一键…py:1878-1959).
+        """
+        stats = SessionStats()
+        protector = None
+        if use_protector:
+            if callable(stream):  # true factory (e.g. reopens a mic device)
+                factory = stream
+                stream = factory()
+            else:
+                src = stream
+
+                def factory():
+                    if getattr(src, "closed", False) and hasattr(src, "reopen"):
+                        src.reopen()
+                    return src
+
+            protector = AudioDeviceProtector(factory, max_retries=3, retry_delay_s=0.1)
+            protector.stream = stream
+            protector.healthy = True
+        n = int(chunk_seconds * SR)
+        fed = 0.0
+        try:
+            while True:
+                if max_seconds is not None and fed >= max_seconds:
+                    break
+                if until_exhausted and getattr(stream, "exhausted", False):
+                    break
+                if protector is not None:
+                    chunk, recovered = protector.read_audio(n)
+                    if recovered:
+                        stats.recoveries += 1
+                else:
+                    chunk, _ = stream.read(n)
+                fed += len(chunk) / SR
+                self.process_chunk(chunk, stats, self.clock())
+                if self.monitor is not None:
+                    self.display.display_stats(
+                        monitor=self.monitor,
+                        skip_stats=self.skip_detector.get_stats() if self.skip_detector else None,
+                        dedup_stats=self.deduplicator.get_stats() if self.deduplicator else None,
+                        device_status=protector.get_status() if protector else None,
+                    )
+        except KeyboardInterrupt:
+            logger.info("interrupted; flushing")
+        finally:
+            beg, end, text = self.processor.finish()
+            if text and validate_timestamps(beg, end, text):
+                skip = False
+                if self.skip_detector is not None:
+                    skip, _ = self.skip_detector.should_skip(text, self.clock())
+                if not skip:
+                    stats.results += 1
+                    self.output.print(f"💬 {text}")
+                    if self.translation is not None:
+                        self.translation.add_text(text)
+            stats.duration_s = fed
+        return stats
+
+    # ------------------------------------------------------------ hot reload
+
+    def change_language(self, language: str):
+        """Language hot-swap (reference :2194-2347): re-resolve per-language
+        config and rebuild the streaming state; model weights are reused."""
+        self.language = language
+        if hasattr(self.asr, "original_language"):
+            self.asr.original_language = language
+        self.cfg = self.cm.get_language_specific_config(language)
+        if self.skip_detector is not None:
+            sk = self.cfg["skip_detector"]
+            self.skip_detector.similarity_threshold = sk["similarity_threshold"]
+            self.skip_detector.reset()
+        self.processor.init()
+
+    def shutdown(self):
+        if self.translation is not None:
+            self.translation.stop()
+        self.output.stop()
+        if self.log_manager is not None:
+            self.log_manager.close()

@@ -1,0 +1,180 @@
+"""CLI: non-interactive flags (for CI/benchmarks) + interactive wizard.
+
+The reference is wizard-only (`一键实时识别麦克风.py:511-1089`); SURVEY.md §7
+requires a flags path too. Subcommands:
+
+    transcribe FILE [--model SIZE] [--language L] [--task T]   offline file
+    stream [--wav FILE | --mic] [--model SIZE] [...]           streaming
+    devices                                                    list inputs
+    wizard                                                     interactive setup
+    detect                                                     hardware report
+
+Run as ``python -m realtime_whisper_asr_tpu.cli``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from realtime_whisper_asr_tpu.config import ConfigManager
+from realtime_whisper_asr_tpu.models.whisper.config import LANGUAGES, PRESETS
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--model", default=None, help=f"model size ({', '.join(sorted(PRESETS))})")
+    p.add_argument("--checkpoint", default=None, help="local HF-layout checkpoint dir")
+    p.add_argument("--language", default="en", choices=list(LANGUAGES) + ["auto"])
+    p.add_argument("--task", default="transcribe", choices=["transcribe", "translate"])
+    p.add_argument("--beam-size", type=int, default=None)
+    p.add_argument("--config", default="config.json", help="config file path")
+    p.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
+
+
+def _build_config(args) -> ConfigManager:
+    cm = ConfigManager(args.config)
+    if args.model:
+        cm.set("model.size", args.model)
+    if args.checkpoint:
+        cm.set("model.checkpoint_dir", args.checkpoint)
+    if args.beam_size:
+        cm.set("model.beam_size", args.beam_size)
+    if args.dtype:
+        cm.set("model.dtype", args.dtype)
+    return cm
+
+
+def cmd_detect(args) -> int:
+    from realtime_whisper_asr_tpu.utils.hardware import detect_hardware, recommend_config
+
+    hw = detect_hardware()
+    rec = recommend_config(hw)
+    print(json.dumps({"hardware": hw, "recommendation": rec}, indent=2, default=str))
+    return 0
+
+
+def cmd_devices(args) -> int:
+    from realtime_whisper_asr_tpu.io import list_audio_devices
+
+    devs = list_audio_devices()
+    if not devs:
+        print("no audio input devices (PortAudio/sounddevice unavailable)")
+        return 0
+    for d in devs:
+        print(f"[{d['index']}] {d['name']} ({d['channels']} ch)")
+    return 0
+
+
+def cmd_transcribe(args) -> int:
+    import jax.numpy as jnp
+
+    from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+    from realtime_whisper_asr_tpu.io import read_wav
+    from realtime_whisper_asr_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    cm = _build_config(args)
+    audio = read_wav(args.file)
+    asr = TPUWhisperASR(
+        model_size=cm.get("model.size"),
+        language=None if args.language == "auto" else args.language,
+        checkpoint_dir=cm.get("model.checkpoint_dir"),
+        dtype=jnp.bfloat16 if cm.get("model.dtype") == "bfloat16" else jnp.float32,
+        beam_size=cm.get("model.beam_size"),
+    )
+    if args.task == "translate":
+        asr.set_translate_task()
+    if args.language == "auto":
+        lang, prob = asr.detect_language(audio)
+        print(f"detected language: {lang} (p={prob:.2f})")
+        asr.original_language = lang
+    for seg in asr.transcribe(audio):
+        print(f"[{seg.start:7.2f} --> {seg.end:7.2f}] {seg.text.strip()}")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from realtime_whisper_asr_tpu.app import StreamingApp
+    from realtime_whisper_asr_tpu.io import MicrophoneStream, SimulatedMicStream
+    from realtime_whisper_asr_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    cm = _build_config(args)
+    app = StreamingApp(
+        config=cm,
+        language=None if args.language == "auto" else args.language,
+        task=args.task,
+    )
+    if args.wav:
+        stream = SimulatedMicStream.from_wav(args.wav, realtime=args.realtime)
+    else:
+        stream = MicrophoneStream(device=args.device)
+    try:
+        stats = app.record_session(stream, chunk_seconds=args.chunk_seconds,
+                                   max_seconds=args.max_seconds,
+                                   until_exhausted=bool(args.wav))
+        print(f"\nsession: {stats.results} results, {stats.skipped} text-skips, "
+              f"{stats.dedup_skipped} dedup-skips, {stats.recoveries} recoveries, "
+              f"{stats.duration_s:.1f}s audio")
+    finally:
+        app.shutdown()
+    return 0
+
+
+def cmd_wizard(args) -> int:
+    """Interactive setup (reference main() wizard, ASCII-art free)."""
+    from realtime_whisper_asr_tpu.utils.hardware import detect_hardware, recommend_config
+
+    hw = detect_hardware()
+    rec = recommend_config(hw)
+    print(f"🔍 hardware: {hw['platform']} ({hw.get('device_kind')}) ×{hw['n_devices']}")
+    print(f"💡 recommended model: {rec['model']} ({rec['reason']})")
+    model = input(f"model [{rec['model']}]: ").strip() or rec["model"]
+    lang = input("language (en/zh/... or auto) [en]: ").strip() or "en"
+    task = input("task (transcribe/translate) [transcribe]: ").strip() or "transcribe"
+    wav = input("stream a wav file (path) or mic [mic]: ").strip()
+    argv = ["stream", "--model", model, "--language", lang, "--task", task,
+            "--config", args.config]
+    if wav:
+        argv += ["--wav", wav, "--realtime"]
+    print(f"▶ running: {' '.join(argv)}")
+    return main(argv)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="realtime_whisper_asr_tpu",
+                                description="TPU-native realtime Whisper streaming ASR")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("transcribe", help="offline transcribe a WAV file")
+    pt.add_argument("file")
+    _add_model_args(pt)
+    pt.set_defaults(fn=cmd_transcribe)
+
+    ps = sub.add_parser("stream", help="streaming transcription")
+    _add_model_args(ps)
+    ps.add_argument("--wav", default=None, help="simulated mic feed from a WAV")
+    ps.add_argument("--mic", action="store_true", help="use the microphone")
+    ps.add_argument("--device", type=int, default=None, help="input device index")
+    ps.add_argument("--realtime", action="store_true", help="pace simulated feed to wall clock")
+    ps.add_argument("--chunk-seconds", type=float, default=0.25)
+    ps.add_argument("--max-seconds", type=float, default=None)
+    ps.set_defaults(fn=cmd_stream)
+
+    pd = sub.add_parser("devices", help="list audio input devices")
+    pd.set_defaults(fn=cmd_devices)
+
+    ph = sub.add_parser("detect", help="hardware detection report")
+    ph.set_defaults(fn=cmd_detect)
+
+    pw = sub.add_parser("wizard", help="interactive setup")
+    pw.add_argument("--config", default="config.json")
+    pw.set_defaults(fn=cmd_wizard)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

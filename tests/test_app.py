@@ -1,0 +1,105 @@
+"""App-loop integration tests with the fake ASR + scripted VAD + simulated mic."""
+
+import numpy as np
+import pytest
+
+from realtime_whisper_asr_tpu.app import StreamingApp, validate_timestamps
+from realtime_whisper_asr_tpu.config import ConfigManager
+from realtime_whisper_asr_tpu.io import SimulatedMicStream
+from tests.test_streaming import ScriptedProbs, TimecodedFakeASR, make_words, timecoded_audio
+
+SR = 16000
+
+
+def _app(words, voice_spans, lines, **cfg_over):
+    cm = ConfigManager(autoload=False)
+    cm.set("audio_deduplication.enable", False)  # timecoded audio is a ramp
+    cm.set("performance.display_interval_s", 1e9)
+    for k, v in cfg_over.items():
+        cm.set(k, v)
+    asr = TimecodedFakeASR(words, unstable_tail=False)
+    return StreamingApp(
+        config=cm, asr=asr, language="en",
+        vad_prob_fn=ScriptedProbs(voice_spans),
+        output=lines.append,
+    )
+
+
+def test_validate_timestamps():
+    assert validate_timestamps(0.0, 1.0, "ok")
+    assert not validate_timestamps(2.0, 1.0, "backwards")
+    assert not validate_timestamps(None, 1.0, "none")
+    assert not validate_timestamps(1.0, 1.0, "x" * 60)
+    assert validate_timestamps(1.0, 1.0, "short")
+
+
+def test_session_end_to_end():
+    words = [(1.2, 1.6, " hello"), (1.7, 2.1, " world"), (4.2, 4.6, " again")]
+    lines = []
+    app = _app(words, [(1.0, 2.5), (4.0, 5.0)], lines)
+    stream = SimulatedMicStream(timecoded_audio(0.0, 7.0))
+    stats = app.record_session(stream, chunk_seconds=0.25)
+    app.shutdown()
+    text = " ".join(lines)
+    assert "hello" in text and "world" in text and "again" in text
+    assert stats.results >= 2
+    assert stats.duration_s == pytest.approx(7.0, abs=0.3)
+
+
+def test_session_skip_detector_suppresses_duplicates():
+    words = [(1.2, 1.6, " same"), (4.2, 4.6, " same")]
+    lines = []
+    app = _app(words, [(1.0, 2.0), (4.0, 5.0)], lines)
+    stream = SimulatedMicStream(timecoded_audio(0.0, 7.0))
+    stats = app.record_session(stream, chunk_seconds=0.25)
+    app.shutdown()
+    assert sum("same" in l for l in lines) == 1
+    assert stats.skipped >= 1
+
+
+def test_session_device_recovery():
+    words = make_words(6)
+    lines = []
+    app = _app(words, [(0.0, 30.0)], lines)
+    stream = SimulatedMicStream(timecoded_audio(0.0, 8.0), fail_at_reads={10})
+    stats = app.record_session(stream, chunk_seconds=0.25)
+    app.shutdown()
+    assert stats.recoveries == 1
+    assert stats.results > 0
+
+
+def test_translation_sink_receives_results():
+    words = [(1.2, 1.6, " hola"), (1.7, 2.1, " mundo")]
+    lines = []
+    cm_over = {"translation.enable": True, "translation.interval_s": 1e9}
+    app = _app(words, [(1.0, 2.5)], lines, **cm_over)
+    # swap in a deterministic transport
+    app.translation.transport = lambda text, lang: "\n".join("ZH:" + l for l in text.splitlines())
+    stream = SimulatedMicStream(timecoded_audio(0.0, 5.0))
+    app.record_session(stream, chunk_seconds=0.25)
+    app.translation.process_once()
+    app.output.flush()
+    app.shutdown()
+    assert any(l.startswith("🌐 ZH:") for l in lines)
+
+
+def test_language_hot_swap_resets_state():
+    words = make_words(5)
+    lines = []
+    app = _app(words, [(0.0, 30.0)], lines)
+    stream = SimulatedMicStream(timecoded_audio(0.0, 4.0))
+    app.record_session(stream, chunk_seconds=0.25)
+    app.change_language("zh")
+    assert app.language == "zh"
+    assert app.skip_detector.similarity_threshold == 0.90  # zh override applied
+    assert app.skip_detector.get_stats()["total"] == 0  # reset
+    app.shutdown()
+
+
+def test_cli_detect_and_devices(capsys):
+    from realtime_whisper_asr_tpu.cli import main
+
+    assert main(["detect"]) == 0
+    out = capsys.readouterr().out
+    assert "recommendation" in out
+    assert main(["devices"]) == 0

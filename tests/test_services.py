@@ -1,0 +1,246 @@
+"""Services, config, and I/O tests (translation batch/retry semantics, async
+output overflow, perf predicates, CSV logging, config precedence, WAV
+round-trip, device protector fault scenarios)."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from realtime_whisper_asr_tpu.config import ConfigManager, DEFAULT_CONFIG
+from realtime_whisper_asr_tpu.io import (
+    AudioDeviceProtector,
+    SimulatedMicStream,
+    read_wav,
+    write_wav,
+)
+from realtime_whisper_asr_tpu.services import (
+    AsyncOutput,
+    LogManager,
+    PerformanceDisplay,
+    PerformanceMonitor,
+    TranslationManager,
+)
+
+
+# ------------------------------------------------------------- translation
+
+
+def test_translation_batches_and_callbacks():
+    sent = []
+    calls = []
+
+    def transport(text, lang):
+        calls.append(text)
+        return "\n".join("T:" + l for l in text.splitlines())
+
+    tm = TranslationManager(output_callback=lambda s, t: sent.append((s, t)),
+                            transport=transport)
+    assert tm.add_text("hello")
+    assert tm.add_text("world")
+    assert not tm.add_text("hello")  # dedup on entry
+    tm.process_once()
+    assert calls == ["hello\nworld"]  # merged into ONE request
+    assert sent == [("hello", "T:hello"), ("world", "T:world")]
+    st = tm.get_stats()
+    assert st["translated"] == 2 and st["deduped"] == 1 and st["requests"] == 1
+
+
+def test_translation_retry_once_then_drop():
+    attempts = []
+
+    def failing(text, lang):
+        attempts.append(text)
+        raise RuntimeError("api down")
+
+    tm = TranslationManager(transport=failing)
+    tm.add_text("abc")
+    tm.process_once()  # fail #1 -> retry_count 1, requeued
+    assert tm.get_stats()["pending"] == 1
+    tm.add_text("def")
+    tm.process_once()  # fail #2: abc dropped, def requeued
+    tm.process_once()  # fail #3: def dropped
+    st = tm.get_stats()
+    assert st["pending"] == 0
+    assert st["dropped"] == 2
+    assert len(attempts) == 3
+
+
+def test_translation_worker_thread_lifecycle():
+    tm = TranslationManager(transport=lambda t, l: t, translate_interval=0.05)
+    tm.add_text("x")
+    tm.start()
+    time.sleep(0.2)
+    tm.stop()
+    assert tm.get_stats()["translated"] == 1
+
+
+# ------------------------------------------------------------ async output
+
+
+def test_async_output_order_and_overflow():
+    lines = []
+    out = AsyncOutput(maxsize=2, write=lines.append)
+    for i in range(10):
+        out.print(f"line{i}")
+    out.stop()
+    assert set(f"line{i}" for i in range(10)) <= set(lines)
+    assert out.dropped_to_sync > 0  # overflow path exercised
+
+
+# ------------------------------------------------------------ perf monitor
+
+
+def test_perf_monitor_ratio_and_backpressure():
+    pm = PerformanceMonitor()
+    assert pm.should_skip_recognition(1.0) == (False, "ok")
+    for _ in range(5):
+        pm.record_recognition(audio_seconds=1.0, processing_seconds=0.1)
+    assert pm.get_recognition_speed_ratio() == pytest.approx(10.0)
+    assert pm.rtf() == pytest.approx(0.1)
+    # degrade: slower than 0.4x realtime
+    for _ in range(20):
+        pm.record_recognition(audio_seconds=1.0, processing_seconds=3.0)
+    skip, why = pm.should_skip_recognition(1.0)
+    assert skip
+    pm.set_queue_depth(5)
+    assert pm.should_skip_recognition(1.0)[0]
+    st = pm.get_status()
+    assert st["p50_ms"] > 0 and st["skips"] >= 2
+
+
+def test_perf_display_throttles():
+    lines = []
+    now = [0.0]
+    d = PerformanceDisplay(interval_s=5.0, color=False, write=lines.append,
+                           clock=lambda: now[0])
+    d.display_stats(force=True)
+    d.display_stats()  # throttled
+    now[0] = 6.0
+    d.display_stats()
+    assert len(lines) == 2
+    d.display_error("boom")
+    assert any("boom" in l for l in lines)
+    assert PerformanceDisplay.format_duration(3723) == "01:02:03"
+
+
+# -------------------------------------------------------------- log manager
+
+
+def test_log_manager_csv(tmp_path):
+    lm = LogManager(log_dir=str(tmp_path), session_name="t1")
+    lm.log_recognition(0.0, 1.5, "hello", latency_ms=42.0, language="en", model="tiny")
+    lm.log_skip("dup text", "exact_duplicate")
+    lm.log_translation("hello", "你好")
+    lm.log_performance(rtf=0.05, latency_ms=40.0)
+    lm.log_error("oops")
+    lm.close()
+    csv_text = open(os.path.join(tmp_path, "session_t1.csv")).read()
+    assert csv_text.count("\n") == 6  # header + 5 rows
+    assert "exact_duplicate" in csv_text and "你好" in csv_text
+    assert os.path.exists(os.path.join(tmp_path, "session_t1.log"))
+
+
+# ------------------------------------------------------------------- config
+
+
+def test_config_defaults_and_dotted_access(tmp_path):
+    cm = ConfigManager(str(tmp_path / "none.json"))
+    assert cm.get("streaming.agreement_n") == 2
+    cm.set("streaming.agreement_n", 3)
+    assert cm.get("streaming.agreement_n") == 3
+    assert cm.get("nope.nothing", "dflt") == "dflt"
+
+
+def test_config_file_merge_and_validation(tmp_path):
+    p = tmp_path / "config.json"
+    p.write_text('{"vad": {"threshold": 5.0}, "streaming": {"agreement_n": 4}, '
+                 '"_comment_x": "ignored"}')
+    cm = ConfigManager(str(p))
+    assert cm.get("streaming.agreement_n") == 4  # user override survives
+    assert cm.get("vad.threshold") == 0.95  # out-of-range clamped
+    assert cm.get("skip_detector.enable") is True  # default filled in
+
+
+def test_config_language_precedence(tmp_path):
+    cm = ConfigManager(str(tmp_path / "none.json"))
+    zh = cm.get_language_specific_config("zh")
+    assert zh["skip_detector"]["similarity_threshold"] == 0.90  # lang override
+    assert zh["skip_detector"]["time_window_s"] == 10.0  # base preserved
+    en = cm.get_language_specific_config("xx")  # unknown language = base
+    assert en["skip_detector"]["similarity_threshold"] == 0.85
+
+
+def test_config_save_roundtrip(tmp_path):
+    p = tmp_path / "c.json"
+    cm = ConfigManager(str(p))
+    cm.set("model.size", "small")
+    assert cm.save_config()
+    cm2 = ConfigManager(str(p))
+    assert cm2.get("model.size") == "small"
+
+
+# ----------------------------------------------------------------------- io
+
+
+def test_wav_roundtrip(tmp_path):
+    path = str(tmp_path / "t.wav")
+    audio = (0.5 * np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(np.float32)
+    write_wav(path, audio)
+    back = read_wav(path)
+    assert back.shape == audio.shape
+    np.testing.assert_allclose(back, audio, atol=1e-3)
+
+
+def test_wav_resample(tmp_path):
+    path = str(tmp_path / "t8.wav")
+    audio = np.zeros(8000, np.float32)
+    write_wav(path, audio, sr=8000)
+    back = read_wav(path, target_sr=16000)
+    assert abs(len(back) - 16000) <= 2
+
+
+def test_simulated_mic_pads_and_fails_on_schedule():
+    mic = SimulatedMicStream(np.ones(1000, np.float32), fail_at_reads={3})
+    a, _ = mic.read(600)
+    assert a.sum() == 600
+    a, _ = mic.read(600)  # 400 real + 200 pad
+    assert a.sum() == 400
+    with pytest.raises(OSError):
+        mic.read(600)
+
+
+def test_protector_retry_and_recovery():
+    calls = {"made": 0}
+
+    class FlakyFactory:
+        def __call__(self):
+            calls["made"] += 1
+            if calls["made"] == 1:
+                raise OSError("device busy")
+            return SimulatedMicStream(np.ones(100000, np.float32),
+                                      fail_at_reads={5})
+
+    prot = AudioDeviceProtector(FlakyFactory(), retry_delay_s=0.0, recover_delay_s=0.0)
+    prot.open_stream()  # first factory call fails, second succeeds
+    assert calls["made"] == 2
+    for _ in range(3):
+        data, recovered = prot.read_audio(256)
+        assert not recovered
+    data, recovered = prot.read_audio(256)  # read #5 on this stream fails
+    assert recovered and len(data) == 256
+    st = prot.get_status()
+    assert st["recoveries"] == 1 and st["healthy"]
+    prot.close()
+    assert prot.get_status()["open"] is False
+
+
+def test_protector_gives_up_after_max_retries():
+    def always_fail():
+        raise OSError("no device")
+
+    prot = AudioDeviceProtector(always_fail, max_retries=3, retry_delay_s=0.0)
+    assert prot.check_device_available() is False
+    with pytest.raises(RuntimeError):
+        prot.open_stream()
