@@ -56,10 +56,23 @@ class Segment:
     no_speech_prob: float = 0.0
 
 
+class TranscriptionResult(list):
+    """A list of Segments that also carries the raw token ids of the window —
+    the online processor feeds these back as the stable prefix of the next
+    incremental re-decode (streaming/online.py)."""
+
+    tokens: list[int]
+
+    def __init__(self, segments, tokens=None):
+        super().__init__(segments)
+        self.tokens = tokens or []
+
+
 class TPUWhisperASR:
     """Whisper backend on TPU. ``sep=""`` — words carry their leading space."""
 
     sep = ""
+    supports_prefix = True  # incremental re-decode via forced token prefix
 
     def __init__(
         self,
@@ -102,13 +115,22 @@ class TPUWhisperASR:
 
     # ------------------------------------------------------------------ utils
 
+    #: encoder window buckets (seconds). Streaming buffers are ≤ ~16 s after
+    #: trimming, so most ticks encode the 8 s or 16 s bucket instead of the
+    #: full 30 s pad — 2–4× less encoder/cross-KV work, one extra trace each.
+    WINDOW_BUCKETS_S = (8.0, 16.0, 30.0)
+
     def _pad_window(self, audio: np.ndarray) -> np.ndarray:
-        """Pad/trim to the static 30 s window (bucketing keeps jit retrace-free)."""
+        """Pad to the smallest bucket that fits (static shapes, no retraces)."""
         if len(audio) > WINDOW_SAMPLES:
             audio = audio[:WINDOW_SAMPLES]
-        out = np.zeros(WINDOW_SAMPLES, np.float32)
-        out[: len(audio)] = audio
-        return out
+        for b in self.WINDOW_BUCKETS_S:
+            nb = int(b * SAMPLING_RATE)
+            if len(audio) <= nb:
+                out = np.zeros(nb, np.float32)
+                out[: len(audio)] = audio
+                return out
+        return np.asarray(audio, np.float32)
 
     def _encode_window(self, audio: np.ndarray) -> jnp.ndarray:
         from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
@@ -122,30 +144,39 @@ class TPUWhisperASR:
 
     # --------------------------------------------------------------- protocol
 
-    def transcribe(self, audio: np.ndarray, init_prompt: str = "") -> list[Segment]:
+    def transcribe(
+        self, audio: np.ndarray, init_prompt: str = "", prefix_ids: Optional[list[int]] = None
+    ) -> TranscriptionResult:
         """Transcribe up to 30 s of 16 kHz float32 mono audio into segments.
 
         The streaming processors always call with a ≤30 s buffer (the reference
         trims at 15 s by default); longer input is windowed sequentially.
+        ``prefix_ids`` (stable tokens from the previous tick, incl. timestamp
+        tokens) are force-decoded in one prefill pass so only the new tail
+        costs autoregressive steps.
         """
         audio = np.asarray(audio, np.float32)
         if len(audio) <= WINDOW_SAMPLES:
-            return self._transcribe_window(audio, init_prompt, 0.0)
+            return self._transcribe_window(audio, init_prompt, 0.0, prefix_ids)
         segments: list[Segment] = []
         offset = 0
         while offset < len(audio):
             window = audio[offset : offset + WINDOW_SAMPLES]
-            segs = self._transcribe_window(window, init_prompt, offset / SAMPLING_RATE)
+            segs = self._transcribe_window(window, init_prompt, offset / SAMPLING_RATE, None)
             segments.extend(segs)
             if segs and segs[-1].end * SAMPLING_RATE > offset + 1:
                 offset = int(segs[-1].end * SAMPLING_RATE)
             else:
                 offset += WINDOW_SAMPLES
-        return segments
+        return TranscriptionResult(segments)
 
     def _transcribe_window(
-        self, audio: np.ndarray, init_prompt: str, time_offset: float
-    ) -> list[Segment]:
+        self,
+        audio: np.ndarray,
+        init_prompt: str,
+        time_offset: float,
+        prefix_ids: Optional[list[int]] = None,
+    ) -> TranscriptionResult:
         t0 = time.perf_counter()
         xa = self._encode_window(audio)
         opts = D.DecodeOptions(
@@ -159,7 +190,8 @@ class TPUWhisperASR:
         prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
         result = D.greedy_decode(
             self.params, self.cfg, xa, opts,
-            prompt_tokens=prompt_ids, extra_suppress=self._extra_suppress,
+            prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
+            extra_suppress=self._extra_suppress,
         )
         n_frames = min(len(audio) // (2 * 160), self.cfg.n_audio_ctx)
         segs = self._parse_segments(result, n_frames, time_offset)
@@ -167,7 +199,10 @@ class TPUWhisperASR:
             "transcribe window %.1fs in %.0f ms -> %d segments",
             len(audio) / SAMPLING_RATE, 1e3 * (time.perf_counter() - t0), len(segs),
         )
-        return segs
+        ids = result.tokens[0][: result.lengths[0]].tolist()
+        if ids and ids[-1] == self.cfg.eot:
+            ids = ids[:-1]
+        return TranscriptionResult(segs, tokens=ids)
 
     def _parse_segments(
         self, result: D.DecodeResult, n_frames: int, time_offset: float

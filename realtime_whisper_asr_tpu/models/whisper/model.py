@@ -196,10 +196,12 @@ def param_count(params: Params) -> int:
 
 
 def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
-    """mel: (B, 2*n_audio_ctx, n_mels) -> (B, n_audio_ctx, d).
+    """mel: (B, T, n_mels) -> (B, T//2, d), T ≤ 2*n_audio_ctx.
 
     Conv stem (k3 s1 + k3 s2, exact GELU) then ``lax.scan`` over stacked
-    transformer blocks.
+    transformer blocks. T < 3000 uses the positional-embedding prefix — the
+    bucketed-window trick that lets streaming encode 8/16 s buffers instead of
+    always padding to 30 s (the re-transcription loop's dominant cost).
     """
     enc = params["encoder"]
     dn = ("NHC", "HIO", "NHC")
@@ -207,7 +209,7 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     x = jax.nn.gelu(x + enc["conv1"]["b"].astype(mel.dtype), approximate=False)
     x = jax.lax.conv_general_dilated(x, enc["conv2"]["w"].astype(mel.dtype), (2,), [(1, 1)], dimension_numbers=dn)
     x = jax.nn.gelu(x + enc["conv2"]["b"].astype(mel.dtype), approximate=False)
-    x = x + enc["pos_emb"].astype(x.dtype)
+    x = x + enc["pos_emb"][: x.shape[1]].astype(x.dtype)
 
     def body(h, blk):
         h = _mha_block(blk, h, cfg.n_audio_head, mask=None)
@@ -257,11 +259,16 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, xa: jnp.ndarray):
     return ck, cv
 
 
-def init_cache(params: Params, cfg: WhisperConfig, xa: jnp.ndarray) -> DecoderCache:
+def init_cache(
+    params: Params, cfg: WhisperConfig, xa: jnp.ndarray, text_ctx: Optional[int] = None
+) -> DecoderCache:
+    """text_ctx trims the self-attention cache below cfg.n_text_ctx when the
+    caller knows its decode budget (prefill + max_new) — less HBM traffic per
+    step."""
     b = xa.shape[0]
     h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
     ck, cv = precompute_cross_kv(params, cfg, xa)
-    zeros = jnp.zeros((cfg.n_text_layer, b, cfg.n_text_ctx, h, dh), xa.dtype)
+    zeros = jnp.zeros((cfg.n_text_layer, b, text_ctx or cfg.n_text_ctx, h, dh), xa.dtype)
     return DecoderCache(self_k=zeros, self_v=zeros, cross_k=ck, cross_v=cv)
 
 
@@ -282,7 +289,8 @@ def decode_step(
     x = dec["tok_emb"][tokens] + dec["pos_emb"][pos]
     x = x[:, None, :].astype(cache.self_k.dtype)  # (B,1,d)
     n_head = cfg.n_text_head
-    t_mask = (jnp.arange(cfg.n_text_ctx) > pos)[None, None, None, :] * jnp.float32(-1e9)
+    text_ctx = cache.self_k.shape[2]
+    t_mask = (jnp.arange(text_ctx) > pos)[None, None, None, :] * jnp.float32(-1e9)
 
     capture = alignment_mask is not None
     align = alignment_mask if capture else jnp.zeros((cfg.n_text_layer, n_head), jnp.float32)
@@ -329,13 +337,16 @@ def decode_span(
     tokens: jnp.ndarray,  # (B, S) int32 — span of tokens starting at position pos0
     pos0: jnp.ndarray,  # scalar int32
     cache: DecoderCache,
+    alignment_mask: Optional[jnp.ndarray] = None,  # (L, H) weights for xattn capture
 ):
-    """Process S tokens at once (prompt prefill), writing the KV cache.
+    """Process S tokens at once (prompt/prefix prefill), writing the KV cache.
 
-    Returns (logits (B, S, n_vocab), cache). Equivalent to S decode_step calls
-    but one matmul-shaped pass — this is how prompts (≤448 tokens of carried
-    context, reference enhanced_asr_processor.py:295-341) are absorbed without
-    a per-token loop.
+    Returns (logits (B, S, n_vocab), cache, xattn). Equivalent to S decode_step
+    calls but one matmul-shaped pass — this is how carried prompts (reference
+    enhanced_asr_processor.py:295-341) AND the stable token prefix of the
+    incremental re-decode are absorbed without a per-token loop. xattn is the
+    alignment-head-averaged cross-attention (B, S, audio_ctx) when
+    alignment_mask is given (word timestamps for prefix tokens), else None.
     """
     dec = params["decoder"]
     b, s = tokens.shape
@@ -343,12 +354,15 @@ def decode_span(
     pos = pos0 + jnp.arange(s)
     x = (dec["tok_emb"][tokens] + dec["pos_emb"][pos]).astype(cache.self_k.dtype)
     # query q (local index) may attend to cache key j iff j <= pos0 + q
-    j = jnp.arange(cfg.n_text_ctx)[None, :]
+    j = jnp.arange(cache.self_k.shape[2])[None, :]
     qpos = pos[:, None]
     mask = jnp.where(j > qpos, -1e9, 0.0).astype(jnp.float32)[None, None]  # (1,1,S,ctx)
 
+    capture = alignment_mask is not None
+    align = alignment_mask if capture else jnp.zeros((cfg.n_text_layer, n_head), jnp.float32)
+
     def body(h, xs):
-        blk, kc, vc, ck, cv = xs
+        blk, kc, vc, ck, cv, am = xs
         hn = layer_norm(h, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
         q = _split_heads(_linear(hn, blk["attn"]["wq"], blk["attn"]["bq"]), n_head)
         k = _linear(hn, blk["attn"]["wk"], None).reshape(b, s, n_head, -1)
@@ -359,18 +373,25 @@ def decode_span(
         h = h + _linear(_merge_heads(o), blk["attn"]["wo"], blk["attn"]["bo"])
         hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
         q = _split_heads(_linear(hn, blk["cross"]["wq"], blk["cross"]["bq"]), n_head)
-        o, _ = _attend(q, ck.transpose(0, 2, 1, 3), cv.transpose(0, 2, 1, 3), None)
+        o, w = _attend(
+            q, ck.transpose(0, 2, 1, 3), cv.transpose(0, 2, 1, 3), None, return_weights=capture
+        )
         h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
         h = _mlp_block(blk, h)
-        return h, (kc, vc)
+        xattn_l = (
+            jnp.einsum("bhst,h->bst", w, am) if capture else jnp.zeros((b, s, 1), jnp.float32)
+        )
+        return h, (kc, vc, xattn_l)
 
-    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
-    x, (new_k, new_v) = jax.lax.scan(body, x, xs)
+    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v, align)
+    x, (new_k, new_v, xattn_layers) = jax.lax.scan(body, x, xs)
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     logits = jnp.dot(x, dec["tok_emb"].astype(x.dtype).T, preferred_element_type=jnp.float32)
-    return logits, DecoderCache(
+    new_cache = DecoderCache(
         self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
     )
+    xattn = jnp.sum(xattn_layers, axis=0) if capture else None  # (B, S, audio_ctx)
+    return logits, new_cache, xattn
 
 
 def decode_full(

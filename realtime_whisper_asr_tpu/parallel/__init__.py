@@ -1,0 +1,14 @@
+"""Multi-chip parallelism: device mesh + parameter sharding rules.
+
+The reference is strictly single-device (SURVEY.md §2.4) — this package is the
+TPU-native headroom path: data-parallel batch + tensor-parallel attention/MLP
+sharding over ICI via ``jax.sharding`` and jit-with-shardings, with XLA
+inserting the collectives.
+"""
+
+from realtime_whisper_asr_tpu.parallel.mesh import make_mesh
+from realtime_whisper_asr_tpu.parallel.sharding import (
+    whisper_param_shardings,
+    shard_params,
+    data_sharding,
+)

@@ -1,0 +1,88 @@
+"""Parameter sharding rules for the stacked-layer Whisper pytree.
+
+Megatron-style tensor parallelism over the ``model`` mesh axis:
+
+- attention wq/wk/wv shard the OUTPUT (head) dim; wo shards the INPUT dim —
+  one psum per attention block, inserted by XLA from the shardings;
+- MLP w1 shards the hidden dim, w2 the input dim — one psum per MLP;
+- the token embedding shards the model dim (logits contraction reduces over
+  it, again one psum);
+- layernorms, convs, positional embeddings replicate.
+
+All rules address the stacked layout (leading layer axis from
+models/whisper/model.py), so specs lead with None for block params.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _attn_spec(prefix_none: int):
+    lead = (None,) * prefix_none
+    return {
+        "wq": P(*lead, None, "model"),
+        "bq": P(*lead, "model"),
+        "wk": P(*lead, None, "model"),
+        "wv": P(*lead, None, "model"),
+        "bv": P(*lead, "model"),
+        "wo": P(*lead, "model", None),
+        "bo": P(*lead, None),
+    }
+
+
+def _ln_spec(prefix_none: int):
+    lead = (None,) * prefix_none
+    return {"g": P(*lead, None), "b": P(*lead, None)}
+
+
+def _block_spec(cross: bool):
+    spec = {
+        "attn_ln": _ln_spec(1),
+        "attn": _attn_spec(1),
+        "mlp_ln": _ln_spec(1),
+        "mlp": {
+            "w1": P(None, None, "model"),
+            "b1": P(None, "model"),
+            "w2": P(None, "model", None),
+            "b2": P(None, None),
+        },
+    }
+    if cross:
+        spec["cross_ln"] = _ln_spec(1)
+        spec["cross"] = _attn_spec(1)
+    return spec
+
+
+def whisper_param_shardings(mesh: Mesh) -> Any:
+    """PartitionSpec pytree matching init_params' structure."""
+    spec = {
+        "encoder": {
+            "conv1": {"w": P(None, None, "model"), "b": P("model")},
+            "conv2": {"w": P(None, None, "model"), "b": P("model")},
+            "pos_emb": P(None, "model"),
+            "blocks": _block_spec(cross=False),
+            "ln_post": _ln_spec(0),
+        },
+        "decoder": {
+            "tok_emb": P(None, "model"),
+            "pos_emb": P(None, "model"),
+            "blocks": _block_spec(cross=True),
+            "ln": _ln_spec(0),
+        },
+    }
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    shardings = whisper_param_shardings(mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def data_sharding(mesh: Mesh, *trailing_none: int) -> NamedSharding:
+    """Batch-leading sharding: P('data', None, ...)."""
+    return NamedSharding(mesh, P("data", *([None] * (trailing_none[0] if trailing_none else 2))))

@@ -81,6 +81,8 @@ class OnlineASRProcessor:
         buffer_trimming: tuple[str, float] = ("segment", 15.0),
         prompt_chars: int = 300,
         dynamic_buffer: bool = False,
+        incremental_prefix: bool = True,
+        prefix_safety_tokens: int = 4,
         clock: Callable[[], float] = _time.monotonic,
         logfile=None,
     ):
@@ -91,6 +93,10 @@ class OnlineASRProcessor:
         self.buffer_manager = (
             DynamicBufferManager(initial_sec=self.buffer_trimming_sec) if dynamic_buffer else None
         )
+        # incremental re-decode: force the token prefix the last two hypotheses
+        # agree on (minus a safety tail) so each tick only generates new tokens
+        self.incremental_prefix = incremental_prefix and getattr(asr, "supports_prefix", False)
+        self.prefix_safety_tokens = prefix_safety_tokens
         self.clock = clock
         self.init()
 
@@ -103,6 +109,7 @@ class OnlineASRProcessor:
         self.buffer_time_offset = offset if offset is not None else 0.0
         self.transcript_buffer.last_commited_time = self.buffer_time_offset
         self.commited: list[Word] = []
+        self._token_history: list[list[int]] = []  # last two hypotheses' raw tokens
 
     def insert_audio_chunk(self, audio: np.ndarray):
         self.audio_buffer = np.append(self.audio_buffer, np.asarray(audio, np.float32))
@@ -133,7 +140,16 @@ class OnlineASRProcessor:
             self.buffer_time_offset,
         )
         try:
-            res = self.asr.transcribe(self.audio_buffer, init_prompt=prompt)
+            kwargs = {}
+            if self.incremental_prefix:
+                prefix = self._stable_prefix()
+                if prefix:
+                    kwargs["prefix_ids"] = prefix
+            res = self.asr.transcribe(self.audio_buffer, init_prompt=prompt, **kwargs)
+            if self.incremental_prefix:
+                toks = getattr(res, "tokens", None)
+                if toks is not None:
+                    self._token_history = (self._token_history + [list(toks)])[-2:]
             tsw = self.asr.ts_words(res)
             self.transcript_buffer.insert(tsw, self.buffer_time_offset)
             o = self.transcript_buffer.flush()
@@ -190,7 +206,20 @@ class OnlineASRProcessor:
             return
         self.audio_buffer = self.audio_buffer[int(cut_seconds * SAMPLING_RATE) :]
         self.buffer_time_offset = time
+        self._token_history = []  # audio origin moved: prior tokens misaligned
         logger.debug("chunked at %.2f s", time)
+
+    def _stable_prefix(self) -> list[int]:
+        """Token prefix shared by the last two hypotheses, minus a safety tail."""
+        if len(self._token_history) < 2:
+            return []
+        a, b = self._token_history[-2], self._token_history[-1]
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return a[: max(0, n - self.prefix_safety_tokens)]
 
     # ----------------------------------------------------------------- helpers
 

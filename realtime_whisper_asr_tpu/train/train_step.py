@@ -1,0 +1,90 @@
+"""Sharded Whisper training step: teacher-forced cross-entropy under dp × tp.
+
+The reference has no training path (it's an inference app); this is the
+TPU-native headroom subsystem: fine-tune any Whisper size over a
+``jax.sharding.Mesh`` with data-parallel batches and Megatron-style
+tensor-parallel params (parallel/sharding.py). Params are device_put with
+NamedShardings BEFORE ``optimizer.init`` so Adam moments inherit the layout;
+the jitted step then propagates shardings and XLA inserts the psums /
+all-gathers over ICI. ``jax.checkpoint`` on the forward body trades FLOPs for
+HBM on long-audio batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from realtime_whisper_asr_tpu.models import whisper as W
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def loss_fn(params, cfg: W.WhisperConfig, mel, tokens_in, tokens_out, mask):
+    """mel (B,T,M); tokens_in/out (B,S); mask (B,S) 1=count. Mean NLL."""
+
+    @functools.partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
+    def forward(p, mel, tokens_in):
+        xa = W.encode(p, cfg, mel)
+        return W.decode_full(p, cfg, tokens_in, xa)
+
+    logits = forward(params, mel, tokens_in)  # (B,S,V) f32
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tokens_out[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_state(
+    cfg: W.WhisperConfig,
+    key,
+    mesh: Mesh | None = None,
+    optimizer=None,
+    dtype=jnp.float32,
+):
+    """Init (optionally sharded) TrainState. Returns (state, optimizer)."""
+    optimizer = optimizer or optax.adamw(1e-5)
+    params = W.init_params(cfg, key, dtype)
+    if mesh is not None:
+        from realtime_whisper_asr_tpu.parallel.sharding import whisper_param_shardings
+
+        params = jax.tree.map(jax.device_put, params, whisper_param_shardings(mesh))
+    opt_state = optimizer.init(params)  # moments inherit param shardings
+    step = jnp.zeros((), jnp.int32)
+    if mesh is not None:
+        step = jax.device_put(step, NamedSharding(mesh, P()))
+    return TrainState(params, opt_state, step), optimizer
+
+
+def make_sharded_train_step(cfg: W.WhisperConfig, mesh: Mesh, optimizer=None):
+    """Returns (train_step, shard_batch).
+
+    Batch layout: {"mel": (B,T,M), "tokens_in": (B,S), "tokens_out": (B,S),
+    "mask": (B,S)}, batch dim sharded on the data axis. B must be divisible by
+    the data axis size.
+    """
+    optimizer = optimizer or optax.adamw(1e-5)
+    d2 = NamedSharding(mesh, P("data", None))
+    d3 = NamedSharding(mesh, P("data", None, None))
+    batch_shardings = {"mel": d3, "tokens_in": d2, "tokens_out": d2, "mask": d2}
+
+    def step_fn(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, cfg, batch["mel"], batch["tokens_in"], batch["tokens_out"], batch["mask"]
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), loss
+
+    def shard_batch(batch):
+        return {k: jax.device_put(v, batch_shardings[k]) for k, v in batch.items()}
+
+    return jax.jit(step_fn, donate_argnums=(0,)), shard_batch

@@ -78,6 +78,41 @@ def test_prompt_bucketing_no_retrace(asr):
     assert after == mid  # same bucket -> no retrace
 
 
+def test_prefix_forced_decode_matches_unforced(asr):
+    """Forcing the greedy path's own prefix must reproduce the same transcript
+    (grammar state seeded correctly through the prefill)."""
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=7))
+    opts = D.DecodeOptions(timestamps=True, max_new_tokens=48)
+    base = D.greedy_decode(asr.params, cfg, xa, opts)
+    base_ids = base.tokens[0][: base.lengths[0]].tolist()
+    body = base_ids[:-1] if base_ids[-1] == cfg.eot else base_ids
+    if len(body) < 8:
+        pytest.skip("random model decoded too little to split")
+    k = len(body) // 2
+    forced = D.greedy_decode(asr.params, cfg, xa, opts, prefix_tokens=body[:k])
+    forced_ids = forced.tokens[0][: forced.lengths[0]].tolist()
+    # note: bucketed prefill position shifts can perturb logits at f32 noise
+    # level; require agreement over the vast majority of the continuation
+    n_match = sum(a == b for a, b in zip(forced_ids, base_ids))
+    assert n_match >= 0.9 * min(len(forced_ids), len(base_ids))
+
+
+def test_prefix_with_word_timestamps(asr):
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=8))
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=True, max_new_tokens=32)
+    base = D.greedy_decode(asr.params, cfg, xa, opts)
+    ids = base.tokens[0][: base.lengths[0]].tolist()
+    body = ids[:-1] if ids and ids[-1] == cfg.eot else ids
+    if len(body) < 6:
+        pytest.skip("too short")
+    res = D.greedy_decode(asr.params, cfg, xa, opts, prefix_tokens=body[:4])
+    assert res.xattn is not None
+    # xattn rows must cover prefix + sampled tokens
+    assert res.xattn.shape[1] >= res.lengths[0] - 1
+
+
 def test_transcribe_segments(asr):
     segs = asr.transcribe(_audio(6.0, seed=3))
     assert isinstance(segs, list)
