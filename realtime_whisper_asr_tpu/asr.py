@@ -18,6 +18,7 @@ with DTW word timestamps. All shapes static; no retraces across calls.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Optional, Sequence
@@ -36,6 +37,11 @@ logger = logging.getLogger(__name__)
 SAMPLING_RATE = 16000
 WINDOW_SECONDS = 30.0
 WINDOW_SAMPLES = int(WINDOW_SECONDS * SAMPLING_RATE)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _buf_write(buf: jnp.ndarray, chunk: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dynamic_update_slice(buf, chunk, (pos,))
 
 
 @dataclasses.dataclass
@@ -86,6 +92,7 @@ class TPUWhisperASR:
         beam_size: int = 1,
         seed: int = 0,
         word_timestamps: bool = True,
+        quantization: Optional[str] = None,  # None | "int8" (decoder weight-only)
     ):
         from realtime_whisper_asr_tpu.utils.warmup import start_background_warmup
 
@@ -100,6 +107,12 @@ class TPUWhisperASR:
                 "no checkpoint provided; initializing %s with random weights", self.cfg.name
             )
             self.params = W.init_params(self.cfg, jax.random.PRNGKey(seed), dtype)
+        if quantization == "int8":
+            from realtime_whisper_asr_tpu.models.whisper.quant import quantize_decoder
+
+            self.params = quantize_decoder(self.params)
+        elif quantization not in (None, "", "none"):
+            raise ValueError(f"unknown quantization {quantization!r}")
         self.tokenizer = tokenizer or get_tokenizer(self.cfg, checkpoint_dir)
         self.original_language = language if self.cfg.is_multilingual else None
         self.task = "transcribe"
@@ -108,6 +121,8 @@ class TPUWhisperASR:
         self.transcribe_kargs: dict = {}
         self._vad_flag = False  # protocol parity; VAD is the VAC processor's job
         self._encode = jax.jit(W.encode, static_argnames=("cfg",))
+        self._dev_buf = None  # device-resident rolling audio buffer
+        self._host_mirror = np.zeros(0, np.float32)
         try:
             self._extra_suppress = tuple(self.tokenizer.non_speech_ids())
         except AttributeError:
@@ -119,6 +134,60 @@ class TPUWhisperASR:
     #: trimming, so most ticks encode the 8 s or 16 s bucket instead of the
     #: full 30 s pad — 2–4× less encoder/cross-KV work, one extra trace each.
     WINDOW_BUCKETS_S = (8.0, 16.0, 30.0)
+    #: upload chunk buckets (samples): the per-tick NEW audio suffix
+    _CHUNK_BUCKETS = (16000, 64000, WINDOW_SAMPLES)
+    _CAP = WINDOW_SAMPLES + 64000  # device ring capacity (window + append slack)
+
+    def _sync_audio_and_aux(self, audio: np.ndarray, aux_np: np.ndarray):
+        """ONE bundled host→device upload per tick.
+
+        Streaming buffers grow by appending; only the new suffix (bucketed) is
+        uploaded into a device-resident buffer, bundled with the decode aux
+        vector. Any non-append change (trim/reset) falls back to a full
+        upload. Each separate transfer costs ~30 ms of tunnel latency, so this
+        is the difference between 1 and 3-5 uploads per tick.
+        """
+        import jax
+
+        audio = np.asarray(audio, np.float32)[: self._CAP - 64000]
+        mirror = self._host_mirror
+        n_old = len(mirror)
+        grows = (
+            self._dev_buf is not None
+            and len(audio) >= n_old
+            and len(audio) - n_old <= self._CHUNK_BUCKETS[-1]
+            and np.array_equal(audio[:n_old], mirror)
+        )
+        if grows:
+            new = audio[n_old:]
+            cb = next(b for b in self._CHUNK_BUCKETS if len(new) <= b)
+            payload = np.zeros(cb + D.AUX_LEN, np.float32)
+            payload[: len(new)] = new
+            payload[cb:] = aux_np
+            up = jnp.asarray(payload)
+            if len(new):
+                self._dev_buf = _buf_write(self._dev_buf, up[:cb], jnp.int32(n_old))
+            aux_dev = up[cb:]
+        else:
+            full = np.zeros(self._CAP + D.AUX_LEN, np.float32)
+            full[: len(audio)] = audio
+            full[self._CAP :] = aux_np
+            up = jnp.asarray(full)
+            self._dev_buf = up[: self._CAP]
+            aux_dev = up[self._CAP :]
+        self._host_mirror = audio.copy()
+        return aux_dev
+
+    def _encode_from_buf(self, n_samples: int) -> jnp.ndarray:
+        for b in self.WINDOW_BUCKETS_S:
+            nb = int(b * SAMPLING_RATE)
+            if n_samples <= nb:
+                break
+        window = jax.lax.slice(self._dev_buf, (0,), (nb,))
+        from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
+
+        mel = log_mel_spectrogram(window, n_mels=self.cfg.n_mels)
+        return self._encode(self.params, self.cfg, mel.astype(self.params_dtype)[None])
 
     def _pad_window(self, audio: np.ndarray) -> np.ndarray:
         """Pad to the smallest bucket that fits (static shapes, no retraces)."""
@@ -178,7 +247,6 @@ class TPUWhisperASR:
         prefix_ids: Optional[list[int]] = None,
     ) -> TranscriptionResult:
         t0 = time.perf_counter()
-        xa = self._encode_window(audio)
         opts = D.DecodeOptions(
             task=self.task,
             language=self.original_language,
@@ -188,10 +256,18 @@ class TPUWhisperASR:
             **self.transcribe_kargs,
         )
         prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
+        # host-side token planning, then ONE bundled upload (audio suffix + aux)
+        init, sot_index, n_prefix = D.build_initial_tokens(
+            self.cfg, opts, prompt_ids, prefix_ids
+        )
+        ts_in_prefix = [int(t) for t in init[len(init) - n_prefix :] if t >= self.cfg.timestamp_begin]
+        aux_np = D.pack_aux(init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1)
+        aux_dev = self._sync_audio_and_aux(audio, aux_np)
+        xa = self._encode_from_buf(len(audio))
         result = D.greedy_decode(
             self.params, self.cfg, xa, opts,
             prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
-            extra_suppress=self._extra_suppress,
+            extra_suppress=self._extra_suppress, aux_device=aux_dev,
         )
         n_frames = min(len(audio) // (2 * 160), self.cfg.n_audio_ctx)
         segs = self._parse_segments(result, n_frames, time_offset)

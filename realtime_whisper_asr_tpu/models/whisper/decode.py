@@ -123,9 +123,41 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+# aux transfer bundle layout: [tokens_f32(AUX_TOK) | n_prefix | sot_index | last_ts]
+# — one host→device upload carries the initial tokens AND the dynamic scalars
+# (each separate upload costs ~30 ms of tunnel latency on this backend).
+AUX_TOK = 256
+AUX_LEN = AUX_TOK + 3
+
+
+def pack_aux(init: np.ndarray, n_prefix: int, sot_index: int, last_ts: int) -> np.ndarray:
+    aux = np.zeros(AUX_LEN, np.float32)
+    aux[: len(init)] = init.astype(np.float32)
+    aux[AUX_TOK] = n_prefix
+    aux[AUX_TOK + 1] = sot_index
+    aux[AUX_TOK + 2] = last_ts
+    return aux
+
+
+@functools.lru_cache(maxsize=64)
+def _sup_mask_dev(cfg: WhisperConfig, extra_suppress: tuple[int, ...]):
+    return jax.device_put(suppress_mask(cfg, extra_suppress))
+
+
+@functools.lru_cache(maxsize=16)
+def _amask_dev(cfg: WhisperConfig, heads_key: Optional[bytes]):
+    if heads_key is None:
+        amask = np.zeros((cfg.n_text_layer, cfg.n_text_head), np.float32)
+        amask[cfg.n_text_layer // 2 :] = 1.0  # default: top-half heads
+    else:
+        amask = np.frombuffer(heads_key, np.float32).reshape(cfg.n_text_layer, cfg.n_text_head)
+    amask = amask / max(amask.sum(), 1e-6)
+    return jax.device_put(amask)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "opts", "prompt_len", "sot_index", "capture_xattn",
+    static_argnames=("cfg", "opts", "prompt_len", "capture_xattn",
                      "apply_initial_rules", "max_new", "cache_len"),
 )
 def _greedy_loop(
@@ -133,20 +165,24 @@ def _greedy_loop(
     cfg: WhisperConfig,
     opts: DecodeOptions,
     xa: jnp.ndarray,  # (B, audio_ctx, d)
-    initial_tokens: jnp.ndarray,  # (B, P)
-    sup_mask: jnp.ndarray,  # (n_vocab,) additive
-    alignment_mask: jnp.ndarray,  # (L, H)
-    last_ts_init: jnp.ndarray,  # (B,) int32: last timestamp token in prefix, or -1
-    n_prefix_arr: jnp.ndarray,  # scalar int32: forced-prefix length (grammar history)
+    aux: jnp.ndarray,  # (AUX_LEN,) f32 bundle (see pack_aux)
+    sup_mask: jnp.ndarray,  # (n_vocab,) additive, device-cached
+    alignment_mask: jnp.ndarray,  # (L, H), device-cached
     prompt_len: int,
-    sot_index: int,
     capture_xattn: bool,
     apply_initial_rules: bool,
     max_new: int,
     cache_len: int,
 ):
+    # NOTE: prefix/prompt boundaries are TRACED (unpacked from aux) so
+    # hypothesis growth never retraces; only the bucketed prefill length,
+    # window bucket, and loop bound are static.
     b = xa.shape[0]
     p = prompt_len
+    initial_tokens = jnp.tile(aux[:p].astype(jnp.int32)[None], (b, 1))
+    n_prefix_arr = aux[AUX_TOK].astype(jnp.int32)
+    sot_index_arr = aux[AUX_TOK + 1].astype(jnp.int32)
+    last_ts_init = jnp.full((b,), 1, jnp.int32) * aux[AUX_TOK + 2].astype(jnp.int32)
     total = p + max_new
     ts0 = cfg.timestamp_begin
     vocab_ids = jnp.arange(cfg.n_vocab)
@@ -157,9 +193,8 @@ def _greedy_loop(
     pre_logits, cache, pre_xattn = M.decode_span(
         params, cfg, initial_tokens, jnp.int32(0), cache, alignment_mask=amask
     )
-    no_speech_prob = jax.nn.softmax(pre_logits[:, sot_index].astype(jnp.float32), -1)[
-        :, cfg.no_speech
-    ]
+    sot_logits = jax.lax.dynamic_index_in_dim(pre_logits, sot_index_arr, axis=1, keepdims=False)
+    no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)[:, cfg.no_speech]
 
     tokens0 = jnp.concatenate(
         [initial_tokens, jnp.full((b, max_new), cfg.eot, jnp.int32)], axis=1
@@ -242,7 +277,20 @@ def _greedy_loop(
         xattn0,
     )
     tokens, pos, finished, cache, sum_lp, last_ts, xattn = jax.lax.while_loop(cond, body, state)
-    return tokens[:, p:], pos - p, sum_lp, no_speech_prob, xattn, pre_xattn
+    # pack ALL host-bound outputs into one flat f32 buffer: each device→host
+    # transfer costs ~30-40 ms of tunnel latency on this backend, so one
+    # transfer per tick instead of 3-5 is a direct latency win. Token ids
+    # < 2^24 are exact in f32.
+    parts = [
+        tokens[:, p:].astype(jnp.float32),
+        sum_lp[:, None],
+        no_speech_prob[:, None],
+    ]
+    if capture_xattn:
+        parts.append(xattn.reshape(b, -1))
+        # the whole prefill block (static size); host slices the prefix rows
+        parts.append(pre_xattn.reshape(b, -1))
+    return jnp.concatenate(parts, axis=1).reshape(-1)
 
 
 def greedy_decode(
@@ -254,6 +302,7 @@ def greedy_decode(
     prefix_tokens: Optional[list[int]] = None,
     extra_suppress: tuple[int, ...] = (),
     alignment_heads: Optional[np.ndarray] = None,
+    aux_device: Optional[jnp.ndarray] = None,
 ) -> DecodeResult:
     """Host wrapper: builds initial tokens/masks, runs the jitted loop.
 
@@ -281,56 +330,63 @@ def greedy_decode(
     max_new = min(max_new, budget)
     cache_len = min(cfg.n_text_ctx, _round_up(p + max_new, 128))
 
-    init_b = jnp.asarray(np.tile(init[None, :], (b, 1)))
-    sup = jnp.asarray(suppress_mask(cfg, extra_suppress))
+    sup = _sup_mask_dev(cfg, tuple(extra_suppress))
     capture = opts.word_timestamps
-    if alignment_heads is None:
-        amask = np.zeros((cfg.n_text_layer, cfg.n_text_head), np.float32)
-        amask[cfg.n_text_layer // 2 :] = 1.0  # default: top-half heads
-        amask /= amask.sum()
-    else:
-        amask = alignment_heads.astype(np.float32)
-        amask = amask / max(amask.sum(), 1e-6)
-    ts_in_prefix = [int(t) for t in prefix_arr if t >= cfg.timestamp_begin]
-    last_ts_init = jnp.full((b,), ts_in_prefix[-1] if ts_in_prefix else -1, jnp.int32)
+    heads_key = (
+        None
+        if alignment_heads is None
+        else np.ascontiguousarray(alignment_heads, np.float32).tobytes()
+    )
+    amask = _amask_dev(cfg, heads_key)
+    if aux_device is None:
+        ts_in_prefix = [int(t) for t in prefix_arr if t >= cfg.timestamp_begin]
+        aux_np = pack_aux(init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1)
+        aux_device = jnp.asarray(aux_np)
 
-    tokens, n, sum_lp, nsp, xattn, pre_xattn = _greedy_loop(
+    packed = _greedy_loop(
         params,
         cfg,
         opts,
         xa,
-        init_b,
+        aux_device,
         sup,
-        jnp.asarray(amask),
-        last_ts_init,
-        jnp.int32(n_prefix),
+        amask,
         prompt_len=p,
-        sot_index=sot_index,
         capture_xattn=capture,
         apply_initial_rules=(n_prefix == 0),
         max_new=max_new,
         cache_len=cache_len,
     )
-    tokens = device_get(tokens)
+    # single device→host transfer; unpack by the static layout
+    audio_ctx = int(xa.shape[1])
+    flat = np.asarray(packed)
+    row = flat.reshape(b, -1)
+    off = 0
+    tokens = row[:, off : off + max_new].astype(np.int32); off += max_new
+    sum_lp = row[:, off].astype(np.float64); off += 1
+    nsp = row[:, off]; off += 1
+    xattn_full = None
+    if capture:
+        xattn_gen = row[:, off : off + max_new * audio_ctx].reshape(b, max_new, audio_ctx)
+        off += max_new * audio_ctx
+        xattn_prefill = row[:, off:].reshape(b, p, audio_ctx)
+        if n_prefix:
+            xattn_full = np.concatenate(
+                [xattn_prefill[:, p - n_prefix :], xattn_gen], axis=1
+            )
+        else:
+            xattn_full = xattn_gen
+
     full_tokens = np.concatenate([np.tile(prefix_arr[None], (b, 1)), tokens], axis=1)
     lengths = np.zeros((b,), np.int64)
     for i in range(b):
         eots = np.nonzero(full_tokens[i] == cfg.eot)[0]
         lengths[i] = (eots[0] + 1) if eots.size else full_tokens.shape[1]
-    sum_lp = device_get(sum_lp)
-    xattn_full = None
-    if capture:
-        xattn_gen = device_get(xattn)
-        if n_prefix:
-            xattn_pre = device_get(pre_xattn)[:, p - n_prefix : p, :]
-            xattn_full = np.concatenate([xattn_pre, xattn_gen], axis=1)
-        else:
-            xattn_full = xattn_gen
     return DecodeResult(
         tokens=full_tokens,
         lengths=lengths,
         sum_logprob=sum_lp,
         avg_logprob=sum_lp / np.maximum(lengths - n_prefix, 1),
-        no_speech_prob=device_get(nsp),
+        no_speech_prob=nsp,
         xattn=xattn_full,
     )

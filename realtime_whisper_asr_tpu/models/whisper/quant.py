@@ -1,0 +1,67 @@
+"""Int8 weight-only quantization for the Whisper decoder.
+
+Incremental decoding at batch 1 is weight-bandwidth-bound (every step streams
+the full decoder from HBM); per-output-channel int8 halves that traffic vs
+bf16. This mirrors the capability the reference gets from CTranslate2's
+``compute_type="int8"`` (`asr_components.py:264`, `一键…py:1147-1175` CPU
+fallback), implemented as a pure params transform: linear weights become
+``{"q": int8 (in,out), "s": f32 (out,)}`` consumed by model._linear with the
+dequant fused into the matmul.
+
+The encoder stays bf16 by default (MXU-bound, not bandwidth-bound).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from realtime_whisper_asr_tpu.models.whisper.model import Params
+
+_LINEAR_KEYS = {"wq", "wk", "wv", "wo", "w1", "w2"}
+
+
+def _quantize_weight(w: jnp.ndarray) -> dict:
+    """(in, out) -> {"q": int8, "s": f32 (out,)} with per-column absmax scales."""
+    w32 = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=0) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w32 / s[None, :]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def _quantize_tree(tree):
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if k in _LINEAR_KEYS and hasattr(v, "ndim") and v.ndim >= 2:
+                if v.ndim == 2:
+                    out[k] = _quantize_weight(v)
+                else:  # stacked layers (L, in, out): per-layer per-column scales
+                    w32 = v.astype(jnp.float32)
+                    s = jnp.maximum(jnp.max(jnp.abs(w32), axis=1) / 127.0, 1e-12)  # (L,out)
+                    q = jnp.clip(jnp.round(w32 / s[:, None, :]), -127, 127).astype(jnp.int8)
+                    out[k] = {"q": q, "s": s}
+            else:
+                out[k] = _quantize_tree(v)
+        return out
+    return tree
+
+
+def quantize_decoder(params: Params) -> Params:
+    """Return params with decoder block linears quantized to int8 (weights
+    shared with the input copy are left dense: tok_emb/pos_emb/layernorms)."""
+    out = dict(params)
+    dec = dict(params["decoder"])
+    dec["blocks"] = _quantize_tree(params["decoder"]["blocks"])
+    out["decoder"] = dec
+    return out
+
+
+def quantize_all(params: Params) -> Params:
+    """Quantize encoder and decoder block linears (encoder conv/emb stay dense)."""
+    out = quantize_decoder(params)
+    enc = dict(out["encoder"])
+    enc["blocks"] = _quantize_tree(out["encoder"]["blocks"])
+    out["encoder"] = enc
+    return out

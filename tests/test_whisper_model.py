@@ -110,3 +110,21 @@ def test_special_token_layout():
     en = W.get_config("tiny.en")
     assert en.eot == 50256 and not en.is_multilingual
     assert en.sot_sequence() == (50257, 50362)
+
+
+def test_int8_decoder_quantization_parity(hf_and_jax):
+    from realtime_whisper_asr_tpu.models.whisper.quant import quantize_decoder
+
+    _, cfg, params = hf_and_jax
+    mel = _mel(seed=9)
+    xa = W.encode(params, cfg, jnp.asarray(mel))
+    tokens = np.array([[cfg.sot, cfg.lang_token("en"), cfg.transcribe, 400, 500]], np.int32)
+    dense = np.asarray(W.decode_full(params, cfg, jnp.asarray(tokens), xa))
+    qparams = quantize_decoder(params)
+    quant = np.asarray(W.decode_full(qparams, cfg, jnp.asarray(tokens), xa))
+    # weight-only int8 with per-channel scales: logits track dense closely
+    denom = np.maximum(np.abs(dense).max(), 1.0)
+    rel = np.abs(quant - dense).max() / denom
+    assert rel < 0.05, f"relative logits error {rel}"
+    # argmax agreement on the strongest positions
+    assert (dense.argmax(-1) == quant.argmax(-1)).mean() > 0.8
