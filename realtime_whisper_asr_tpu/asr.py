@@ -98,7 +98,15 @@ class TPUWhisperASR:
 
         start_background_warmup()  # absorb the axon first-transfer cost early
         if checkpoint_dir is not None:
-            self.cfg, self.params = W.load_checkpoint_dir(checkpoint_dir, dtype)
+            from realtime_whisper_asr_tpu.models.whisper.checkpoint import (
+                is_native_checkpoint,
+                load_checkpoint,
+            )
+
+            if is_native_checkpoint(checkpoint_dir):
+                self.cfg, self.params = load_checkpoint(checkpoint_dir, dtype)
+            else:
+                self.cfg, self.params = W.load_checkpoint_dir(checkpoint_dir, dtype)
         elif params is not None:
             self.cfg, self.params = cfg, params
         else:
@@ -119,10 +127,19 @@ class TPUWhisperASR:
         self.beam_size = beam_size
         self.word_timestamps = word_timestamps
         self.transcribe_kargs: dict = {}
+        self.adaptive_params = None  # optional AdaptiveWhisperParams (pipeline.stretch)
         self._vad_flag = False  # protocol parity; VAD is the VAC processor's job
         self._encode = jax.jit(W.encode, static_argnames=("cfg",))
         self._dev_buf = None  # device-resident rolling audio buffer
         self._host_mirror = np.zeros(0, np.float32)
+        self._sample_seed = seed
+        #: whisper's quality-retry ladder (compression ratio / avg logprob
+        #: gates, then re-decode at rising temperature). Off by default for
+        #: deterministic streaming; enable for offline quality parity with
+        #: faster-whisper's temperature=[0, .2, .4, .6, .8, 1] default.
+        self.temperature_fallback = False
+        self.compression_ratio_threshold = 2.4
+        self.logprob_threshold = -1.0
         try:
             self._extra_suppress = tuple(self.tokenizer.non_speech_ids())
         except AttributeError:
@@ -247,13 +264,22 @@ class TPUWhisperASR:
         prefix_ids: Optional[list[int]] = None,
     ) -> TranscriptionResult:
         t0 = time.perf_counter()
+        kargs = dict(self.transcribe_kargs)
+        if self.adaptive_params is not None:
+            # speech-rate-adaptive decode params (reference asr_components.py:
+            # 267-275 wires AdaptiveWhisperParams the same way)
+            try:
+                kargs.update(self.adaptive_params.get_transcribe_kwargs(
+                    getattr(self.adaptive_params, "rate_class", "normal")))
+            except Exception:
+                pass
         opts = D.DecodeOptions(
             task=self.task,
             language=self.original_language,
-            beam_size=self.beam_size,
+            beam_size=kargs.pop("beam_size", self.beam_size),
             timestamps=True,
             word_timestamps=self.word_timestamps,
-            **self.transcribe_kargs,
+            **kargs,
         )
         prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
         # host-side token planning, then ONE bundled upload (audio suffix + aux)
@@ -261,14 +287,24 @@ class TPUWhisperASR:
             self.cfg, opts, prompt_ids, prefix_ids
         )
         ts_in_prefix = [int(t) for t in init[len(init) - n_prefix :] if t >= self.cfg.timestamp_begin]
-        aux_np = D.pack_aux(init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1)
+        aux_np = D.pack_aux(
+            init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
+            seed=self._sample_seed,
+        )
         aux_dev = self._sync_audio_and_aux(audio, aux_np)
         xa = self._encode_from_buf(len(audio))
-        result = D.greedy_decode(
+        decode_fn = D.greedy_decode
+        if opts.beam_size > 1:
+            from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode
+
+            decode_fn = beam_decode
+        result = decode_fn(
             self.params, self.cfg, xa, opts,
             prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
             extra_suppress=self._extra_suppress, aux_device=aux_dev,
         )
+        if self.temperature_fallback and opts.temperature == 0.0:
+            result = self._quality_retry(result, xa, opts, prompt_ids, prefix_ids)
         n_frames = min(len(audio) // (2 * 160), self.cfg.n_audio_ctx)
         segs = self._parse_segments(result, n_frames, time_offset)
         logger.debug(
@@ -339,6 +375,35 @@ class TPUWhisperASR:
                 )
             )
         return segments
+
+    def _quality_retry(self, result, xa, opts, prompt_ids, prefix_ids):
+        """Re-decode at rising temperature when the greedy pass looks degenerate
+        (repetition → high zlib compression ratio; low avg logprob)."""
+        import zlib
+
+        def bad(res) -> bool:
+            ids = res.tokens[0][: res.lengths[0]].tolist()
+            text = self.tokenizer.decode(ids).encode("utf-8")
+            if len(text) > 16:
+                ratio = len(text) / max(len(zlib.compress(text)), 1)
+                if ratio > self.compression_ratio_threshold:
+                    return True
+            return float(res.avg_logprob[0]) < self.logprob_threshold
+
+        if not bad(result):
+            return result
+        for t in (0.2, 0.4, 0.6, 0.8, 1.0):
+            self._sample_seed += 1
+            retry_opts = dataclasses.replace(opts, temperature=t)
+            retry = D.greedy_decode(
+                self.params, self.cfg, xa, retry_opts,
+                prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
+                extra_suppress=self._extra_suppress,
+            )
+            if not bad(retry):
+                return retry
+            result = retry
+        return result
 
     def ts_words(self, segments: Sequence[Segment]) -> list[tuple[float, float, str]]:
         out = []

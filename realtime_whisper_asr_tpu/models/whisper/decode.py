@@ -44,6 +44,7 @@ class DecodeOptions:
     beam_size: int = 1
     max_new_tokens: int = 224
     max_total_tokens: Optional[int] = None  # cap on prefix+generated transcript length
+    temperature: float = 0.0
     timestamps: bool = True
     max_initial_timestamp: float = 1.0
     suppress_blank: bool = True
@@ -123,19 +124,23 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-# aux transfer bundle layout: [tokens_f32(AUX_TOK) | n_prefix | sot_index | last_ts]
+# aux transfer bundle layout:
+#   [tokens_f32(AUX_TOK) | n_prefix | sot_index | last_ts | sampling_seed]
 # — one host→device upload carries the initial tokens AND the dynamic scalars
 # (each separate upload costs ~30 ms of tunnel latency on this backend).
 AUX_TOK = 256
-AUX_LEN = AUX_TOK + 3
+AUX_LEN = AUX_TOK + 4
 
 
-def pack_aux(init: np.ndarray, n_prefix: int, sot_index: int, last_ts: int) -> np.ndarray:
+def pack_aux(
+    init: np.ndarray, n_prefix: int, sot_index: int, last_ts: int, seed: int = 0
+) -> np.ndarray:
     aux = np.zeros(AUX_LEN, np.float32)
     aux[: len(init)] = init.astype(np.float32)
     aux[AUX_TOK] = n_prefix
     aux[AUX_TOK + 1] = sot_index
     aux[AUX_TOK + 2] = last_ts
+    aux[AUX_TOK + 3] = seed
     return aux
 
 
@@ -249,7 +254,17 @@ def _greedy_loop(
             is_ts = (vocab_ids >= ts0)[None, :]
             flogits = jnp.where(is_ts, -jnp.inf, flogits)
 
-        nxt = jnp.argmax(flogits, axis=-1).astype(jnp.int32)
+        if opts.temperature > 0:
+            # Gumbel-max categorical sampling at temperature t
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(aux[AUX_TOK + 3].astype(jnp.int32)), pos
+            )
+            g = jax.random.gumbel(key, flogits.shape, jnp.float32)
+            nxt = jnp.argmax(
+                flogits.astype(jnp.float32) / opts.temperature + g, axis=-1
+            ).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(flogits, axis=-1).astype(jnp.int32)
         logprobs = jax.nn.log_softmax(flogits.astype(jnp.float32), axis=-1)
         lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=1)[:, 0]
         nxt = jnp.where(finished, cfg.eot, nxt)

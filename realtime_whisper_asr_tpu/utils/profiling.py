@@ -1,0 +1,52 @@
+"""Profiling hooks: jax.profiler traces + a simple phase timer.
+
+SURVEY.md §5: the reference has no tracer — its closest artifact is the
+inverse-RTF monitor. Here jax profiler traces are first-class: wrap any code
+in ``trace(dir)`` and load the result in TensorBoard/XProf, or use
+``PhaseTimer`` for cheap wall-clock phase accounting in the streaming loop.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/rtwa_trace"):
+    import jax.profiler
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class PhaseTimer:
+    """Accumulates wall time per named phase; negligible overhead."""
+
+    def __init__(self, clock=time.perf_counter):
+        self.clock = clock
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = self.clock()
+        try:
+            yield
+        finally:
+            self.totals[name] += self.clock() - t0
+            self.counts[name] += 1
+
+    def report(self) -> dict[str, dict[str, float]]:
+        return {
+            name: {
+                "total_s": round(self.totals[name], 4),
+                "count": self.counts[name],
+                "mean_ms": round(1e3 * self.totals[name] / max(self.counts[name], 1), 2),
+            }
+            for name in sorted(self.totals)
+        }

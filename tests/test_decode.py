@@ -147,3 +147,42 @@ def test_mock_tokenizer_roundtrip():
     tok = MockTokenizer(W.get_config("test-tiny"))
     ids = [5, 17, 30000]
     assert tok.encode(tok.decode(ids)) == ids
+
+
+def test_beam_decode_runs_and_respects_grammar(asr):
+    from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode
+
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=11))
+    opts = D.DecodeOptions(timestamps=True, beam_size=3, max_new_tokens=32,
+                           word_timestamps=True)
+    res = beam_decode(asr.params, cfg, xa, opts)
+    ids = res.tokens[0][: res.lengths[0]].tolist()
+    body = ids[:-1] if ids and ids[-1] == cfg.eot else ids
+    assert body
+    ts0 = cfg.timestamp_begin
+    ts = [t for t in body if t >= ts0]
+    assert ts == sorted(ts)
+    assert res.xattn is not None and res.xattn.shape[1] >= len(body)
+    # beam keeps cumulative scores in the same regime as greedy (beam ≥ greedy
+    # is NOT a theorem once the greedy path leaves the beam; random weights
+    # produce near-flat distributions where that happens constantly)
+    greedy = D.greedy_decode(asr.params, cfg, xa,
+                             D.DecodeOptions(timestamps=True, max_new_tokens=32))
+    assert res.sum_logprob[0] >= greedy.sum_logprob[0] * 1.2
+
+
+def test_temperature_sampling_differs_and_is_seeded(asr):
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=12))
+    o = D.DecodeOptions(timestamps=False, max_new_tokens=16, temperature=0.8)
+    import realtime_whisper_asr_tpu.models.whisper.decode as DD
+    init, sot, npfx = DD.build_initial_tokens(cfg, o)
+    import jax.numpy as jnp
+    a1 = jnp.asarray(DD.pack_aux(init, npfx, sot, -1, seed=1))
+    a2 = jnp.asarray(DD.pack_aux(init, npfx, sot, -1, seed=2))
+    r1 = D.greedy_decode(asr.params, cfg, xa, o, aux_device=a1)
+    r1b = D.greedy_decode(asr.params, cfg, xa, o, aux_device=a1)
+    r2 = D.greedy_decode(asr.params, cfg, xa, o, aux_device=a2)
+    assert np.array_equal(r1.tokens, r1b.tokens)  # same seed -> deterministic
+    assert not np.array_equal(r1.tokens, r2.tokens)  # different seed -> differs

@@ -244,3 +244,42 @@ def test_protector_gives_up_after_max_retries():
     assert prot.check_device_available() is False
     with pytest.raises(RuntimeError):
         prot.open_stream()
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.models import whisper as W
+    from realtime_whisper_asr_tpu.models.whisper.checkpoint import (
+        is_native_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = W.get_config("test-tiny")
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params, cfg)
+    assert is_native_checkpoint(path)
+    cfg2, params2 = load_checkpoint(path)
+    assert cfg2 == cfg
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(params2)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_phase_timer():
+    from realtime_whisper_asr_tpu.utils.profiling import PhaseTimer
+
+    now = [0.0]
+    pt = PhaseTimer(clock=lambda: now[0])
+    with pt.phase("encode"):
+        now[0] += 0.5
+    with pt.phase("encode"):
+        now[0] += 0.25
+    rep = pt.report()
+    assert rep["encode"]["count"] == 2
+    assert abs(rep["encode"]["total_s"] - 0.75) < 1e-9
