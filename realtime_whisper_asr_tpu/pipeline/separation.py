@@ -125,6 +125,10 @@ def create_separator(method: Optional[str], **kw) -> Optional[VocalSeparator]:
         return None
     if method == "filter":
         return BandpassSeparator(**kw)
+    if method == "neural":
+        from realtime_whisper_asr_tpu.models.separation_nn import NeuralSeparator
+
+        return NeuralSeparator(**kw)
     if method == "demucs":
         sep = DemucsSeparator(**kw)
         if not sep.stats["available"]:

@@ -206,8 +206,37 @@ class OnlineASRProcessor:
             return
         self.audio_buffer = self.audio_buffer[int(cut_seconds * SAMPLING_RATE) :]
         self.buffer_time_offset = time
-        self._token_history = []  # audio origin moved: prior tokens misaligned
+        self._shift_token_history(cut_seconds)
         logger.debug("chunked at %.2f s", time)
+
+    def _shift_token_history(self, cut_seconds: float) -> None:
+        """Re-base hypothesis tokens after a trim so the incremental prefix
+        survives: trims land exactly on decoded segment-end timestamps, so
+        dropping tokens before the cut and shifting timestamp tokens by
+        −cut/0.02 realigns them with the new buffer origin. Any mismatch
+        (no exact boundary) clears the history instead."""
+        cfg = getattr(self.asr, "cfg", None)
+        if cfg is None or not self._token_history:
+            self._token_history = []
+            return
+        ts0 = cfg.timestamp_begin
+        delta_f = cut_seconds / 0.02
+        delta = int(round(delta_f))
+        if abs(delta_f - delta) > 1e-3:
+            self._token_history = []
+            return
+        shifted: list[list[int]] = []
+        for seq in self._token_history:
+            idx = next(
+                (i for i, t in enumerate(seq) if t >= ts0 and t - ts0 >= delta), None
+            )
+            if idx is None:
+                self._token_history = []  # cut beyond this hypothesis
+                return
+            if idx + 1 < len(seq) and seq[idx + 1] >= ts0:
+                idx += 1  # idx was the closing timestamp of a straddling segment
+            shifted.append([(t - delta) if t >= ts0 else t for t in seq[idx:]])
+        self._token_history = shifted
 
     def _stable_prefix(self) -> list[int]:
         """Token prefix shared by the last two hypotheses, minus a safety tail."""

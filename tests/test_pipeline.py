@@ -216,3 +216,27 @@ def test_separator_factory():
     assert create_separator("filter").name == "filter"
     sep = create_separator("demucs")  # no demucs installed -> bandpass fallback
     assert sep is not None
+
+
+def test_neural_separator_shape_and_fallback():
+    from realtime_whisper_asr_tpu.models.separation_nn import NeuralSeparator
+
+    sep = create_separator("neural")
+    assert isinstance(sep, NeuralSeparator)
+    audio = _tone(440, seconds=0.7)
+    out = sep.separate(audio)
+    assert out.shape == audio.shape and out.dtype == np.float32
+    assert np.isfinite(out).all()
+    tiny = np.zeros(100, np.float32)
+    assert sep.separate(tiny) is tiny  # shorter than one FFT frame -> passthrough
+
+
+def test_neural_separator_weights_roundtrip(tmp_path):
+    from realtime_whisper_asr_tpu.models.separation_nn import NeuralSeparator
+
+    sep = NeuralSeparator(seed=3)
+    p = str(tmp_path / "sep.npz")
+    sep.save_npz(p)
+    sep2 = NeuralSeparator.load_npz(p)
+    a = _tone(600, seconds=0.5)
+    np.testing.assert_allclose(sep.separate(a), sep2.separate(a), atol=1e-6)

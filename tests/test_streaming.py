@@ -293,3 +293,45 @@ def test_energy_vad_discriminates():
     p_speech = vad(speech)
     assert p_sil[5:].max() < 0.4
     assert p_speech[2:].mean() > 0.6
+
+
+def test_token_history_shift_on_trim():
+    """Trimming re-bases hypothesis tokens so the incremental prefix survives."""
+
+    class FakeCfg:
+        timestamp_begin = 50365
+
+    class FakeASR(TimecodedFakeASR):
+        cfg = FakeCfg()
+        supports_prefix = True
+
+    ts0 = 50365
+    asr = FakeASR([])
+    proc = OnlineASRProcessor(asr)
+    # two hypotheses: [<|1.00|> w100 w101 <|3.00|>] [<|3.00|> w102 ...]
+    seq = [ts0 + 50, 100, 101, ts0 + 150, ts0 + 150, 102, ts0 + 200]
+    proc._token_history = [list(seq), list(seq)]
+    proc.audio_buffer = np.zeros(16000 * 5, np.float32)
+    proc.chunk_at(3.0)  # cut exactly at the 3.00 s boundary
+    assert len(proc._token_history) == 2
+    # kept: the second segment, re-based to 0: [<|0.00|> w102 <|1.00|>]
+    assert proc._token_history[0] == [ts0 + 0, 102, ts0 + 50]
+    # stable prefix (minus safety tail) now feeds the next decode
+    proc.prefix_safety_tokens = 0
+    assert proc._stable_prefix() == [ts0 + 0, 102, ts0 + 50]
+
+
+def test_token_history_cleared_on_unaligned_trim():
+    class FakeCfg:
+        timestamp_begin = 50365
+
+    class FakeASR(TimecodedFakeASR):
+        cfg = FakeCfg()
+        supports_prefix = True
+
+    asr = FakeASR([])
+    proc = OnlineASRProcessor(asr)
+    proc._token_history = [[50365 + 50, 100]]
+    proc.audio_buffer = np.zeros(16000 * 5, np.float32)
+    proc.chunk_at(3.333333)  # not a 20 ms multiple
+    assert proc._token_history == []
