@@ -14,7 +14,15 @@ latency estimate of 3–5 s on an NVIDIA GPU (midpoint 4000 ms; BASELINE.md,
 reference 一键实时识别麦克风.py:282) — values > 1 are that many times faster.
 
 Env knobs: BENCH_MODEL (default large-v3), BENCH_SECONDS (default 24),
-BENCH_CHUNK (s, default 1.0), BENCH_MAX_NEW (default 96).
+BENCH_CHUNK (s, default 1.0), BENCH_MAX_NEW (default 96), BENCH_QUANT
+(int8|none), BENCH_SCENARIO (1..5 runs a BASELINE.json scenario through the
+full StreamingApp product path instead of the headline loop):
+
+  1 tiny offline transcribe of a 30 s WAV (VAD off, greedy)
+  2 base streaming, 1 s chunks + VAD (VAC), English
+  3 small multilingual streaming, LocalAgreement-2 + skip-detector dedup
+  4 medium task=translate streaming + audio-level dedup gate
+  5 large-v3 + vocal-separation frontend on music-backed speech
 """
 
 from __future__ import annotations
@@ -43,7 +51,110 @@ def synthetic_speech(seconds: float, seed: int = 0) -> np.ndarray:
     return (0.4 * out / np.max(np.abs(out))).astype(np.float32)
 
 
+def music_backed_speech(seconds: float, seed: int = 0) -> np.ndarray:
+    """Speech + background music mixture for the separation scenario."""
+    speech = synthetic_speech(seconds, seed)
+    t = np.arange(int(seconds * SR)) / SR
+    music = 0.15 * (np.sin(2 * np.pi * 220 * t) + 0.7 * np.sin(2 * np.pi * 330 * t)
+                    + 0.5 * np.sin(2 * np.pi * 55 * t))
+    return (speech + music.astype(np.float32)).astype(np.float32)
+
+
+def run_scenario(n: int) -> int:
+    import jax.numpy as jnp
+
+    from realtime_whisper_asr_tpu.app import StreamingApp
+    from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+    from realtime_whisper_asr_tpu.config import ConfigManager
+    from realtime_whisper_asr_tpu.io import SimulatedMicStream
+    from realtime_whisper_asr_tpu.utils import (
+        enable_persistent_compile_cache,
+        start_background_warmup,
+        wait_for_warmup,
+    )
+
+    enable_persistent_compile_cache()
+    start_background_warmup()
+    seconds = float(os.environ.get("BENCH_SECONDS", "24"))
+
+    if n == 1:  # tiny offline transcribe (BASELINE config #1)
+        asr = TPUWhisperASR(model_size="tiny", dtype=jnp.bfloat16)
+        asr.transcribe_kargs["max_total_tokens"] = 96
+        audio = synthetic_speech(30.0)
+        asr.transcribe(audio)  # compile
+        wait_for_warmup()
+        t0 = time.perf_counter()
+        segs = asr.transcribe(audio)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "offline_rtf_tiny_30s", "value": round(dt / 30.0, 4), "unit": "rtf",
+            "vs_baseline": round(BASELINE_LATENCY_MS["tiny"] / (dt * 1e3 / 30), 2),
+            "segments": len(segs), "wall_seconds": round(dt, 3), "scenario": 1,
+        }))
+        return 0
+
+    # synthetic tone-speech is near-stationary, so the audio-dedup gate (tuned
+    # for real speech) is off except in scenario 4 where it IS the feature
+    setups = {
+        2: dict(model="base", language="en",
+                overrides={"audio_deduplication.enable": False}),
+        3: dict(model="small", language="zh",
+                overrides={"skip_detector.enable": True, "streaming.agreement_n": 2,
+                           "audio_deduplication.enable": False}),
+        4: dict(model="medium", language="en",
+                overrides={"audio_deduplication.enable": True}, task="translate"),
+        5: dict(model="large-v3", language="en",
+                overrides={"vocal_separation.enable": True, "vocal_separation.method": "filter",
+                           "audio_deduplication.enable": False}),
+    }
+    s = setups[n]
+    cm = ConfigManager(autoload=False)
+    cm.set("model.size", s["model"])
+    cm.set("performance.display_interval_s", 1e9)
+    for k, v in s["overrides"].items():
+        cm.set(k, v)
+    app = StreamingApp(config=cm, language=s["language"], task=s.get("task", "transcribe"))
+    app.asr.transcribe_kargs.update(max_new_tokens=96, max_total_tokens=96)
+    audio = music_backed_speech(seconds) if n == 5 else synthetic_speech(seconds)
+
+    stream = SimulatedMicStream(np.concatenate([audio, audio]))  # warm + measure
+    stats = app.record_session(stream, chunk_seconds=1.0, max_seconds=seconds,
+                               until_exhausted=False)  # warmup pass
+    wait_for_warmup()
+    app.processor.init()
+    if app.monitor is not None:
+        from realtime_whisper_asr_tpu.services import PerformanceMonitor
+
+        app.monitor = PerformanceMonitor()
+    if app.deduplicator is not None:
+        app.deduplicator.reset()
+    if app.skip_detector is not None:
+        app.skip_detector.reset()
+    t0 = time.perf_counter()
+    stats = app.record_session(stream, chunk_seconds=1.0, max_seconds=seconds,
+                               until_exhausted=False)
+    wall = time.perf_counter() - t0
+    mon = app.monitor.get_status() if app.monitor else {}
+    app.shutdown()
+    print(json.dumps({
+        "metric": f"scenario{n}_{s['model']}_streaming_rtf",
+        "value": mon.get("rtf") if mon.get("rtf") is not None else round(wall / seconds, 4),
+        "unit": "rtf",
+        "vs_baseline": None,
+        "p50_ms": mon.get("p50_ms"),
+        "results": stats.results,
+        "skips": stats.skipped,
+        "dedup_skips": stats.dedup_skipped,
+        "wall_seconds": round(wall, 2),
+        "scenario": n,
+    }))
+    return 0
+
+
 def main() -> int:
+    scenario = os.environ.get("BENCH_SCENARIO")
+    if scenario:
+        return run_scenario(int(scenario))
     model = os.environ.get("BENCH_MODEL", "large-v3")
     seconds = float(os.environ.get("BENCH_SECONDS", "24"))
     chunk_s = float(os.environ.get("BENCH_CHUNK", "1.0"))
@@ -69,7 +180,11 @@ def main() -> int:
     )
 
     t_setup0 = time.perf_counter()
-    asr = TPUWhisperASR(model_size=model, dtype=jnp.bfloat16, word_timestamps=True)
+    quant = os.environ.get("BENCH_QUANT", "none")
+    asr = TPUWhisperASR(
+        model_size=model, dtype=jnp.bfloat16, word_timestamps=True,
+        quantization=None if quant in ("", "none") else quant,
+    )
     # random weights never sample EOT; cap the TOTAL transcript per window so
     # the incremental path generates a realistic ~handful of new tokens/tick
     asr.transcribe_kargs["max_new_tokens"] = max_new

@@ -285,7 +285,18 @@ class StreamingApp:
                 else:
                     chunk, _ = stream.read(n)
                 fed += len(chunk) / SR
-                self.process_chunk(chunk, stats, self.clock())
+                text = self.process_chunk(chunk, stats, self.clock())
+                # idle UI: blinking nonvoice marker + heartbeat (reference
+                # 一键…py:1653-1677) — only on a TTY, throttled
+                if text:
+                    self._last_text_time = self.clock()
+                elif (
+                    self.display.color_enabled
+                    and self.clock() - getattr(self, "_last_text_time", self.clock()) > 2.0
+                    and getattr(self.processor, "status", None) != "voice"
+                ):
+                    blink = "🔇 nonvoice" if int(self.clock() * 2) % 2 == 0 else "          "
+                    print(f"\r{blink}", end="", flush=True)
                 if self.monitor is not None:
                     self.display.display_stats(
                         monitor=self.monitor,

@@ -425,6 +425,15 @@ class TPUWhisperASR:
 
     # ------------------------------------------------------------ extra API
 
+    def transcribe_with_fallback(self, audio: np.ndarray, init_prompt: str = ""):
+        """Offline-quality path: greedy + the temperature-retry ladder."""
+        prev = self.temperature_fallback
+        self.temperature_fallback = True
+        try:
+            return self.transcribe(audio, init_prompt)
+        finally:
+            self.temperature_fallback = prev
+
     def detect_language(self, audio: np.ndarray) -> tuple[str, float]:
         """(language, probability) from one decoder step at SOT."""
         cfg = self.cfg
@@ -440,3 +449,10 @@ class TPUWhisperASR:
         lang_probs = np.asarray(jax.nn.softmax(logits[0, lang_ids].astype(jnp.float32)))
         best = int(np.argmax(lang_probs))
         return W.LANGUAGES[best], float(lang_probs[best])
+
+
+#: protocol-name aliases for reference-parity imports: both reference backends
+#: (faster-whisper's word_timestamps and whisper-timestamped's DTW) map to the
+#: same TPU implementation — word times here ARE cross-attention DTW.
+FasterWhisperASR = TPUWhisperASR
+WhisperTimestampedASR = TPUWhisperASR

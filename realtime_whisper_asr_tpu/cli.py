@@ -143,6 +143,9 @@ def cmd_wizard(args) -> int:
 
 
 def main(argv=None) -> int:
+    from realtime_whisper_asr_tpu.utils.log_filter import install as install_log_filter
+
+    install_log_filter()
     p = argparse.ArgumentParser(prog="realtime_whisper_asr_tpu",
                                 description="TPU-native realtime Whisper streaming ASR")
     sub = p.add_subparsers(dest="cmd", required=True)
