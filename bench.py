@@ -180,7 +180,7 @@ def main() -> int:
     )
 
     t_setup0 = time.perf_counter()
-    quant = os.environ.get("BENCH_QUANT", "none")
+    quant = os.environ.get("BENCH_QUANT", "int8")
     asr = TPUWhisperASR(
         model_size=model, dtype=jnp.bfloat16, word_timestamps=True,
         quantization=None if quant in ("", "none") else quant,
@@ -189,7 +189,9 @@ def main() -> int:
     # the incremental path generates a realistic ~handful of new tokens/tick
     asr.transcribe_kargs["max_new_tokens"] = max_new
     asr.transcribe_kargs["max_total_tokens"] = max_new
-    online = OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0))
+    prefix_policy = os.environ.get("BENCH_PREFIX_POLICY", "last")
+    online = OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0),
+                                prefix_policy=prefix_policy)
     vac = VACOnlineASRProcessor(
         online, VADIterator(EnergyVAD(), min_silence_duration_ms=500), online_chunk_size=0.5
     )
@@ -233,6 +235,7 @@ def main() -> int:
 
     audio_s = len(measured) / SR
     rtf = proc_total / audio_s
+    p25 = float(np.percentile(lat, 25) * 1e3) if lat else float("nan")
     p50 = float(np.percentile(lat, 50) * 1e3) if lat else float("nan")
     p90 = float(np.percentile(lat, 90) * 1e3) if lat else float("nan")
     baseline_ms = BASELINE_LATENCY_MS.get(model, 4000.0)
@@ -243,14 +246,17 @@ def main() -> int:
         "unit": "ms",
         "vs_baseline": round(baseline_ms / p50, 2) if p50 == p50 else None,
         "rtf": round(rtf, 4),
+        "p25_ms": round(p25, 1),
         "p90_ms": round(p90, 1),
+        "prefix_policy": prefix_policy,
+        "quantization": quant,
         "audio_seconds": audio_s,
         "results": results,
         "setup_seconds": round(setup_s, 1),
         "wall_seconds": round(wall, 2),
         "model": model,
         "max_new_tokens": max_new,
-        "note": "random-init weights; decode capped at max_new_tokens/window",
+        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); ~60ms/tick is tunneled-transfer latency specific to this rig",
     }))
     return 0
 

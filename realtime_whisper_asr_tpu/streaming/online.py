@@ -82,6 +82,7 @@ class OnlineASRProcessor:
         prompt_chars: int = 300,
         dynamic_buffer: bool = False,
         incremental_prefix: bool = True,
+        prefix_policy: str = "agree2",  # agree2 | last (SimulStreaming-style)
         prefix_safety_tokens: int = 4,
         clock: Callable[[], float] = _time.monotonic,
         logfile=None,
@@ -93,9 +94,18 @@ class OnlineASRProcessor:
         self.buffer_manager = (
             DynamicBufferManager(initial_sec=self.buffer_trimming_sec) if dynamic_buffer else None
         )
-        # incremental re-decode: force the token prefix the last two hypotheses
-        # agree on (minus a safety tail) so each tick only generates new tokens
+        # incremental re-decode: force a stable token prefix so each tick only
+        # generates new tokens. Policies:
+        #   agree2 — prefix = common prefix of the last two hypotheses (safe,
+        #            default; mirrors the LocalAgreement commit criterion)
+        #   last   — prefix = the whole previous hypothesis minus the safety
+        #            tail (aggressive; the SimulStreaming-style mode the
+        #            reference's docs recommend for large models,
+        #            先看这个，cursor不用看/先看这个.txt)
         self.incremental_prefix = incremental_prefix and getattr(asr, "supports_prefix", False)
+        if prefix_policy not in ("agree2", "last"):
+            raise ValueError(f"unknown prefix_policy {prefix_policy!r}")
+        self.prefix_policy = prefix_policy
         self.prefix_safety_tokens = prefix_safety_tokens
         self.clock = clock
         self.init()
@@ -239,7 +249,12 @@ class OnlineASRProcessor:
         self._token_history = shifted
 
     def _stable_prefix(self) -> list[int]:
-        """Token prefix shared by the last two hypotheses, minus a safety tail."""
+        """Token prefix to force, per prefix_policy, minus a safety tail."""
+        if self.prefix_policy == "last":
+            if not self._token_history:
+                return []
+            a = self._token_history[-1]
+            return a[: max(0, len(a) - self.prefix_safety_tokens)]
         if len(self._token_history) < 2:
             return []
         a, b = self._token_history[-2], self._token_history[-1]
