@@ -152,7 +152,7 @@ def _beam_loop(
         jnp.zeros((k,), bool),
         cache,
         scores0,
-        jnp.full((k,), 1, jnp.int32) * last_ts0,
+        jnp.broadcast_to(last_ts0, (k,)),
     )
     tokens, pos, finished, cache, scores, last_ts = jax.lax.while_loop(cond, body, state)
     # length-penalized pick: score / length**penalty over sampled region

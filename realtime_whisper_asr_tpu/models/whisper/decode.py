@@ -187,7 +187,7 @@ def _greedy_loop(
     initial_tokens = jnp.tile(aux[:p].astype(jnp.int32)[None], (b, 1))
     n_prefix_arr = aux[AUX_TOK].astype(jnp.int32)
     sot_index_arr = aux[AUX_TOK + 1].astype(jnp.int32)
-    last_ts_init = jnp.full((b,), 1, jnp.int32) * aux[AUX_TOK + 2].astype(jnp.int32)
+    last_ts_init = jnp.broadcast_to(aux[AUX_TOK + 2].astype(jnp.int32), (b,))
     total = p + max_new
     ts0 = cfg.timestamp_begin
     vocab_ids = jnp.arange(cfg.n_vocab)
@@ -324,8 +324,6 @@ def greedy_decode(
     Returns tokens = prefix + sampled (xattn rows aligned), so callers parse
     one transcript regardless of how much was forced.
     """
-    from realtime_whisper_asr_tpu.utils.transfer import device_get
-
     init, sot_index, n_prefix = build_initial_tokens(cfg, opts, prompt_tokens, prefix_tokens)
     prefix_arr = init[len(init) - n_prefix :] if n_prefix else np.zeros(0, np.int32)
     b = xa.shape[0]

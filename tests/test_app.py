@@ -103,3 +103,24 @@ def test_cli_detect_and_devices(capsys):
     out = capsys.readouterr().out
     assert "recommendation" in out
     assert main(["devices"]) == 0
+
+
+def test_session_without_vad_direct_online():
+    """vad.enable=False routes chunks straight into OnlineASRProcessor
+    (the reference's non-VAC loop, 一键…py:1679-1876)."""
+    from realtime_whisper_asr_tpu.streaming import OnlineASRProcessor
+
+    words = make_words(6)
+    lines = []
+    cm = ConfigManager(autoload=False)
+    cm.set("vad.enable", False)
+    cm.set("audio_deduplication.enable", False)
+    cm.set("performance.display_interval_s", 1e9)
+    asr = TimecodedFakeASR(words, unstable_tail=False)
+    app = StreamingApp(config=cm, asr=asr, language="en", output=lines.append)
+    assert isinstance(app.processor, OnlineASRProcessor)
+    stream = SimulatedMicStream(timecoded_audio(0.0, 5.0))
+    stats = app.record_session(stream, chunk_seconds=1.0)
+    app.shutdown()
+    assert stats.results > 0
+    assert any("word0" in l for l in lines)
