@@ -130,8 +130,10 @@ class TPUWhisperASR:
         self.adaptive_params = None  # optional AdaptiveWhisperParams (pipeline.stretch)
         self._vad_flag = False  # protocol parity; VAD is the VAC processor's job
         self._encode = jax.jit(W.encode, static_argnames=("cfg",))
-        self._dev_buf = None  # device-resident rolling audio buffer
-        self._host_mirror = np.zeros(0, np.float32)
+        # device-resident rolling audio buffers, one per stream (multi-stream
+        # serving shares one model; each stream keeps its own window mirror)
+        self._buffers: dict = {}
+        self._active_stream = None
         self._sample_seed = seed
         #: whisper's quality-retry ladder (compression ratio / avg logprob
         #: gates, then re-decode at rising temperature). Off by default for
@@ -164,13 +166,11 @@ class TPUWhisperASR:
         upload. Each separate transfer costs ~30 ms of tunnel latency, so this
         is the difference between 1 and 3-5 uploads per tick.
         """
-        import jax
-
         audio = np.asarray(audio, np.float32)[: self._CAP - 64000]
-        mirror = self._host_mirror
+        dev_buf, mirror = self._buffers.get(self._active_stream, (None, np.zeros(0, np.float32)))
         n_old = len(mirror)
         grows = (
-            self._dev_buf is not None
+            dev_buf is not None
             and len(audio) >= n_old
             and len(audio) - n_old <= self._CHUNK_BUCKETS[-1]
             and np.array_equal(audio[:n_old], mirror)
@@ -183,24 +183,32 @@ class TPUWhisperASR:
             payload[cb:] = aux_np
             up = jnp.asarray(payload)
             if len(new):
-                self._dev_buf = _buf_write(self._dev_buf, up[:cb], jnp.int32(n_old))
+                dev_buf = _buf_write(dev_buf, up[:cb], jnp.int32(n_old))
             aux_dev = up[cb:]
         else:
             full = np.zeros(self._CAP + D.AUX_LEN, np.float32)
             full[: len(audio)] = audio
             full[self._CAP :] = aux_np
             up = jnp.asarray(full)
-            self._dev_buf = up[: self._CAP]
+            dev_buf = up[: self._CAP]
             aux_dev = up[self._CAP :]
-        self._host_mirror = audio.copy()
+        self._buffers[self._active_stream] = (dev_buf, audio.copy())
         return aux_dev
+
+    def set_active_stream(self, key) -> None:
+        """Select which per-stream device buffer transcribe() grows."""
+        self._active_stream = key
+
+    def drop_stream(self, key) -> None:
+        self._buffers.pop(key, None)
 
     def _encode_from_buf(self, n_samples: int) -> jnp.ndarray:
         for b in self.WINDOW_BUCKETS_S:
             nb = int(b * SAMPLING_RATE)
             if n_samples <= nb:
                 break
-        window = jax.lax.slice(self._dev_buf, (0,), (nb,))
+        dev_buf, _ = self._buffers[self._active_stream]
+        window = jax.lax.slice(dev_buf, (0,), (nb,))
         from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
 
         mel = log_mel_spectrogram(window, n_mels=self.cfg.n_mels)

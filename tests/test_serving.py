@@ -1,0 +1,100 @@
+"""Multi-stream server tests: fair scheduling, isolation, flush, shedding."""
+
+import numpy as np
+
+from realtime_whisper_asr_tpu.serving import StreamServer
+from tests.test_streaming import ScriptedProbs, TimecodedFakeASR, make_words, timecoded_audio
+
+SR = 16000
+
+
+class PerStreamFakeASR(TimecodedFakeASR):
+    """Shared backend serving different ground truth per active stream."""
+
+    supports_prefix = False
+
+    def __init__(self, words_by_stream):
+        super().__init__([], unstable_tail=False)
+        self.words_by_stream = words_by_stream
+        self.active = None
+
+    def set_active_stream(self, key):
+        self.active = key
+
+    def drop_stream(self, key):
+        pass
+
+    def transcribe(self, audio, init_prompt="", **kw):
+        self.words = self.words_by_stream[self.active]
+        return super().transcribe(audio, init_prompt)
+
+
+def test_two_streams_isolated_outputs():
+    words_a = [(0.5, 0.9, " alpha1"), (1.0, 1.4, " alpha2"), (2.0, 2.4, " alpha3")]
+    words_b = [(0.5, 0.9, " beta1"), (1.2, 1.6, " beta2"), (2.1, 2.5, " beta3")]
+    asr = None
+    server = None
+
+    def build(sid_words):
+        return PerStreamFakeASR(sid_words)
+
+    # stream ids are assigned 1, 2 in creation order
+    asr = build({1: words_a, 2: words_b})
+    server = StreamServer(asr, use_vad=False, online_chunk_size=0.5)
+    a = server.create_stream()
+    b = server.create_stream()
+    t = 0.0
+    outs = {a: [], b: []}
+    for _ in range(5):
+        server.feed(a, timecoded_audio(t, t + 1.0))
+        server.feed(b, timecoded_audio(t, t + 1.0))
+        t += 1.0
+        while server.step():
+            pass
+        for sid in (a, b):
+            outs[sid].extend(server.poll(sid))
+    outs[a].extend(server.close_stream(a))
+    outs[b].extend(server.close_stream(b))
+    text_a = "".join(r.text for r in outs[a])
+    text_b = "".join(r.text for r in outs[b])
+    assert "alpha1" in text_a and "alpha3" in text_a
+    assert "beta1" in text_b and "beta3" in text_b
+    assert "beta" not in text_a and "alpha" not in text_b
+    st = server.get_stats()
+    assert st["total_streams"] == 2 and st["streams"] == 0
+
+
+def test_round_robin_fairness():
+    words = {i: make_words(8) for i in (1, 2, 3)}
+    server = StreamServer(PerStreamFakeASR(words), use_vad=False, online_chunk_size=0.5)
+    sids = [server.create_stream() for _ in range(3)]
+    for t in range(6):
+        for sid in sids:
+            server.feed(sid, timecoded_audio(float(t), float(t + 1)))
+        while server.step():
+            pass
+    stats = server.get_stats()["per_stream"]
+    ticks = [stats[sid]["ticks"] for sid in sids]
+    assert max(ticks) - min(ticks) <= 1, f"unfair: {ticks}"
+
+
+def test_load_shedding_kicks_in():
+    words = {1: make_words(10)}
+    server = StreamServer(PerStreamFakeASR(words), use_vad=False, online_chunk_size=0.5)
+    sid = server.create_stream()
+    # poison the monitor: pretend we're far behind realtime
+    for _ in range(20):
+        server.monitor.record_recognition(audio_seconds=1.0, processing_seconds=5.0)
+    server.feed(sid, timecoded_audio(0.0, 2.0))
+    assert server.step() is True  # tick consumed by shedding
+    assert server.streams[sid].skipped_ticks == 1
+
+
+def test_closed_stream_rejects_feed():
+    server = StreamServer(PerStreamFakeASR({1: []}), use_vad=False)
+    sid = server.create_stream()
+    server.close_stream(sid)
+    import pytest
+
+    with pytest.raises(ValueError):
+        server.feed(sid, np.zeros(100, np.float32))
