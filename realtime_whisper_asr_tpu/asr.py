@@ -178,6 +178,11 @@ class TPUWhisperASR:
         if grows:
             new = audio[n_old:]
             cb = next(b for b in self._CHUNK_BUCKETS if len(new) <= b)
+            # dynamic_update_slice clamps out-of-range starts, which would
+            # silently misplace the write — fall back to a full upload instead
+            if n_old + cb > self._CAP:
+                grows = False
+        if grows:
             payload = np.zeros(cb + D.AUX_LEN, np.float32)
             payload[: len(new)] = new
             payload[cb:] = aux_np

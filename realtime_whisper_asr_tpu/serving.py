@@ -64,6 +64,8 @@ class _Stream:
         self.ticks = 0
         self.skipped_ticks = 0
         self.consecutive_sheds = 0
+        self.audio_since_tick = 0.0  # seconds drained but not yet transcribed
+        self.language: Optional[str] = None
 
 
 class StreamServer:
@@ -96,7 +98,8 @@ class StreamServer:
         self.monitor = PerformanceMonitor()
         self._ids = itertools.count(1)
         self._rr: deque[int] = deque()  # round-robin order
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # guards queues/results/rr/stream maps
+        self._asr_lock = threading.Lock()  # serializes shared-ASR access
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -119,45 +122,68 @@ class StreamServer:
         else:
             processor = online
         sid = next(self._ids)
+        stream = _Stream(sid, processor, SkipDetector(clock=self.clock), self.clock)
+        stream.language = language
         with self._lock:
-            self.streams[sid] = _Stream(sid, processor, SkipDetector(clock=self.clock),
-                                        self.clock)
+            self.streams[sid] = stream
             self._rr.append(sid)
         logger.info("stream %d created (language=%s)", sid, language)
         return sid
 
+    def _get_open(self, stream_id: int) -> _Stream:
+        s = self.streams.get(stream_id)
+        if s is None or s.closed:
+            raise ValueError(f"stream {stream_id} is closed or unknown")
+        return s
+
     def feed(self, stream_id: int, chunk: np.ndarray) -> None:
-        s = self.streams[stream_id]
-        if s.closed:
-            raise ValueError(f"stream {stream_id} is closed")
         with self._lock:
+            s = self._get_open(stream_id)
             s.pending_audio.append(np.asarray(chunk, np.float32))
             s.buffered_samples += len(chunk)
 
     def poll(self, stream_id: int) -> list[StreamResult]:
-        s = self.streams[stream_id]
         with self._lock:
+            s = self.streams.get(stream_id)
+            if s is None:
+                return []
             out = list(s.results)
             s.results.clear()
         return out
 
     def close_stream(self, stream_id: int) -> list[StreamResult]:
-        """Final flush; returns any remaining results."""
-        s = self.streams[stream_id]
-        self._drain_into_processor(s)
-        if hasattr(self.asr, "set_active_stream"):
-            self.asr.set_active_stream(stream_id)
-        beg, end, text = s.processor.finish()
-        self._emit(s, beg, end, text)
-        s.closed = True
+        """Final flush (transcribes any remaining audio); returns remaining
+        results and forgets the stream."""
         with self._lock:
+            s = self._get_open(stream_id)
+            s.closed = True  # feed() rejects from here on
             if stream_id in self._rr:
                 self._rr.remove(stream_id)
-        if hasattr(self.asr, "drop_stream"):
-            self.asr.drop_stream(stream_id)
-        return self.poll(stream_id)
+        with self._asr_lock:
+            self._drain_into_processor(s)
+            self._activate(s)
+            # run a final transcription tick over whatever audio remains —
+            # finish() only flushes already-hypothesized words
+            inner = getattr(s.processor, "online", s.processor)
+            if len(getattr(inner, "audio_buffer", ())) > 0:
+                beg, end, text = inner.process_iter()
+                self._emit(s, beg, end, text)
+            beg, end, text = s.processor.finish()
+            self._emit(s, beg, end, text)
+            if hasattr(self.asr, "drop_stream"):
+                self.asr.drop_stream(stream_id)
+        out = self.poll(stream_id)
+        with self._lock:
+            self.streams.pop(stream_id, None)  # no leaks on stream churn
+        return out
 
     # -------------------------------------------------------------- scheduling
+
+    def _activate(self, s: _Stream) -> None:
+        if hasattr(self.asr, "set_active_stream"):
+            self.asr.set_active_stream(s.sid)
+        if s.language is not None and hasattr(self.asr, "original_language"):
+            self.asr.original_language = s.language
 
     def _drain_into_processor(self, s: _Stream) -> None:
         while True:
@@ -166,6 +192,7 @@ class StreamServer:
                     return
                 chunk = s.pending_audio.popleft()
                 s.buffered_samples -= len(chunk)
+            s.audio_since_tick += len(chunk) / SR
             s.processor.insert_audio_chunk(chunk)
 
     def _emit(self, s: _Stream, beg, end, text) -> None:
@@ -182,34 +209,44 @@ class StreamServer:
         with self._lock:
             order = list(self._rr)
         for sid in order:
-            s = self.streams.get(sid)
-            if s is None or s.closed:
-                continue
-            if s.buffered_samples < 1:
-                continue
             with self._lock:
-                self._rr.remove(sid)
-                self._rr.append(sid)
-            self._drain_into_processor(s)
-            skip, why = self.monitor.should_skip_recognition(1.0)
-            # probe-through: never shed indefinitely, or the monitor's window
-            # never refreshes and shedding becomes a deadlock (fast post-warmup
-            # ticks must get a chance to repair the speed ratio)
-            if skip and s.consecutive_sheds < self.max_consecutive_sheds:
-                s.skipped_ticks += 1
-                s.consecutive_sheds += 1
-                logger.debug("shedding load on stream %d: %s", sid, why)
-                return True
-            s.consecutive_sheds = 0
-            if hasattr(self.asr, "set_active_stream"):
-                self.asr.set_active_stream(sid)
-            t0 = self.clock()
-            beg, end, text = s.processor.process_iter()
-            dt = self.clock() - t0
-            s.ticks += 1
-            if text and beg is not None and end is not None:
-                self.monitor.record_recognition(max(end - beg, 1e-3), max(dt, 1e-6))
-            self._emit(s, beg, end, text)
+                s = self.streams.get(sid)
+                # readiness = pending audio OR audio already drained into the
+                # processor by a shed tick that still awaits transcription
+                if s is None or s.closed or (
+                    s.buffered_samples < 1 and s.audio_since_tick <= 0
+                ):
+                    continue
+                # rotate under the lock; a concurrent close may have removed it
+                try:
+                    self._rr.remove(sid)
+                    self._rr.append(sid)
+                except ValueError:
+                    continue
+            with self._asr_lock:
+                with self._lock:
+                    if s.closed:
+                        continue
+                self._drain_into_processor(s)
+                skip, why = self.monitor.should_skip_recognition(max(s.audio_since_tick, 0.1))
+                # probe-through: never shed indefinitely, or the monitor's
+                # window never refreshes and shedding becomes a deadlock
+                if skip and s.consecutive_sheds < self.max_consecutive_sheds:
+                    s.skipped_ticks += 1
+                    s.consecutive_sheds += 1
+                    logger.debug("shedding load on stream %d: %s", sid, why)
+                    return True
+                s.consecutive_sheds = 0
+                self._activate(s)
+                t0 = self.clock()
+                beg, end, text = s.processor.process_iter()
+                dt = self.clock() - t0
+                s.ticks += 1
+                # every real tick updates the window, with the audio actually
+                # processed since the last tick (not the committed-word span)
+                self.monitor.record_recognition(max(s.audio_since_tick, 1e-3), max(dt, 1e-6))
+                s.audio_since_tick = 0.0
+                self._emit(s, beg, end, text)
             return True
         return False
 

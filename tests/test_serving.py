@@ -61,7 +61,8 @@ def test_two_streams_isolated_outputs():
     assert "beta1" in text_b and "beta3" in text_b
     assert "beta" not in text_a and "alpha" not in text_b
     st = server.get_stats()
-    assert st["total_streams"] == 2 and st["streams"] == 0
+    # closed streams are forgotten entirely (no leak on stream churn)
+    assert st["total_streams"] == 0 and st["streams"] == 0
 
 
 def test_round_robin_fairness():
@@ -98,3 +99,59 @@ def test_closed_stream_rejects_feed():
 
     with pytest.raises(ValueError):
         server.feed(sid, np.zeros(100, np.float32))
+
+
+def test_close_stream_transcribes_remaining_audio():
+    """Audio fed after the last step() must still be transcribed at close."""
+    words = {1: [(0.4, 0.8, " lastword")]}
+    server = StreamServer(PerStreamFakeASR(words), use_vad=False)
+    sid = server.create_stream()
+    server.feed(sid, timecoded_audio(0.0, 2.0))
+    out = server.close_stream(sid)  # no step() in between
+    assert any("lastword" in r.text for r in out)
+
+
+def test_shed_then_starve_recovers():
+    """A shed tick drains audio; later steps must still transcribe it even if
+    no new audio arrives."""
+    words = {1: [(0.4, 0.8, " probe")]}
+    server = StreamServer(PerStreamFakeASR(words), use_vad=False,
+                          max_consecutive_sheds=2)
+    sid = server.create_stream()
+    for _ in range(20):
+        server.monitor.record_recognition(1.0, 5.0)  # poisoned window
+    server.feed(sid, timecoded_audio(0.0, 2.0))
+    ran = 0
+    for _ in range(6):  # sheds twice, then probe tick runs the transcription
+        if server.step():
+            ran += 1
+    s = server.streams[sid]
+    assert s.ticks >= 1, "probe-through never ran a real tick"
+    assert s.audio_since_tick == 0.0
+
+
+def test_concurrent_feed_and_close_no_crash():
+    import threading
+
+    words = {i: make_words(4) for i in range(1, 40)}
+    server = StreamServer(PerStreamFakeASR(words), use_vad=False)
+    errors = []
+
+    def churn():
+        try:
+            for _ in range(12):
+                sid = server.create_stream()
+                server.feed(sid, timecoded_audio(0.0, 1.0))
+                server.close_stream(sid)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    server.start()
+    threads = [threading.Thread(target=churn) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.stop()
+    assert not errors
+    assert server.get_stats()["total_streams"] == 0
