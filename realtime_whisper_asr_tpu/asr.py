@@ -300,9 +300,10 @@ class TPUWhisperASR:
             self.cfg, opts, prompt_ids, prefix_ids
         )
         ts_in_prefix = [int(t) for t in init[len(init) - n_prefix :] if t >= self.cfg.timestamp_begin]
+        _, max_new_cap = D.plan_decode_budget(self.cfg, opts, int(init.shape[0]), n_prefix)
         aux_np = D.pack_aux(
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
-            seed=self._sample_seed,
+            seed=self._sample_seed, max_new_cap=max_new_cap,
         )
         aux_dev = self._sync_audio_and_aux(audio, aux_np)
         xa = self._encode_from_buf(len(audio))
@@ -338,9 +339,11 @@ class TPUWhisperASR:
             ids = ids[:-1]
         # word times via DTW over captured cross-attention
         words: list[tuple[float, float, str]] = []
+        word_token_counts: list[int] = []
         if self.word_timestamps and result.xattn is not None and ids:
-            words = TS.word_timestamps(
-                ids, result.xattn[0][: len(ids)], self.tokenizer, n_frames, time_offset
+            words, word_token_counts = TS.word_timestamps(
+                ids, result.xattn[0][: len(ids)], self.tokenizer, n_frames, time_offset,
+                return_token_counts=True,
             )
         # split into segments at timestamp-token pairs
         segments: list[Segment] = []
@@ -349,15 +352,23 @@ class TPUWhisperASR:
         seg_start = time_offset
         last_end = time_offset
         widx = 0
+        tok_consumed = 0  # text tokens already assigned to earlier segments
         for tok in ids:
             if tok >= ts0:
                 t = time_offset + cfg.timestamp_to_seconds(tok)
                 if cur_text:
+                    # assign words whose tokens fall inside this segment's text
+                    # tokens (words may span multiple tokens — count tokens,
+                    # not words)
                     seg_words = []
-                    take = sum(1 for i in cur_text if i < cfg.eot)
-                    for b, e, wtext in words[widx : widx + take]:
+                    seg_token_budget = sum(1 for i in cur_text if i < cfg.eot)
+                    used = 0
+                    while widx < len(words) and used < seg_token_budget:
+                        b, e, wtext = words[widx]
+                        used += word_token_counts[widx] if widx < len(word_token_counts) else 1
                         seg_words.append(Word(b, e, wtext))
-                    widx += len(seg_words)
+                        widx += 1
+                    tok_consumed += seg_token_budget
                     segments.append(
                         Segment(
                             start=seg_start,

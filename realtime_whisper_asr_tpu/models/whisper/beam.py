@@ -56,16 +56,21 @@ def _beam_loop(
 ):
     k = beam_size
     p = prompt_len
-    total = p + max_new
+    # exact generation cap rides in aux (static bound is bucket-quantized)
+    total = jnp.minimum(jnp.int32(p + max_new),
+                        jnp.int32(p) + aux[D.AUX_TOK + 4].astype(jnp.int32))
     ts0 = cfg.timestamp_begin
     vocab_ids = jnp.arange(cfg.n_vocab)
     initial_tokens = aux[:p].astype(jnp.int32)[None]
     n_prefix_arr = aux[D.AUX_TOK].astype(jnp.int32)
+    sot_index_arr = aux[D.AUX_TOK + 1].astype(jnp.int32)
     last_ts0 = aux[D.AUX_TOK + 2].astype(jnp.int32)
     max_initial_index = round(opts.max_initial_timestamp / 0.02)
 
     cache1 = M.init_cache(params, cfg, xa, text_ctx=cache_len)
-    _, cache1, _ = M.decode_span(params, cfg, initial_tokens, jnp.int32(0), cache1)
+    pre_logits, cache1, _ = M.decode_span(params, cfg, initial_tokens, jnp.int32(0), cache1)
+    sot_logits = jax.lax.dynamic_index_in_dim(pre_logits, sot_index_arr, axis=1, keepdims=False)
+    no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)[0, cfg.no_speech]
     cache = M.DecoderCache(
         self_k=_tile_beams(cache1.self_k, k),
         self_v=_tile_beams(cache1.self_v, k),
@@ -161,7 +166,8 @@ def _beam_loop(
     norm = scores / jnp.power(lengths.astype(jnp.float32), opts.length_penalty)
     best = jnp.argmax(norm)
     out = jnp.concatenate(
-        [sampled[best].astype(jnp.float32), scores[best][None], lengths[best].astype(jnp.float32)[None]]
+        [sampled[best].astype(jnp.float32), scores[best][None],
+         lengths[best].astype(jnp.float32)[None], no_speech_prob[None]]
     )
     return out
 
@@ -182,24 +188,15 @@ def beam_decode(
     init, sot_index, n_prefix = D.build_initial_tokens(cfg, opts, prompt_tokens, prefix_tokens)
     prefix_arr = init[len(init) - n_prefix :] if n_prefix else np.zeros(0, np.int32)
     p = int(init.shape[0])
-    budget = cfg.n_text_ctx - p
-    max_new = min(opts.max_new_tokens, budget)
-    if opts.max_total_tokens is not None:
-        max_new = max(min(max_new, opts.max_total_tokens - n_prefix), 1)
-    for q in (16, 48, 96, 224):
-        if max_new <= q:
-            max_new = q
-            break
-    else:
-        max_new = 224
-    max_new = min(max_new, budget)
+    max_new, max_new_cap = D.plan_decode_budget(cfg, opts, p, n_prefix)
     cache_len = min(cfg.n_text_ctx, D._round_up(p + max_new, 128))
 
     sup = D._sup_mask_dev(cfg, tuple(extra_suppress))
     if aux_device is None:
         ts_in_prefix = [int(t) for t in prefix_arr if t >= cfg.timestamp_begin]
         aux_device = jnp.asarray(
-            D.pack_aux(init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1)
+            D.pack_aux(init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
+                       max_new_cap=max_new_cap)
         )
 
     out = np.asarray(
@@ -215,6 +212,7 @@ def beam_decode(
     sampled = out[:max_new].astype(np.int32)
     score = float(out[max_new])
     n_sampled = int(out[max_new + 1])
+    nsp = float(out[max_new + 2])
 
     full_tokens = np.concatenate([prefix_arr, sampled])[None]
     eots = np.nonzero(full_tokens[0] == cfg.eot)[0]
@@ -248,6 +246,6 @@ def beam_decode(
         lengths=lengths,
         sum_logprob=np.array([score]),
         avg_logprob=np.array([score / max(n_sampled, 1)]),
-        no_speech_prob=np.array([0.0]),
+        no_speech_prob=np.array([nsp]),
         xattn=xattn,
     )

@@ -63,7 +63,7 @@ class DecodeResult:
     xattn: Optional[np.ndarray]  # (B, n_prefix + ≤max_new, audio_ctx) or None
 
 
-_PROMPT_BUCKETS = (8, 16, 32, 64, 128, 192, 256)
+_PROMPT_BUCKETS = (8, 16, 32, 64, 128, 192, 256, 384)
 
 
 def _bucket(n: int) -> int:
@@ -94,15 +94,20 @@ def build_initial_tokens(
         tokens = sot_seq
         return np.asarray(tokens, np.int32), 0, 0
     # reserve space: [sot_prev] + pad + prompt + sot_seq + prefix
+    max_p = min(cfg.n_text_ctx - 64, _PROMPT_BUCKETS[-1], AUX_TOK)
     base = 1 + len(prompt) + len(sot_seq) + len(prefix)
-    target = _bucket(base)
-    max_p = cfg.n_text_ctx - 64  # leave generation room
-    if target > max_p:
-        # shed prefix first (keep its tail), then prompt
-        overflow = target - max_p
-        prefix = prefix[: max(0, len(prefix) - overflow)]
+    if base > max_p:
+        # shed the prefix TAIL first (the head must stay aligned with the
+        # audio window start — dropping it would make the model re-emit early
+        # content as duplicates), then shed the prompt's oldest chars
+        overflow = base - max_p
+        drop = min(overflow, len(prefix))
+        prefix = prefix[: len(prefix) - drop]
+        overflow -= drop
+        if overflow > 0:
+            prompt = prompt[overflow:]
         base = 1 + len(prompt) + len(sot_seq) + len(prefix)
-        target = _bucket(base)
+    target = _bucket(base)
     pad = target - base
     tokens = [cfg.sot_prev] + [opts.blank_id] * pad + prompt + sot_seq + prefix
     sot_index = len(tokens) - len(prefix) - len(sot_seq)
@@ -124,16 +129,41 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def plan_decode_budget(
+    cfg: WhisperConfig, opts: DecodeOptions, p: int, n_prefix: int
+) -> tuple[int, int]:
+    """(static loop bound, exact cap). The bound is bucket-quantized for trace
+    stability; the cap (≤ bound) is enforced via the aux bundle at runtime."""
+    budget = cfg.n_text_ctx - p
+    cap = min(opts.max_new_tokens, budget)
+    if opts.max_total_tokens is not None:
+        cap = max(min(cap, opts.max_total_tokens - n_prefix), 1)
+    for q in (16, 48, 96, 224):
+        if cap <= q:
+            static = q
+            break
+    else:
+        static = 224
+    return min(static, budget), cap
+
+
 # aux transfer bundle layout:
-#   [tokens_f32(AUX_TOK) | n_prefix | sot_index | last_ts | sampling_seed]
+#   [tokens_f32(AUX_TOK) | n_prefix | sot_index | last_ts | sampling_seed | max_new_cap]
 # — one host→device upload carries the initial tokens AND the dynamic scalars
 # (each separate upload costs ~30 ms of tunnel latency on this backend).
-AUX_TOK = 256
-AUX_LEN = AUX_TOK + 4
+# max_new_cap enforces max_total_tokens exactly even though the static loop
+# bound is bucket-quantized.
+AUX_TOK = 384
+AUX_LEN = AUX_TOK + 5
 
 
 def pack_aux(
-    init: np.ndarray, n_prefix: int, sot_index: int, last_ts: int, seed: int = 0
+    init: np.ndarray,
+    n_prefix: int,
+    sot_index: int,
+    last_ts: int,
+    seed: int = 0,
+    max_new_cap: int = 10**6,
 ) -> np.ndarray:
     aux = np.zeros(AUX_LEN, np.float32)
     aux[: len(init)] = init.astype(np.float32)
@@ -141,6 +171,7 @@ def pack_aux(
     aux[AUX_TOK + 1] = sot_index
     aux[AUX_TOK + 2] = last_ts
     aux[AUX_TOK + 3] = seed
+    aux[AUX_TOK + 4] = max_new_cap
     return aux
 
 
@@ -188,7 +219,10 @@ def _greedy_loop(
     n_prefix_arr = aux[AUX_TOK].astype(jnp.int32)
     sot_index_arr = aux[AUX_TOK + 1].astype(jnp.int32)
     last_ts_init = jnp.broadcast_to(aux[AUX_TOK + 2].astype(jnp.int32), (b,))
-    total = p + max_new
+    # exact generation cap (the static bound max_new is bucket-quantized)
+    total = jnp.minimum(
+        jnp.int32(p + max_new), jnp.int32(p) + aux[AUX_TOK + 4].astype(jnp.int32)
+    )
     ts0 = cfg.timestamp_begin
     vocab_ids = jnp.arange(cfg.n_vocab)
     audio_ctx = xa.shape[1]
@@ -328,19 +362,7 @@ def greedy_decode(
     prefix_arr = init[len(init) - n_prefix :] if n_prefix else np.zeros(0, np.int32)
     b = xa.shape[0]
     p = int(init.shape[0])
-    budget = cfg.n_text_ctx - p
-    max_new = min(opts.max_new_tokens, budget)
-    if opts.max_total_tokens is not None:
-        max_new = max(min(max_new, opts.max_total_tokens - n_prefix), 1)
-    # quantize the STATIC loop bound to a few trace variants (early EOT exit
-    # makes the runtime proportional to actual steps, not the bound)
-    for q in (16, 48, 96, 224):
-        if max_new <= q:
-            max_new = q
-            break
-    else:
-        max_new = 224
-    max_new = min(max_new, budget)
+    max_new, max_new_cap = plan_decode_budget(cfg, opts, p, n_prefix)
     cache_len = min(cfg.n_text_ctx, _round_up(p + max_new, 128))
 
     sup = _sup_mask_dev(cfg, tuple(extra_suppress))
@@ -353,7 +375,10 @@ def greedy_decode(
     amask = _amask_dev(cfg, heads_key)
     if aux_device is None:
         ts_in_prefix = [int(t) for t in prefix_arr if t >= cfg.timestamp_begin]
-        aux_np = pack_aux(init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1)
+        aux_np = pack_aux(
+            init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
+            max_new_cap=max_new_cap,
+        )
         aux_device = jnp.asarray(aux_np)
 
     packed = _greedy_loop(
@@ -380,9 +405,14 @@ def greedy_decode(
     nsp = row[:, off]; off += 1
     xattn_full = None
     if capture:
-        xattn_gen = row[:, off : off + max_new * audio_ctx].reshape(b, max_new, audio_ctx)
+        stored = row[:, off : off + max_new * audio_ctx].reshape(b, max_new, audio_ctx)
         off += max_new * audio_ctx
         xattn_prefill = row[:, off:].reshape(b, p, audio_ctx)
+        # decode_step at position pos captures the query row of token pos-1 and
+        # stores it at index pos-p, so sampled token j's row sits at stored[j+1]
+        # (stored[0] duplicates the last prefill row). Realign and repeat-pad
+        # the final row, which only matters when the loop hits its bound.
+        xattn_gen = np.concatenate([stored[:, 1:], stored[:, -1:]], axis=1)
         if n_prefix:
             xattn_full = np.concatenate(
                 [xattn_prefill[:, p - n_prefix :], xattn_gen], axis=1

@@ -138,11 +138,14 @@ def word_timestamps(
     tokenizer,
     n_frames: int,
     time_offset: float = 0.0,
-) -> list[tuple[float, float, str]]:
-    """[(begin_s, end_s, word_text)] — the L3→L5 word stream of the online protocol."""
+    return_token_counts: bool = False,
+):
+    """[(begin_s, end_s, word_text)] — the L3→L5 word stream of the online
+    protocol. With ``return_token_counts``, also returns tokens-per-word so
+    callers slicing by segment token counts stay aligned for multi-token words."""
     words, word_tokens = tokenizer.split_to_word_tokens(token_ids)
     if not words:
-        return []
+        return ([], []) if return_token_counts else []
     # xattn rows correspond to token_ids positions; build text-token row index
     text_rows = [i for i, t in enumerate(token_ids) if t < tokenizer.cfg.eot]
     starts, ends = token_times(xattn[text_rows], n_frames, time_offset)
@@ -160,4 +163,6 @@ def word_timestamps(
         pb, pe, _ = out[i - 1]
         if b < pe:
             out[i] = (pe, max(e, pe), wtext)
+    if return_token_counts:
+        return out, [len(t) for t in word_tokens[: len(out)]]
     return out

@@ -63,23 +63,23 @@ class VADIterator:
     def set_min_silence_duration_ms(self, ms: float) -> None:
         self.min_silence_samples = self.sampling_rate * ms / 1000
 
-    def __call__(self, chunk: np.ndarray) -> Optional[dict]:
-        """Feed a chunk; returns at most one event dict (or a merged one)."""
+    def __call__(self, chunk: np.ndarray) -> list[dict]:
+        """Feed a chunk; returns the ordered list of events it produced.
+
+        A single chunk can legitimately contain an utterance end AND the next
+        utterance's start (or a whole short utterance); returning them in
+        order lets the consumer handle each transition correctly instead of
+        collapsing them into one ambiguous dict.
+        """
         self.buffer = np.append(self.buffer, np.asarray(chunk, np.float32))
-        ret: Optional[dict] = None
+        events: list[dict] = []
         while len(self.buffer) >= FRAME:
             frame = self.buffer[:FRAME]
             self.buffer = self.buffer[FRAME:]
             ev = self._process_frame(frame)
             if ev is not None:
-                if ret is None:
-                    ret = ev
-                elif "end" in ret and "start" in ev and ev["start"] > ret["end"]:
-                    # unlikely quick end+start inside one chunk: merge
-                    ret.update(ev)
-                else:
-                    ret.update(ev)
-        return ret
+                events.append(ev)
+        return events
 
     def _process_frame(self, frame: np.ndarray) -> Optional[dict]:
         prob = float(self.prob_fn(frame[None, :])[0])
@@ -128,44 +128,55 @@ class VACOnlineASRProcessor:
         self.status: Optional[str] = None  # 'voice' | 'nonvoice'
         self.audio_buffer = np.array([], dtype=np.float32)
         self.buffer_offset = 0  # absolute samples dropped from audio_buffer
+        # an utterance that started before the previous one was flushed
+        # (end+start inside one insert): held here until process_iter finishes
+        # the old one, so online.init() never wipes an unflushed tail
+        self._pending: Optional[tuple[int, np.ndarray]] = None  # (abs_start, audio)
 
     # ------------------------------------------------------------------- audio
 
     def insert_audio_chunk(self, audio: np.ndarray) -> None:
         audio = np.asarray(audio, np.float32)
-        res = self.vac(audio)
+        events = self.vac(audio)
         self.audio_buffer = np.append(self.audio_buffer, audio)
 
-        if res is not None:
-            frame = list(res.values())[0] - self.buffer_offset
-            if "start" in res and "end" not in res:
+        for ev in events:
+            frame = list(ev.values())[0] - self.buffer_offset
+            if "start" in ev:
                 self.status = "voice"
                 send_audio = self.audio_buffer[max(frame, 0) :]
-                self.online.init(offset=(frame + self.buffer_offset) / SAMPLING_RATE)
-                self.online.insert_audio_chunk(send_audio)
-                self.current_online_chunk_buffer_size += len(send_audio)
+                if self.is_currently_final or self._pending is not None:
+                    # previous utterance awaits its finish(): stage the new one
+                    self._pending = (max(frame, 0) + self.buffer_offset, send_audio.copy())
+                else:
+                    self.online.init(offset=(max(frame, 0) + self.buffer_offset) / SAMPLING_RATE)
+                    self.online.insert_audio_chunk(send_audio)
+                    self.current_online_chunk_buffer_size += len(send_audio)
                 self._clip_buffer()
-            elif "end" in res and "start" not in res:
+            else:  # end
                 self.status = "nonvoice"
-                send_audio = self.audio_buffer[: max(frame, 0)]
-                self.online.insert_audio_chunk(send_audio)
-                self.current_online_chunk_buffer_size += len(send_audio)
-                self.is_currently_final = True
-                self._clip_buffer()
-            else:
-                # start+end inside one chunk: forward the voiced span, final
-                beg = max(res["start"] - self.buffer_offset, 0)
-                end = max(res["end"] - self.buffer_offset, 0)
-                self.online.init(offset=(beg + self.buffer_offset) / SAMPLING_RATE)
-                send_audio = self.audio_buffer[beg:end]
-                self.online.insert_audio_chunk(send_audio)
-                self.current_online_chunk_buffer_size += len(send_audio)
-                self.is_currently_final = True
-                self._clip_buffer()
-        else:
+                cut = max(frame, 0)
+                send_audio = self.audio_buffer[:cut]
+                if self._pending is not None:
+                    start, buf = self._pending
+                    self._pending = (start, np.append(buf, send_audio))
+                else:
+                    self.online.insert_audio_chunk(send_audio)
+                    self.current_online_chunk_buffer_size += len(send_audio)
+                    self.is_currently_final = True
+                # keep the post-end remainder: it belongs to the NEXT
+                # utterance (its start may arrive later in this same chunk)
+                self.buffer_offset += cut
+                self.audio_buffer = self.audio_buffer[cut:]
+
+        if not events:
             if self.status == "voice":
-                self.online.insert_audio_chunk(audio)
-                self.current_online_chunk_buffer_size += len(audio)
+                if self._pending is not None:
+                    start, buf = self._pending
+                    self._pending = (start, np.append(buf, audio))
+                else:
+                    self.online.insert_audio_chunk(audio)
+                    self.current_online_chunk_buffer_size += len(audio)
                 self._clip_buffer()
             else:
                 # keep at most 1 s of lookback while silent (speech_pad window)
@@ -189,9 +200,29 @@ class VACOnlineASRProcessor:
         return (None, None, "")
 
     def finish(self) -> tuple[Optional[float], Optional[float], str]:
-        ret = self.online.finish()
+        # transcribe any audio that never got a process_iter tick (short
+        # utterances can end before reaching online_chunk_size), then flush
+        head = (None, None, "")
+        if self.current_online_chunk_buffer_size > 0 and len(self.online.audio_buffer) > 0:
+            head = self.online.process_iter()
+        tail = self.online.finish()
+        if head[2] and tail[2]:
+            ret = (head[0], tail[1], head[2] + self.online.asr.sep + tail[2])
+        else:
+            ret = tail if tail[2] else head
         self.current_online_chunk_buffer_size = 0
         self.is_currently_final = False
+        if self._pending is not None:
+            # hand over the staged utterance now that the old one is flushed
+            start, buf = self._pending
+            self._pending = None
+            self.online.init(offset=start / SAMPLING_RATE)
+            if len(buf):
+                self.online.insert_audio_chunk(buf)
+                self.current_online_chunk_buffer_size += len(buf)
+            if self.status == "nonvoice":
+                # the staged utterance also ended before we got here
+                self.is_currently_final = True
         return ret
 
     # ----------------------------------------------------------------- control

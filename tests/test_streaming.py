@@ -235,8 +235,7 @@ def test_vad_iterator_events_and_min_silence():
     events = []
     t = 0.0
     while t < 5.0:
-        ev = vad(np.zeros(int(0.1 * SR), np.float32))
-        if ev:
+        for ev in vad(np.zeros(int(0.1 * SR), np.float32)):
             events.append((round(t, 1), ev))
         t += 0.1
     assert len(events) == 2
@@ -254,9 +253,7 @@ def test_vad_dynamic_min_silence():
     events = []
     t = 0.0
     while t < 3.0:
-        ev = vad(np.zeros(int(0.1 * SR), np.float32))
-        if ev:
-            events.append(ev)
+        events.extend(vad(np.zeros(int(0.1 * SR), np.float32)))
         t += 0.1
     # with 100 ms silence, the 300 ms gap splits speech into two utterances
     starts = [e for e in events if "start" in e]
@@ -335,3 +332,26 @@ def test_token_history_cleared_on_unaligned_trim():
     proc.audio_buffer = np.zeros(16000 * 5, np.float32)
     proc.chunk_at(3.333333)  # not a 20 ms multiple
     assert proc._token_history == []
+
+
+def test_vac_end_then_start_in_one_chunk_preserves_both_utterances():
+    """An utterance end AND the next start inside one insert must flush the old
+    utterance before init wipes it, and keep the new utterance's onset."""
+    words = [(0.5, 0.9, " first"), (2.6, 3.0, " second")]
+    asr = TimecodedFakeASR(words, unstable_tail=False)
+    online = OnlineASRProcessor(asr)
+    # voice 0.3-1.2s, gap, voice 2.4-3.4s; min_silence 200ms -> with 1.4s-sized
+    # inserts the end(~1.4) and start(~2.4) land inside one chunk
+    vad = VADIterator(ScriptedProbs([(0.3, 1.2), (2.4, 3.4)]),
+                      min_silence_duration_ms=200, speech_pad_ms=0)
+    vac = VACOnlineASRProcessor(online, vad, online_chunk_size=0.4)
+    outs = []
+    t = 0.0
+    while t < 4.2:
+        vac.insert_audio_chunk(timecoded_audio(t, t + 1.4))
+        t += 1.4
+        outs.append(vac.process_iter())
+    outs.append(vac.finish())
+    text = "".join(txt for _, _, txt in outs if txt)
+    assert "first" in text, f"old utterance lost: {outs}"
+    assert "second" in text, f"new utterance onset lost: {outs}"
