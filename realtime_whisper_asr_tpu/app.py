@@ -137,6 +137,7 @@ class StreamingApp:
         else:
             self.processor = online
         self.min_chunk_seconds = s.get("min_chunk_seconds", 1.0)
+        self._since_process = 0  # samples since the last non-VAC process_iter
 
         # --- pipeline stages ---
         sep_cfg = cfg["vocal_separation"]
@@ -172,6 +173,8 @@ class StreamingApp:
             SpeechRateAdaptiveProcessor(
                 self.processor,
                 update_interval_s=ra["update_interval_s"],
+                slow_cps=ra.get("slow_cps", 5.0),
+                fast_cps=ra.get("fast_cps", 15.0),
                 initial_ms=ra["initial_silence_ms"],
                 min_ms=ra["min_silence_ms"],
                 max_ms=ra["max_silence_ms"],
@@ -192,7 +195,13 @@ class StreamingApp:
                 target_language=tr["target_language"],
             )
             self.translation.start()
-        self.monitor = PerformanceMonitor() if cfg["performance"]["monitor_enable"] else None
+        perf = cfg["performance"]
+        self.monitor = (
+            PerformanceMonitor(hard_ratio=perf.get("hard_ratio", 0.4),
+                               soft_ratio=perf.get("soft_ratio", 0.6))
+            if perf["monitor_enable"]
+            else None
+        )
         self.display = PerformanceDisplay(interval_s=cfg["performance"]["display_interval_s"])
         lg = cfg["logging"]
         self.log_manager = (
@@ -212,6 +221,13 @@ class StreamingApp:
                 stats.dedup_skipped += 1
                 return None
         self.processor.insert_audio_chunk(chunk)
+        # non-VAC mode throttles full re-transcriptions to min_chunk_seconds
+        # (reference chunk_duration gating, 一键…py:1679-1876); VAC gates itself
+        if not hasattr(self.processor, "set_silence_duration"):
+            self._since_process += len(chunk)
+            if self._since_process < self.min_chunk_seconds * SR:
+                return None
+            self._since_process = 0
         t0 = self.clock()
         beg, end, text = self.processor.process_iter()
         proc_s = self.clock() - t0
@@ -282,6 +298,7 @@ class StreamingApp:
                     chunk, recovered = protector.read_audio(n)
                     if recovered:
                         stats.recoveries += 1
+                        stream = protector.stream  # recovery may install a new stream
                 else:
                     chunk, _ = stream.read(n)
                 fed += len(chunk) / SR
@@ -332,7 +349,22 @@ class StreamingApp:
         if self.skip_detector is not None:
             sk = self.cfg["skip_detector"]
             self.skip_detector.similarity_threshold = sk["similarity_threshold"]
+            self.skip_detector.min_length = sk["min_length"]
+            self.skip_detector.containment_threshold = sk["containment_threshold"]
+            self.skip_detector.time_window_s = sk["time_window_s"]
             self.skip_detector.reset()
+        if self.deduplicator is not None:
+            dd = self.cfg["audio_deduplication"]
+            self.deduplicator.similarity_threshold = dd["similarity_threshold"]
+            self.deduplicator.duplicate_threshold = dd["duplicate_threshold"]
+            self.deduplicator.time_window_s = dd["time_window_s"]
+            self.deduplicator.reset()
+        if self.rate_adaptive is not None:
+            ra = self.cfg["speech_rate_adaptive"]
+            self.rate_adaptive.detector.slow_cps = ra.get("slow_cps", 5.0)
+            self.rate_adaptive.detector.fast_cps = ra.get("fast_cps", 15.0)
+            self.rate_adaptive.controller.min_ms = ra["min_silence_ms"]
+            self.rate_adaptive.controller.max_ms = ra["max_silence_ms"]
         self.processor.init()
 
     def shutdown(self):

@@ -22,11 +22,21 @@ _EPS = 1e-10
 
 
 @functools.partial(jax.jit, static_argnames=("sampling_rate",))
-def dedup_features(chunks: jnp.ndarray, sampling_rate: int = 16000) -> jnp.ndarray:
-    """(B, N) float32 audio chunks -> (B, 5) max-normalized feature vectors."""
+def dedup_features(
+    chunks: jnp.ndarray, sampling_rate: int = 16000, n_valid=None
+) -> jnp.ndarray:
+    """(B, N) float32 audio chunks -> (B, 5) max-normalized feature vectors.
+
+    ``n_valid`` (traced scalar) marks the valid prefix when chunks are padded
+    to a bucket length: RMS/ZCR normalize by the valid length; the spectral
+    features see a zero-padded FFT (a finer interpolation of the same
+    spectrum), which is consistent across same-bucket chunks — exactly what
+    the cosine-similarity dedup gate compares.
+    """
     chunks = chunks.astype(jnp.float32)
     b, n = chunks.shape
-    rms = jnp.sqrt(jnp.mean(chunks * chunks, axis=-1))
+    denom = jnp.float32(n) if n_valid is None else jnp.maximum(n_valid, 1).astype(jnp.float32)
+    rms = jnp.sqrt(jnp.sum(chunks * chunks, axis=-1) / denom)
 
     spec = jnp.abs(jnp.fft.rfft(chunks, axis=-1))
     freqs = jnp.fft.rfftfreq(n, 1.0 / sampling_rate).astype(jnp.float32)
@@ -34,7 +44,7 @@ def dedup_features(chunks: jnp.ndarray, sampling_rate: int = 16000) -> jnp.ndarr
     centroid = jnp.sum(spec * freqs[None, :], axis=-1) / total
 
     signs = jnp.sign(chunks)
-    zcr = jnp.mean(jnp.abs(jnp.diff(signs, axis=-1)) > 0, axis=-1)
+    zcr = jnp.sum(jnp.abs(jnp.diff(signs, axis=-1)) > 0, axis=-1) / denom
 
     energy = spec * spec
     cum = jnp.cumsum(energy, axis=-1)

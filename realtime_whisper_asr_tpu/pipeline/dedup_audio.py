@@ -59,11 +59,21 @@ class AudioDeduplicator:
         self.clock = clock
         self.stats = {"total": 0, "skipped": 0, "duplicates": 0, "similar": 0, "errors": 0}
 
+    #: device-path bucket lengths (jit shape set; CLAUDE.md static-shape rule)
+    _BUCKETS = (4096, 16384, 65536)
+
     def extract_features(self, chunk: np.ndarray) -> np.ndarray:
         if self.use_device:
             import jax.numpy as jnp
 
-            return np.asarray(dedup_features(jnp.asarray(chunk, jnp.float32)[None])[0])
+            from realtime_whisper_asr_tpu.utils.transfer import device_get
+
+            n = len(chunk)
+            nb = next((b for b in self._BUCKETS if n <= b), self._BUCKETS[-1])
+            padded = np.zeros(nb, np.float32)
+            padded[:n] = np.asarray(chunk[:nb], np.float32)
+            feats = dedup_features(jnp.asarray(padded)[None], n_valid=jnp.int32(min(n, nb)))
+            return device_get(feats.reshape(-1))
         return _features_numpy(chunk)
 
     def should_skip(self, chunk: np.ndarray, current_time: Optional[float] = None) -> tuple[bool, str]:

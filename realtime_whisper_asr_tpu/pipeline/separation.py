@@ -50,7 +50,11 @@ class BandpassSeparator(VocalSeparator):
         for b in self._buckets:
             if n <= b:
                 return b
-        return self._buckets[-1]
+        # grow beyond the precomputed set (long offline files): next power of two
+        size = self._buckets[-1]
+        while size < n:
+            size *= 2
+        return size
 
     def separate(self, audio: np.ndarray) -> np.ndarray:
         self.stats["processed"] += 1
@@ -64,10 +68,12 @@ class BandpassSeparator(VocalSeparator):
 
                 from realtime_whisper_asr_tpu.ops.dsp import bandpass_filter
 
+                from realtime_whisper_asr_tpu.utils.transfer import device_get
+
                 nb = self._bucket(n)
                 padded = np.zeros(nb, np.float32)
                 padded[:n] = x
-                out = np.asarray(
+                out = device_get(
                     bandpass_filter(jnp.asarray(padded), self.low_hz, self.high_hz)
                 )[:n]
                 return out

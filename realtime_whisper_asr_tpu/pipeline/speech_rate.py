@@ -86,9 +86,10 @@ class SpeechRateAdaptiveProcessor:
     """Binds detector + controller to a VAC processor's set_silence_duration."""
 
     def __init__(self, vad_processor, update_interval_s: float = 2.0,
+                 slow_cps: float = 5.0, fast_cps: float = 15.0,
                  clock: Callable[[], float] = _time.time, **controller_kw):
         self.vad_processor = vad_processor
-        self.detector = SpeechRateDetector(clock=clock)
+        self.detector = SpeechRateDetector(slow_cps=slow_cps, fast_cps=fast_cps, clock=clock)
         self.controller = AdaptiveSilenceController(**controller_kw)
         self.update_interval_s = update_interval_s
         self.clock = clock

@@ -40,8 +40,9 @@ class SpeechRateAudioProcessor:
             import jax.numpy as jnp
 
             from realtime_whisper_asr_tpu.ops.dsp import time_stretch
+            from realtime_whisper_asr_tpu.utils.transfer import device_get
 
-            out = np.asarray(time_stretch(jnp.asarray(audio, jnp.float32), float(round(rate, 2))))
+            out = device_get(time_stretch(jnp.asarray(audio, jnp.float32), float(round(rate, 2))))
             self.stats["stretched"] += 1
             return out
         except Exception:

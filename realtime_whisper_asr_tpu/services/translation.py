@@ -37,6 +37,17 @@ PROMPT_ZH = (
     "不要解释。逐行对应翻译，保持行数一致。"
 )
 
+_LANGUAGE_NAMES = {"zh": "Chinese", "en": "English", "ja": "Japanese", "ko": "Korean",
+                   "es": "Spanish", "fr": "French", "de": "German", "ru": "Russian"}
+
+
+def translation_prompt(target_language: str) -> str:
+    if target_language == "zh":
+        return PROMPT_ZH
+    name = _LANGUAGE_NAMES.get(target_language, target_language)
+    return (f"You are a professional translator. Translate the following text into {name}. "
+            "Output ONLY the translation, one line per input line, no explanations.")
+
 
 def default_transport(text: str, target_language: str = "zh") -> str:
     """POST to the SiliconFlow chat-completions API. Raises on any failure."""
@@ -51,7 +62,7 @@ def default_transport(text: str, target_language: str = "zh") -> str:
         json={
             "model": MODEL_CONFIG["model"],
             "messages": [
-                {"role": "system", "content": PROMPT_ZH},
+                {"role": "system", "content": translation_prompt(target_language)},
                 {"role": "user", "content": text},
             ],
             "temperature": 0.1,
@@ -110,13 +121,9 @@ class TranslationManager:
         with self._lock:
             if not self._pending:
                 return
-            batch, keep = [], []
-            for item in self._pending:
-                if item["retry_count"] >= 2:
-                    self.stats["dropped"] += 1  # retried once already: drop
-                else:
-                    batch.append(item)
-            self._pending = keep
+            # items only ever carry retry_count 0 (fresh) or 1 (one piggyback
+            # retry); the failure path below drops them before reaching 2
+            batch, self._pending = self._pending, []
         if not batch:
             return
         merged = "\n".join(item["text"] for item in batch)
