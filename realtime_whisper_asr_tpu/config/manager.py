@@ -50,8 +50,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "containment_threshold": 0.8,
     },
     "audio_deduplication": {
+        # relative-similarity thresholds: exact repeats (stuck mic buffers)
+        # score 1.0, distinct speech chunks <=~0.85 (see ops.features)
         "enable": True,
-        "similarity_threshold": 0.985,
+        "similarity_threshold": 0.98,
         "duplicate_threshold": 0.995,
         "time_window_s": 5.0,
         "history_size": 100,

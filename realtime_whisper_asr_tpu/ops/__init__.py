@@ -7,5 +7,5 @@ from realtime_whisper_asr_tpu.ops.logmel import (
     N_FFT,
     HOP_LENGTH,
 )
-from realtime_whisper_asr_tpu.ops.features import dedup_features, cosine_similarity01
+from realtime_whisper_asr_tpu.ops.features import dedup_features, cosine_similarity01, relative_similarity
 from realtime_whisper_asr_tpu.ops.dsp import bandpass_filter, time_stretch, fir_bandpass

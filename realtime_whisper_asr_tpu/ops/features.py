@@ -61,8 +61,22 @@ def dedup_features(
 
 
 def cosine_similarity01(a: np.ndarray, b: np.ndarray) -> float:
-    """Cosine similarity mapped to [0, 1] (reference audio_deduplicator.py:183-207)."""
+    """Cosine similarity mapped to [0, 1] (reference audio_deduplicator.py:183-207).
+
+    NOTE: saturates near 1.0 for ANY pair of all-positive feature vectors —
+    kept for reference parity, but the dedup gate uses relative_similarity."""
     na, nb = np.linalg.norm(a), np.linalg.norm(b)
     if na < _EPS or nb < _EPS:
         return 0.0
     return float((np.dot(a, b) / (na * nb) + 1.0) / 2.0)
+
+
+def relative_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    """1 − mean relative per-dimension difference, in [0, 1].
+
+    Unlike cosine on all-positive vectors (which saturates ≥0.93 for ANY two
+    audio chunks), this separates cleanly: exact duplicates → 1.0, distinct
+    speech chunks → ≤~0.85, speech vs silence → ~0.5."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(1.0 - np.mean(np.abs(a - b) / (np.abs(a) + np.abs(b) + 1e-6)))

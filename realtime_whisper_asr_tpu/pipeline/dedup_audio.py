@@ -1,9 +1,12 @@
 """Audio-level dedup gate: drop chunks acoustically similar to recent ones.
 
 Capability parity with the reference AudioDeduplicator
-(`audio_deduplicator.py:20-316`): a 5-dim spectral feature vector per chunk,
-cosine similarity (shifted to [0,1]) against a bounded history, with the
-≥0.98 "duplicate" vs ≥threshold "similar" distinction. The feature vector is
+(`audio_deduplicator.py:20-316`): a 5-dim spectral feature vector per chunk
+compared against a bounded history, with the "duplicate" vs "similar"
+threshold distinction. The comparison uses relative per-dimension similarity
+instead of the reference's shifted cosine — cosine between all-positive
+feature vectors saturates ≥0.93 for ANY two audio chunks, which makes the
+gate either dead or all-consuming (measured; see ops.features). The feature vector is
 computed on-device as ONE fused JAX op (ops/features.py) with a numpy fallback
 when the chunk should not pay a device hop (tiny mic chunks).
 
@@ -19,7 +22,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from realtime_whisper_asr_tpu.ops.features import cosine_similarity01, dedup_features
+from realtime_whisper_asr_tpu.ops.features import dedup_features, relative_similarity
 
 
 def _features_numpy(chunk: np.ndarray, sampling_rate: int = 16000) -> np.ndarray:
@@ -42,8 +45,8 @@ def _features_numpy(chunk: np.ndarray, sampling_rate: int = 16000) -> np.ndarray
 class AudioDeduplicator:
     def __init__(
         self,
-        similarity_threshold: float = 0.95,
-        duplicate_threshold: float = 0.98,
+        similarity_threshold: float = 0.98,
+        duplicate_threshold: float = 0.995,
         time_window_s: float = 5.0,
         history_size: int = 100,
         min_chunk_samples: int = 256,
@@ -92,7 +95,7 @@ class AudioDeduplicator:
         for ts, h in self.history:
             if now - ts > self.time_window_s:
                 continue
-            sim = cosine_similarity01(feats, h)
+            sim = relative_similarity(feats, h)
             best = max(best, sim)
             if sim >= self.duplicate_threshold:
                 self.stats["skipped"] += 1
