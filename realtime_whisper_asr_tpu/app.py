@@ -96,6 +96,7 @@ class StreamingApp:
                 language=language,
                 checkpoint_dir=m.get("checkpoint_dir"),
                 dtype=jnp.bfloat16 if m.get("dtype") == "bfloat16" else jnp.float32,
+                quantization=m.get("quantization"),
                 beam_size=m.get("beam_size", 1),
                 word_timestamps=m.get("word_timestamps", True),
             )
@@ -108,6 +109,7 @@ class StreamingApp:
         online = OnlineASRProcessor(
             asr,
             agreement_n=s["agreement_n"],
+            prefix_policy=s.get("prefix_policy", "agree2"),
             buffer_trimming=("segment", s["buffer_trimming_sec"]),
             prompt_chars=s["prompt_chars"],
             dynamic_buffer=s["dynamic_buffer"],

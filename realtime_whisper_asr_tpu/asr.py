@@ -122,6 +122,10 @@ class TPUWhisperASR:
         elif quantization not in (None, "", "none"):
             raise ValueError(f"unknown quantization {quantization!r}")
         self.tokenizer = tokenizer or get_tokenizer(self.cfg, checkpoint_dir)
+        #: (L, H) f32 weights for DTW cross-attention capture; loaded from the
+        #: checkpoint's generation_config.json alignment_heads when available
+        #: (HF convention), else the top-half-layers default in decode.py
+        self.alignment_heads = self._load_alignment_heads(checkpoint_dir)
         self.original_language = language if self.cfg.is_multilingual else None
         self.task = "transcribe"
         self.beam_size = beam_size
@@ -218,6 +222,25 @@ class TPUWhisperASR:
 
         mel = log_mel_spectrogram(window, n_mels=self.cfg.n_mels)
         return self._encode(self.params, self.cfg, mel.astype(self.params_dtype)[None])
+
+    def _load_alignment_heads(self, checkpoint_dir) -> Optional[np.ndarray]:
+        if not checkpoint_dir:
+            return None
+        import json
+        import os
+
+        path = os.path.join(checkpoint_dir, "generation_config.json")
+        try:
+            with open(path) as f:
+                heads = json.load(f).get("alignment_heads")
+            if not heads:
+                return None
+            mask = np.zeros((self.cfg.n_text_layer, self.cfg.n_text_head), np.float32)
+            for layer, head in heads:
+                mask[layer, head] = 1.0
+            return mask
+        except (OSError, ValueError, KeyError, IndexError):
+            return None
 
     def _pad_window(self, audio: np.ndarray) -> np.ndarray:
         """Pad to the smallest bucket that fits (static shapes, no retraces)."""
@@ -316,6 +339,7 @@ class TPUWhisperASR:
             self.params, self.cfg, xa, opts,
             prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
             extra_suppress=self._extra_suppress, aux_device=aux_dev,
+            alignment_heads=self.alignment_heads,
         )
         if self.temperature_fallback and opts.temperature == 0.0:
             result = self._quality_retry(result, xa, opts, prompt_ids, prefix_ids)

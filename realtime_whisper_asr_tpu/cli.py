@@ -30,6 +30,9 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--config", default="config.json", help="config file path")
     p.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
+    p.add_argument("--quantization", default=None, choices=["int8", "none"])
+    p.add_argument("--prefix-policy", default=None, choices=["agree2", "last"],
+                   help="incremental decode mode (last = SimulStreaming-style)")
 
 
 def _build_config(args) -> ConfigManager:
@@ -42,6 +45,10 @@ def _build_config(args) -> ConfigManager:
         cm.set("model.beam_size", args.beam_size)
     if args.dtype:
         cm.set("model.dtype", args.dtype)
+    if args.quantization:
+        cm.set("model.quantization", None if args.quantization == "none" else args.quantization)
+    if getattr(args, "prefix_policy", None):
+        cm.set("streaming.prefix_policy", args.prefix_policy)
     return cm
 
 
@@ -81,6 +88,7 @@ def cmd_transcribe(args) -> int:
         language=None if args.language == "auto" else args.language,
         checkpoint_dir=cm.get("model.checkpoint_dir"),
         dtype=jnp.bfloat16 if cm.get("model.dtype") == "bfloat16" else jnp.float32,
+        quantization=cm.get("model.quantization"),
         beam_size=cm.get("model.beam_size"),
     )
     if args.task == "translate":

@@ -24,11 +24,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "size": "base",
         "checkpoint_dir": None,
         "dtype": "bfloat16",
+        "quantization": None,  # None | "int8" (decoder weight-only)
         "beam_size": 1,
         "word_timestamps": True,
     },
     "streaming": {
         "agreement_n": 2,
+        "prefix_policy": "agree2",  # agree2 | last (SimulStreaming-style)
         "buffer_trimming_sec": 15.0,
         "dynamic_buffer": False,
         "prompt_chars": 300,

@@ -155,3 +155,44 @@ def test_concurrent_feed_and_close_no_crash():
     server.stop()
     assert not errors
     assert server.get_stats()["total_streams"] == 0
+
+
+def test_tcp_server_end_to_end():
+    """PCM in over a real socket, 'beg_ms end_ms text' lines out."""
+    import socket
+    import threading
+    import time as _t
+
+    from realtime_whisper_asr_tpu.serving_tcp import TCPTranscriptionServer
+
+    words = {1: [(0.5, 0.9, " hello"), (1.2, 1.6, " network")]}
+    stream_server = StreamServer(PerStreamFakeASR(words), use_vad=False,
+                                 online_chunk_size=0.5)
+    srv = TCPTranscriptionServer(("127.0.0.1", 0), stream_server)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve, daemon=True)
+    t.start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+        pcm = (np.clip(timecoded_audio(0.0, 3.0), -1, 1) * 32768).astype(np.int16)
+        sock.sendall(pcm.tobytes())
+        _t.sleep(0.5)
+        sock.shutdown(socket.SHUT_WR)
+        sock.settimeout(5)
+        data = b""
+        try:
+            while True:
+                part = sock.recv(4096)
+                if not part:
+                    break
+                data += part
+        except socket.timeout:
+            pass
+        text = data.decode("utf-8")
+        assert "hello" in text and "network" in text, text
+        for line in text.strip().splitlines():
+            beg, end, *_ = line.split(" ", 2)
+            assert int(beg) <= int(end)
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
