@@ -283,3 +283,72 @@ def test_phase_timer():
     rep = pt.report()
     assert rep["encode"]["count"] == 2
     assert abs(rep["encode"]["total_s"] - 0.75) < 1e-9
+
+
+def test_wer_cer_and_normalization():
+    from realtime_whisper_asr_tpu.eval import cer, normalize_text, wer
+
+    assert wer("hello world", "hello world") == 0.0
+    assert wer("hello world", "hello there world") == 0.5  # 1 insertion / 2 ref words
+    assert wer("a b c d", "a x c") == 0.5  # 1 sub + 1 del
+    assert wer("Hello, World!", "hello world") == 0.0  # normalization
+    assert wer("", "") == 0.0 and wer("", "x") == 1.0
+    assert cer("abc", "abd") == 1 / 3
+    assert normalize_text("  Hey,   THERE!! ") == "hey there"
+
+
+def test_eval_streaming_harness_with_fake_asr():
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.eval import evaluate_streaming, report
+    from realtime_whisper_asr_tpu.streaming import OnlineASRProcessor
+    from tests.test_streaming import TimecodedFakeASR, make_words, timecoded_audio
+
+    words = make_words(10)
+    ref = " ".join(w.strip() for _, _, w in words)
+    audio = timecoded_audio(0.0, words[-1][1] + 1.0)
+
+    def make_proc():
+        return OnlineASRProcessor(TimecodedFakeASR(words, unstable_tail=False))
+
+    results = evaluate_streaming(make_proc, [("fake", audio, ref)])
+    assert len(results) == 1
+    assert results[0].wer == 0.0, results[0].hypothesis
+    out = report(results)
+    assert "mean_wer" in out
+
+
+def test_convert_checkpoint_tool(tmp_path):
+    """HF dir -> native orbax roundtrip through the CLI tool."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=51865, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        encoder_ffn_dim=256, decoder_ffn_dim=256,
+        max_source_positions=1500, max_target_positions=448,
+    )
+    torch.manual_seed(0)
+    model = transformers.WhisperModel(hf_cfg)
+    src = tmp_path / "hf"
+    model.save_pretrained(str(src), safe_serialization=True)
+
+    import sys
+    sys.path.insert(0, "tools")
+    import convert_checkpoint
+
+    dst = str(tmp_path / "native")
+    assert convert_checkpoint.main([str(src), dst, "--quantize", "int8",
+                                    "--dtype", "float32"]) == 0
+
+    from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+
+    asr = TPUWhisperASR(checkpoint_dir=dst, dtype=jnp.float32)
+    assert asr.cfg.n_audio_state == 64
+    # quantized decoder leaves present
+    leaf = asr.params["decoder"]["blocks"]["attn"]["wq"]
+    assert isinstance(leaf, dict) and leaf["q"].dtype == jnp.int8

@@ -1,0 +1,36 @@
+"""Convert a local HF-layout Whisper checkpoint into a native orbax checkpoint,
+optionally int8-quantizing the decoder (the deployment artifact: loads in
+seconds, carries the framework's own config + quantized weights).
+
+    python tools/convert_checkpoint.py /path/to/hf_whisper out_dir --quantize int8
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("src", help="HF-layout dir (config.json + *.safetensors)")
+    p.add_argument("dst", help="output native checkpoint dir")
+    p.add_argument("--quantize", choices=["int8", "none"], default="none")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from realtime_whisper_asr_tpu.models.whisper import load_checkpoint_dir
+    from realtime_whisper_asr_tpu.models.whisper.checkpoint import save_checkpoint
+    from realtime_whisper_asr_tpu.models.whisper.quant import quantize_decoder
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg, params = load_checkpoint_dir(args.src, dtype)
+    if args.quantize == "int8":
+        params = quantize_decoder(params)
+    save_checkpoint(args.dst, params, cfg)
+    print(f"saved {cfg.name} ({args.dtype}, quantize={args.quantize}) -> {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
