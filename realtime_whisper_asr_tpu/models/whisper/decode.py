@@ -241,13 +241,8 @@ def _greedy_loop(
     xattn0 = jnp.zeros((b, max_new if capture_xattn else 1, audio_ctx), jnp.float32)
     max_initial_index = round(opts.max_initial_timestamp / 0.02)
 
-    def body(state):
-        tokens, pos, finished, cache, sum_lp, last_ts, xattn = state
-        cur = jax.lax.dynamic_index_in_dim(tokens, pos - 1, axis=1, keepdims=False)
-        logits, cache, xw = M.decode_step(
-            params, cfg, cur, pos - 1, cache,
-            alignment_mask=alignment_mask if capture_xattn else None,
-        )
+    def select_next(logits, tokens, pos, last_ts):
+        """All Whisper logit rules + (sampled or argmax) selection at ``pos``."""
         step = pos - p
         flogits = logits + sup_mask[None, :]
         flogits = flogits.at[:, cfg.no_timestamps].set(-jnp.inf)
@@ -301,28 +296,53 @@ def _greedy_loop(
             nxt = jnp.argmax(flogits, axis=-1).astype(jnp.int32)
         logprobs = jax.nn.log_softmax(flogits.astype(jnp.float32), axis=-1)
         lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=1)[:, 0]
+        return nxt, lp
+
+    def advance(tokens, pos, finished, sum_lp, last_ts, nxt, lp):
         nxt = jnp.where(finished, cfg.eot, nxt)
         sum_lp = sum_lp + jnp.where(finished, 0.0, lp)
         last_ts = jnp.where((nxt >= ts0) & ~finished, nxt, last_ts)
         tokens = jax.lax.dynamic_update_slice_in_dim(tokens, nxt[:, None], pos, axis=1)
+        finished = finished | (nxt == cfg.eot)
+        return tokens, finished, sum_lp, last_ts
+
+    def body(state):
+        tokens, pos, finished, cache, sum_lp, last_ts, xattn = state
+        cur = jax.lax.dynamic_index_in_dim(tokens, pos - 1, axis=1, keepdims=False)
+        logits, cache, xw = M.decode_step(
+            params, cfg, cur, pos - 1, cache,
+            alignment_mask=alignment_mask if capture_xattn else None,
+        )
+        nxt, lp = select_next(logits, tokens, pos, last_ts)
         if capture_xattn:
             xattn = jax.lax.dynamic_update_slice_in_dim(
                 xattn, xw[:, None, :].astype(jnp.float32), pos - p, axis=1
             )
-        finished = finished | (nxt == cfg.eot)
+        tokens, finished, sum_lp, last_ts = advance(
+            tokens, pos, finished, sum_lp, last_ts, nxt, lp
+        )
         return (tokens, pos + 1, finished, cache, sum_lp, last_ts, xattn)
 
     def cond(state):
         tokens, pos, finished, cache, sum_lp, last_ts, xattn = state
         return (~jnp.all(finished)) & (pos < total)
 
+    # seed the FIRST sampled token from the prefill's last logits — its row
+    # already predicts position p, so the loop's first decode_step (which used
+    # to recompute it) is saved; the loop starts at p+1.
+    nxt0, lp0 = select_next(pre_logits[:, -1], tokens0, jnp.int32(p), last_ts_init)
+    tokens_seeded, finished0, sum_lp0, last_ts0 = advance(
+        tokens0, jnp.int32(p), jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
+        last_ts_init, nxt0, lp0,
+    )
+
     state = (
-        tokens0,
-        jnp.int32(p),
-        jnp.zeros((b,), bool),
+        tokens_seeded,
+        jnp.int32(p + 1),
+        finished0,
         cache,
-        jnp.zeros((b,), jnp.float32),
-        last_ts_init,
+        sum_lp0,
+        last_ts0,
         xattn0,
     )
     tokens, pos, finished, cache, sum_lp, last_ts, xattn = jax.lax.while_loop(cond, body, state)
