@@ -186,3 +186,42 @@ def test_temperature_sampling_differs_and_is_seeded(asr):
     r2 = D.greedy_decode(asr.params, cfg, xa, o, aux_device=a2)
     assert np.array_equal(r1.tokens, r1b.tokens)  # same seed -> deterministic
     assert not np.array_equal(r1.tokens, r2.tokens)  # different seed -> differs
+
+
+def test_combo_int8_prefix_word_timestamps(asr):
+    """The production large-model combo: quantized decoder + forced prefix +
+    timestamps + DTW capture, all in one decode."""
+    from realtime_whisper_asr_tpu.models.whisper.quant import quantize_decoder
+
+    cfg = asr.cfg
+    qparams = quantize_decoder(asr.params)
+    xa = asr._encode_window(_audio(seed=21))
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=True,
+                           max_new_tokens=32, max_total_tokens=48)
+    base = D.greedy_decode(qparams, cfg, xa, opts)
+    ids = base.tokens[0][: base.lengths[0]].tolist()
+    body = ids[:-1] if ids and ids[-1] == cfg.eot else ids
+    if len(body) < 6:
+        import pytest as _pytest
+
+        _pytest.skip("too short")
+    res = D.greedy_decode(qparams, cfg, xa, opts, prefix_tokens=body[:5])
+    n = int(res.lengths[0])
+    # exact budget: prefix(5) + generated <= max_total(48)
+    assert n <= 48 + 1  # +1 tolerates the EOT slot
+    assert res.xattn is not None and res.xattn.shape[1] >= n - 1
+    ts0 = cfg.timestamp_begin
+    got = res.tokens[0][:n].tolist()
+    ts = [t for t in got if t >= ts0]
+    assert ts == sorted(ts)
+
+
+def test_max_total_tokens_enforced_exactly(asr):
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=22))
+    opts = D.DecodeOptions(timestamps=False, max_new_tokens=224, max_total_tokens=7)
+    res = D.greedy_decode(asr.params, cfg, xa, opts)
+    body = res.tokens[0][: res.lengths[0]].tolist()
+    if body and body[-1] == cfg.eot:
+        body = body[:-1]
+    assert len(body) <= 7, f"cap violated: {len(body)} tokens"
