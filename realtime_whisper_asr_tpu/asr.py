@@ -446,7 +446,7 @@ class TPUWhisperASR:
             retry = D.greedy_decode(
                 self.params, self.cfg, xa, retry_opts,
                 prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
-                extra_suppress=self._extra_suppress,
+                extra_suppress=self._extra_suppress, seed=self._sample_seed,
             )
             if not bad(retry):
                 return retry

@@ -372,6 +372,7 @@ def greedy_decode(
     extra_suppress: tuple[int, ...] = (),
     alignment_heads: Optional[np.ndarray] = None,
     aux_device: Optional[jnp.ndarray] = None,
+    seed: int = 0,
 ) -> DecodeResult:
     """Host wrapper: builds initial tokens/masks, runs the jitted loop.
 
@@ -397,7 +398,7 @@ def greedy_decode(
         ts_in_prefix = [int(t) for t in prefix_arr if t >= cfg.timestamp_begin]
         aux_np = pack_aux(
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
-            max_new_cap=max_new_cap,
+            seed=seed, max_new_cap=max_new_cap,
         )
         aux_device = jnp.asarray(aux_np)
 
