@@ -144,7 +144,10 @@ class StreamingApp:
         # --- pipeline stages ---
         sep_cfg = cfg["vocal_separation"]
         self.separator = (
-            create_separator(sep_cfg["method"], low_hz=sep_cfg["low_hz"], high_hz=sep_cfg["high_hz"])
+            create_separator(
+                sep_cfg["method"],
+                **{k: v for k, v in sep_cfg.items() if k not in ("enable", "method")},
+            )
             if sep_cfg["enable"]
             else None
         )
@@ -367,6 +370,25 @@ class StreamingApp:
             self.rate_adaptive.detector.fast_cps = ra.get("fast_cps", 15.0)
             self.rate_adaptive.controller.min_ms = ra["min_silence_ms"]
             self.rate_adaptive.controller.max_ms = ra["max_silence_ms"]
+        # per-language vad.* overrides (the reference's hot-swap rebuilds the
+        # whole processor, 一键…py:2194-2347; updating in place is equivalent
+        # because init() below re-zeroes all streaming state)
+        v = self.cfg["vad"]
+        vac = getattr(self.processor, "vac", None)
+        if vac is not None:
+            vac.threshold = v["threshold"]
+            vac.set_min_silence_duration_ms(v["min_silence_duration_ms"])
+            vac.speech_pad_samples = vac.sampling_rate * v["speech_pad_ms"] / 1000
+        # per-language streaming.* overrides
+        s = self.cfg["streaming"]
+        online = getattr(self.processor, "online", self.processor)
+        online.set_agreement_n(s["agreement_n"])
+        online.buffer_trimming_sec = s["buffer_trimming_sec"]
+        online.prompt_chars = s["prompt_chars"]
+        online.prefix_policy = s.get("prefix_policy", online.prefix_policy)
+        if hasattr(self.processor, "online_chunk_size"):
+            self.processor.online_chunk_size = s["online_chunk_size"]
+        self.min_chunk_seconds = s.get("min_chunk_seconds", 1.0)
         self.processor.init()
 
     def shutdown(self):

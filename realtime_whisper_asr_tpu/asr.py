@@ -447,6 +447,7 @@ class TPUWhisperASR:
                 self.params, self.cfg, xa, retry_opts,
                 prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
                 extra_suppress=self._extra_suppress, seed=self._sample_seed,
+                alignment_heads=self.alignment_heads,
             )
             if not bad(retry):
                 return retry

@@ -109,8 +109,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
 # CJK text repeats differently → tighter similarity; fast-syllable languages
 # get shorter silence)
 DEFAULT_CONFIG["language_specific"]["zh"] = {
+    # reference config.json zh block: agreement_n=3, vad_threshold=0.6,
+    # min_silence 400 ms (mapped onto this schema's streaming/vad sections)
     "skip_detector": {"similarity_threshold": 0.90, "min_length": 2},
     "speech_rate_adaptive": {"fast_cps": 8.0, "slow_cps": 2.5},
+    "streaming": {"agreement_n": 3},
+    "vad": {"threshold": 0.6, "min_silence_duration_ms": 400},
 }
 DEFAULT_CONFIG["language_specific"]["ja"] = {
     "skip_detector": {"similarity_threshold": 0.90},

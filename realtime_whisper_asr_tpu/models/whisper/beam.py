@@ -160,9 +160,17 @@ def _beam_loop(
         jnp.broadcast_to(last_ts0, (k,)),
     )
     tokens, pos, finished, cache, scores, last_ts = jax.lax.while_loop(cond, body, state)
-    # length-penalized pick: score / length**penalty over sampled region
+    # length-penalized pick: score / length**penalty over sampled region.
+    # +1 counts the EOT token only when one was actually sampled — a beam that
+    # hits the loop bound has no EOT, and counting a phantom one would skew the
+    # normalization between finished and unfinished beams (mirrors the greedy
+    # path's first-EOT length computation, decode.py).
     sampled = tokens[:, p:]
-    lengths = jnp.sum((jnp.cumsum(sampled == cfg.eot, axis=1) == 0).astype(jnp.int32), axis=1) + 1
+    has_eot = jnp.any(sampled == cfg.eot, axis=1)
+    lengths = (
+        jnp.sum((jnp.cumsum(sampled == cfg.eot, axis=1) == 0).astype(jnp.int32), axis=1)
+        + has_eot.astype(jnp.int32)
+    )
     norm = scores / jnp.power(lengths.astype(jnp.float32), opts.length_penalty)
     best = jnp.argmax(norm)
     out = jnp.concatenate(

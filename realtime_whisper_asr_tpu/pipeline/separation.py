@@ -125,18 +125,27 @@ class DemucsSeparator(VocalSeparator):
             return audio
 
 
+def _pick(kw: dict, keys: tuple[str, ...]) -> dict:
+    """Per-class kwarg filtering: callers (app.py) pass the whole config
+    section; each separator takes only what it understands."""
+    return {k: kw[k] for k in keys if k in kw}
+
+
 def create_separator(method: Optional[str], **kw) -> Optional[VocalSeparator]:
-    """Factory (reference vocal_separation.py:375-409): filter|demucs|none."""
+    """Factory (reference vocal_separation.py:375-409): filter|demucs|neural|none."""
     if method in (None, "", "none", False):
         return None
     if method == "filter":
-        return BandpassSeparator(**kw)
+        return BandpassSeparator(**_pick(kw, ("low_hz", "high_hz", "use_device")))
     if method == "neural":
         from realtime_whisper_asr_tpu.models.separation_nn import NeuralSeparator
 
-        return NeuralSeparator(**kw)
+        weights = kw.get("weights")
+        if weights:
+            return NeuralSeparator.load_npz(weights)
+        return NeuralSeparator(**_pick(kw, ("params", "seed")))
     if method == "demucs":
-        sep = DemucsSeparator(**kw)
+        sep = DemucsSeparator(**_pick(kw, ("model_name", "device")))
         if not sep.stats["available"]:
             logger.warning("falling back to band-pass separator")
             return BandpassSeparator()
@@ -144,5 +153,5 @@ def create_separator(method: Optional[str], **kw) -> Optional[VocalSeparator]:
     if method == "spleeter":
         # capability subsumed by the band-pass/demucs paths in this framework
         logger.warning("spleeter method maps to the band-pass separator here")
-        return BandpassSeparator(**kw)
+        return BandpassSeparator(**_pick(kw, ("low_hz", "high_hz", "use_device")))
     raise ValueError(f"unknown separation method {method!r}")

@@ -83,6 +83,9 @@ class StreamServer:
     ):
         self.max_consecutive_sheds = max_consecutive_sheds
         self.asr = asr
+        # streams created with language=None must not inherit whatever language
+        # the previously active stream set on the shared ASR
+        self._default_language = getattr(asr, "original_language", None)
         self.clock = clock
         self.use_vad = use_vad
         self.online_chunk_size = online_chunk_size
@@ -182,8 +185,10 @@ class StreamServer:
     def _activate(self, s: _Stream) -> None:
         if hasattr(self.asr, "set_active_stream"):
             self.asr.set_active_stream(s.sid)
-        if s.language is not None and hasattr(self.asr, "original_language"):
-            self.asr.original_language = s.language
+        if hasattr(self.asr, "original_language"):
+            self.asr.original_language = (
+                s.language if s.language is not None else self._default_language
+            )
 
     def _drain_into_processor(self, s: _Stream) -> None:
         while True:

@@ -93,6 +93,37 @@ def test_language_hot_swap_resets_state():
     assert app.language == "zh"
     assert app.skip_detector.similarity_threshold == 0.90  # zh override applied
     assert app.skip_detector.get_stats()["total"] == 0  # reset
+    # per-language vad.* / streaming.* overrides re-applied (reference rebuilds
+    # the whole processor on hot-swap, 一键…py:2194-2347)
+    assert app.processor.vac.threshold == 0.6
+    assert app.processor.vac.min_silence_samples == 16000 * 400 / 1000
+    assert app.processor.online.agreement_n == 3
+    app.change_language("en")
+    assert app.processor.vac.threshold == 0.5  # back to defaults
+    assert app.processor.online.agreement_n == 2
+    app.shutdown()
+
+
+def test_separator_factory_per_method_kwargs():
+    """create_separator must tolerate the full config section for every
+    method — neural/demucs don't take low_hz/high_hz (advisor finding)."""
+    from realtime_whisper_asr_tpu.pipeline import create_separator
+
+    common = {"low_hz": 85.0, "high_hz": 3400.0}
+    assert create_separator("filter", **common).name == "filter"
+    assert create_separator("neural", **common).name == "neural"
+    # demucs is not installed in this image → degrades to band-pass
+    assert create_separator("demucs", **common, model_name="htdemucs").name == "filter"
+    assert create_separator("none", **common) is None
+
+
+def test_app_constructs_with_neural_separation_enabled():
+    words = make_words(2)
+    app = _app(
+        words, [(0.0, 30.0)], [],
+        **{"vocal_separation.enable": True, "vocal_separation.method": "neural"},
+    )
+    assert app.separator is not None and app.separator.name == "neural"
     app.shutdown()
 
 

@@ -196,3 +196,28 @@ def test_tcp_server_end_to_end():
     finally:
         srv.shutdown()
         t.join(timeout=5)
+
+
+def test_default_language_restored_for_unspecified_streams():
+    """A stream created with language=None must not inherit another stream's
+    language from the shared ASR (advisor finding)."""
+    asr = PerStreamFakeASR({1: make_words(3), 2: make_words(3)})
+    asr.original_language = "en"
+    server = StreamServer(asr, use_vad=False, online_chunk_size=0.5)
+    a = server.create_stream(language="zh")
+    b = server.create_stream()  # no language: should see the ASR default
+    seen = {}
+    orig_transcribe = asr.transcribe
+
+    def spy(audio, init_prompt="", **kw):
+        seen[asr.active] = asr.original_language
+        return orig_transcribe(audio, init_prompt, **kw)
+
+    asr.transcribe = spy
+    for t in (0.0, 1.0, 2.0):
+        server.feed(a, timecoded_audio(t, t + 1.0))
+        server.feed(b, timecoded_audio(t, t + 1.0))
+        while server.step():
+            pass
+    assert seen[a] == "zh"
+    assert seen[b] == "en"
