@@ -367,7 +367,7 @@ class TPUWhisperASR:
         if self.word_timestamps and result.xattn is not None and ids:
             words, word_token_counts = TS.word_timestamps(
                 ids, result.xattn[0][: len(ids)], self.tokenizer, n_frames, time_offset,
-                return_token_counts=True,
+                return_token_counts=True, language=self.original_language,
             )
         # split into segments at timestamp-token pairs
         segments: list[Segment] = []

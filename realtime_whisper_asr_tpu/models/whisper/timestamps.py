@@ -139,11 +139,13 @@ def word_timestamps(
     n_frames: int,
     time_offset: float = 0.0,
     return_token_counts: bool = False,
+    language: str | None = None,
 ):
     """[(begin_s, end_s, word_text)] — the L3→L5 word stream of the online
     protocol. With ``return_token_counts``, also returns tokens-per-word so
-    callers slicing by segment token counts stay aligned for multi-token words."""
-    words, word_tokens = tokenizer.split_to_word_tokens(token_ids)
+    callers slicing by segment token counts stay aligned for multi-token words.
+    ``language`` selects space vs unicode word grouping (tokenizer.split_words)."""
+    words, word_tokens = tokenizer.split_to_word_tokens(token_ids, language=language)
     if not words:
         return ([], []) if return_token_counts else []
     # xattn rows correspond to token_ids positions; build text-token row index

@@ -53,7 +53,7 @@ def test_word_timestamps_monotonic_from_synthetic_attention():
         class cfg:
             eot = 50257
 
-        def split_to_word_tokens(self, ids):
+        def split_to_word_tokens(self, ids, language=None):
             return [f" w{i}" for i in ids], [[i] for i in ids]
 
     words = TS.word_timestamps(list(range(100, 112)), xattn, Tok(), n_frames)
