@@ -110,7 +110,7 @@ class StreamingApp:
             asr,
             agreement_n=s["agreement_n"],
             prefix_policy=s.get("prefix_policy", "agree2"),
-            buffer_trimming=("segment", s["buffer_trimming_sec"]),
+            buffer_trimming=(s.get("buffer_trimming_way", "segment"), s["buffer_trimming_sec"]),
             prompt_chars=s["prompt_chars"],
             dynamic_buffer=s["dynamic_buffer"],
             clock=clock,

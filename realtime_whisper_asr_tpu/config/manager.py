@@ -31,6 +31,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "streaming": {
         "agreement_n": 2,
         "prefix_policy": "agree2",  # agree2 | last (SimulStreaming-style)
+        "buffer_trimming_way": "segment",  # segment | sentence
         "buffer_trimming_sec": 15.0,
         "dynamic_buffer": False,
         "prompt_chars": 300,

@@ -90,6 +90,8 @@ class OnlineASRProcessor:
         self.asr = asr
         self.agreement_n = agreement_n
         self.buffer_trimming_way, self.buffer_trimming_sec = buffer_trimming
+        if self.buffer_trimming_way not in ("segment", "sentence"):
+            raise ValueError(f"unknown buffer_trimming way {self.buffer_trimming_way!r}")
         self.prompt_chars = prompt_chars
         self.buffer_manager = (
             DynamicBufferManager(initial_sec=self.buffer_trimming_sec) if dynamic_buffer else None
@@ -175,7 +177,10 @@ class OnlineASRProcessor:
         if self.buffer_manager is not None:
             trim_sec = self.buffer_manager.adjust(self.clock() - t_start)
         if len(self.audio_buffer) / SAMPLING_RATE > trim_sec:
-            self.chunk_completed_segment(res)
+            if self.buffer_trimming_way == "sentence":
+                self.chunk_completed_sentence()
+            else:
+                self.chunk_completed_segment(res)
         return self.to_flush(o)
 
     def finish(self) -> tuple[Optional[float], Optional[float], str]:
@@ -192,6 +197,38 @@ class OnlineASRProcessor:
         return f
 
     # ---------------------------------------------------------------- trimming
+
+    #: sentence-final punctuation (latin + CJK full-width) for sentence trimming
+    _SENTENCE_END = (".", "!", "?", "。", "！", "？", "…")
+
+    def words_to_sentences(self, words: list[Word]) -> list[Word]:
+        """Group committed words into (beg, end, text) sentences with a
+        lightweight punctuation splitter (the whisper_online contract uses an
+        external sentence tokenizer here; SURVEY.md §2.2 OnlineASRProcessor
+        row — this is the dependency-free equivalent, CJK-aware)."""
+        sentences: list[Word] = []
+        cur: list[Word] = []
+        for w in words:
+            cur.append(w)
+            if w[2].rstrip().endswith(self._SENTENCE_END):
+                sentences.append(
+                    (cur[0][0], cur[-1][1], self.asr.sep.join(t for _, _, t in cur))
+                )
+                cur = []
+        if cur:
+            sentences.append((cur[0][0], cur[-1][1], self.asr.sep.join(t for _, _, t in cur)))
+        return sentences
+
+    def chunk_completed_sentence(self) -> None:
+        """Trim at the end of the second-to-last committed sentence, keeping
+        the (possibly still growing) last sentence in the buffer."""
+        if not self.commited:
+            return
+        sentences = self.words_to_sentences(self.commited)
+        if len(sentences) < 2:
+            logger.debug("--- not enough completed sentences to trim")
+            return
+        self.chunk_at(sentences[-2][1])
 
     def chunk_completed_segment(self, res) -> None:
         """Trim at the last completed-segment boundary before the last commit."""

@@ -355,3 +355,102 @@ def test_vac_end_then_start_in_one_chunk_preserves_both_utterances():
     text = "".join(txt for _, _, txt in outs if txt)
     assert "first" in text, f"old utterance lost: {outs}"
     assert "second" in text, f"new utterance onset lost: {outs}"
+
+
+def make_sentence_words(n_sentences, words_per_sentence=4, start=0.25, dur=0.4, gap=0.1):
+    """Timecoded words where every k-th word ends a sentence with a period."""
+    t = start
+    words = []
+    for s in range(n_sentences):
+        for i in range(words_per_sentence):
+            text = f" s{s}w{i}"
+            if i == words_per_sentence - 1:
+                text += "."
+            words.append((round(t, 2), round(t + dur, 2), text))
+            t += dur + gap
+    return words
+
+
+def run_online_sentences(n_sentences=12, trimming=10.0, **kw):
+    words = make_sentence_words(n_sentences)
+    asr = TimecodedFakeASR(words)
+    proc = OnlineASRProcessor(asr, buffer_trimming=("sentence", trimming), **kw)
+    total = words[-1][1] + 1.0
+    committed = []
+    t = 0.0
+    while t < total:
+        proc.insert_audio_chunk(timecoded_audio(t, min(t + 1.0, total)))
+        t += 1.0
+        b, e, txt = proc.process_iter()
+        if txt:
+            committed.append((b, e, txt))
+    b, e, txt = proc.finish()
+    if txt:
+        committed.append((b, e, txt))
+    return words, asr, proc, committed
+
+
+def test_sentence_trimming_bounds_buffer():
+    """buffer_trimming=("sentence", n): the buffer is cut at completed-sentence
+    boundaries (whisper_online contract, SURVEY §2.2)."""
+    words, asr, proc, committed = run_online_sentences(n_sentences=12, trimming=10.0)
+    assert len(proc.audio_buffer) / 16000 < 14.0  # trimmed during the run
+    text = "".join(t for _, _, t in committed)
+    for s in range(12):
+        for i in range(4):
+            assert f"s{s}w{i}" in text  # nothing lost across sentence trims
+    assert text.count("s3w0") == 1  # and nothing duplicated
+
+
+def test_sentence_trim_lands_on_sentence_end():
+    words = make_sentence_words(12)
+    asr = TimecodedFakeASR(words)
+    proc = OnlineASRProcessor(asr, buffer_trimming=("sentence", 10.0))
+    total = words[-1][1] + 1.0
+    t = 0.0
+    offsets = set()
+    while t < total:
+        proc.insert_audio_chunk(timecoded_audio(t, min(t + 1.0, total)))
+        t += 1.0
+        proc.process_iter()
+        offsets.add(proc.buffer_time_offset)
+    # every trim point must be the end of some sentence-final word
+    sentence_ends = {e for b, e, txt in words if txt.endswith(".")}
+    trims = offsets - {0.0}
+    assert trims, "expected at least one sentence trim"
+    # timecoded audio carries float32 noise into absolute word times
+    for t_trim in trims:
+        assert min(abs(t_trim - e) for e in sentence_ends) < 1e-3
+
+
+def test_words_to_sentences_cjk_punctuation():
+    asr = TimecodedFakeASR([])
+    proc = OnlineASRProcessor(asr, buffer_trimming=("sentence", 10.0))
+    ws = [(0.0, 0.5, "你好。"), (0.6, 1.0, "世界"), (1.1, 1.5, "了！"), (1.6, 2.0, "尾")]
+    sents = proc.words_to_sentences(ws)
+    assert [s[2] for s in sents] == ["你好。", "世界了！", "尾"]
+    assert sents[0][1] == 0.5 and sents[1][0] == 0.6 and sents[1][1] == 1.5
+
+
+def test_sentence_mode_without_punctuation_never_trims():
+    """No sentence boundaries -> conservative: keep the buffer (matches the
+    upstream behavior of requiring >=2 sentences)."""
+    words, asr, proc, committed = run_online(n_words=30, trimming=8.0)
+    proc2 = OnlineASRProcessor(asr, buffer_trimming=("sentence", 8.0))
+    words2 = make_words(30)
+    asr2 = TimecodedFakeASR(words2)
+    proc2.asr = asr2
+    t = 0.0
+    total = words2[-1][1] + 1.0
+    while t < total:
+        proc2.insert_audio_chunk(timecoded_audio(t, min(t + 1.0, total)))
+        t += 1.0
+        proc2.process_iter()
+    assert proc2.buffer_time_offset == 0.0  # never trimmed
+
+
+def test_invalid_trimming_way_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        OnlineASRProcessor(TimecodedFakeASR([]), buffer_trimming=("paragraph", 10.0))
