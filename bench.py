@@ -151,6 +151,19 @@ def run_scenario(n: int) -> int:
     return 0
 
 
+def _tree_bytes_count(tree) -> tuple[int, int]:
+    import jax
+
+    leaves = jax.tree.leaves(tree)
+    return (sum(l.size * l.dtype.itemsize for l in leaves), sum(int(l.size) for l in leaves))
+
+
+# TPU v5e single-chip peaks (public spec): 197 bf16 TFLOP/s, 394 int8 TOP/s,
+# 819 GB/s HBM bandwidth
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_HBM = 819e9
+
+
 def main() -> int:
     scenario = os.environ.get("BENCH_SCENARIO")
     if scenario:
@@ -159,6 +172,7 @@ def main() -> int:
     seconds = float(os.environ.get("BENCH_SECONDS", "24"))
     chunk_s = float(os.environ.get("BENCH_CHUNK", "1.0"))
     max_new = int(os.environ.get("BENCH_MAX_NEW", "96"))
+    profile_phases = os.environ.get("BENCH_PHASES", "") not in ("", "0")
 
     import jax.numpy as jnp
 
@@ -213,6 +227,14 @@ def main() -> int:
     vac.init()
     setup_s = time.perf_counter() - t_setup0
 
+    if profile_phases:
+        # diagnostic mode: block at phase boundaries inside every transcribe
+        # for an auditable upload/encode/decode/download/host split
+        from realtime_whisper_asr_tpu.utils.profiling import PhaseTimer
+
+        asr.phase_timer = PhaseTimer()
+    asr.counters = {"new_tokens": 0, "ticks": 0, "encoded_frames": 0}
+
     # ---- measured run
     lat, proc_total = [], 0.0
     results = 0
@@ -240,6 +262,36 @@ def main() -> int:
     p90 = float(np.percentile(lat, 90) * 1e3) if lat else float("nan")
     baseline_ms = BASELINE_LATENCY_MS.get(model, 4000.0)
 
+    # ---- throughput + roofline estimates (VERDICT round-1 item 10): decode
+    # tokens/s, achieved TFLOP/s and HBM GB/s vs v5e peaks. FLOPs/token ~
+    # 2*(decoder weights + logits head); HBM bytes/token ~ decoder weight bytes
+    # (weight-bound at batch 1).
+    extras: dict = {}
+    new_tokens = asr.counters["new_tokens"]
+    dec_bytes, dec_count = _tree_bytes_count(asr.params["decoder"])
+    emb = asr.params["decoder"]["tok_emb"]
+    logits_flops = 2 * emb.size  # tied output head
+    flops_per_token = 2 * dec_count + logits_flops
+    if profile_phases and asr.phase_timer is not None:
+        rep = asr.phase_timer.report()
+        extras["phases_ms_per_tick"] = {k: v["mean_ms"] for k, v in rep.items()}
+        dev_s = sum(rep[k]["total_s"] for k in ("encode", "decode") if k in rep)
+        xfer_s = sum(rep[k]["total_s"] for k in ("upload", "download") if k in rep)
+        extras["compute_rtf"] = round(dev_s / audio_s, 4)
+        extras["transfer_rtf"] = round(xfer_s / audio_s, 4)
+        dec_s = rep.get("decode", {}).get("total_s", 0.0)
+        if dec_s > 0 and new_tokens > 0:
+            tps = new_tokens / dec_s
+            extras["decode_tokens_per_s"] = round(tps, 1)
+            extras["decode_ms_per_token"] = round(1e3 / tps, 2)
+            extras["decode_tflops_est"] = round(tps * flops_per_token / 1e12, 3)
+            extras["decode_hbm_gbs_est"] = round(tps * dec_bytes / 1e9, 1)
+            extras["decode_hbm_util_est"] = round(tps * dec_bytes / V5E_PEAK_HBM, 4)
+    elif new_tokens > 0 and proc_total > 0:
+        extras["decode_tokens_per_s"] = round(new_tokens / proc_total, 1)
+    extras["new_tokens"] = int(new_tokens)
+    extras["decoder_param_bytes"] = int(dec_bytes)
+
     print(json.dumps({
         "metric": f"p50_chunk_to_text_latency_{model}_streaming",
         "value": round(p50, 1),
@@ -256,6 +308,7 @@ def main() -> int:
         "wall_seconds": round(wall, 2),
         "model": model,
         "max_new_tokens": max_new,
+        **extras,
         "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); ~60ms/tick is tunneled-transfer latency specific to this rig",
     }))
     return 0

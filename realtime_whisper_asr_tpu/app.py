@@ -118,11 +118,17 @@ class StreamingApp:
         v = cfg["vad"]
         if v["enable"]:
             if vad_prob_fn is None:
-                if v.get("backend") == "silero_like":
+                if v.get("backend", "silero_like") == "silero_like":
                     from realtime_whisper_asr_tpu.models.vad import SileroLikeVAD
 
-                    vad_prob_fn = SileroLikeVAD()
-                else:
+                    cand = SileroLikeVAD()
+                    if cand.trained:
+                        vad_prob_fn = cand
+                    else:
+                        logger.warning(
+                            "silero_like weights missing; falling back to EnergyVAD"
+                        )
+                if vad_prob_fn is None:
                     from realtime_whisper_asr_tpu.models.vad import EnergyVAD
 
                     vad_prob_fn = EnergyVAD()

@@ -146,6 +146,13 @@ class TPUWhisperASR:
         self.temperature_fallback = False
         self.compression_ratio_threshold = 2.4
         self.logprob_threshold = -1.0
+        #: optional utils.profiling.PhaseTimer — when set, _transcribe_window
+        #: blocks at phase boundaries (upload/encode/decode/download/host) for
+        #: an auditable latency breakdown. Diagnostic mode: the blocking
+        #: serializes work the async dispatch otherwise overlaps.
+        self.phase_timer = None
+        #: decode-throughput counters (tokens/s, MFU estimation in bench.py)
+        self.counters = {"new_tokens": 0, "ticks": 0, "encoded_frames": 0}
         try:
             self._extra_suppress = tuple(self.tokenizer.non_speech_ids())
         except AttributeError:
@@ -328,8 +335,18 @@ class TPUWhisperASR:
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
             seed=self._sample_seed, max_new_cap=max_new_cap,
         )
+        pt = self.phase_timer
+        if pt is not None:
+            pt.mark()
         aux_dev = self._sync_audio_and_aux(audio, aux_np)
+        if pt is not None:
+            jax.block_until_ready(aux_dev)
+            jax.block_until_ready(self._buffers[self._active_stream][0])
+            pt.lap("upload")
         xa = self._encode_from_buf(len(audio))
+        if pt is not None:
+            jax.block_until_ready(xa)
+            pt.lap("encode")
         decode_fn = D.greedy_decode
         if opts.beam_size > 1:
             from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode
@@ -340,7 +357,11 @@ class TPUWhisperASR:
             prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
             extra_suppress=self._extra_suppress, aux_device=aux_dev,
             alignment_heads=self.alignment_heads,
+            **({"phase_timer": pt} if (pt is not None and opts.beam_size == 1) else {}),
         )
+        self.counters["ticks"] += 1
+        self.counters["new_tokens"] += int(result.lengths[0]) - (len(prefix_ids or []))
+        self.counters["encoded_frames"] += min(len(audio) // (2 * 160), self.cfg.n_audio_ctx)
         if self.temperature_fallback and opts.temperature == 0.0:
             result = self._quality_retry(result, xa, opts, prompt_ids, prefix_ids)
         n_frames = min(len(audio) // (2 * 160), self.cfg.n_audio_ctx)
@@ -352,6 +373,8 @@ class TPUWhisperASR:
         ids = result.tokens[0][: result.lengths[0]].tolist()
         if ids and ids[-1] == self.cfg.eot:
             ids = ids[:-1]
+        if pt is not None:
+            pt.lap("host_parse")
         return TranscriptionResult(segs, tokens=ids)
 
     def _parse_segments(

@@ -40,7 +40,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
     },
     "vad": {
         "enable": True,
-        "backend": "energy",  # energy | silero_like
+        "backend": "silero_like",  # silero_like (trained, default) | energy
         "threshold": 0.5,
         "min_silence_duration_ms": 500,
         "speech_pad_ms": 100,

@@ -373,11 +373,14 @@ def greedy_decode(
     alignment_heads: Optional[np.ndarray] = None,
     aux_device: Optional[jnp.ndarray] = None,
     seed: int = 0,
+    phase_timer=None,
 ) -> DecodeResult:
     """Host wrapper: builds initial tokens/masks, runs the jitted loop.
 
     Returns tokens = prefix + sampled (xattn rows aligned), so callers parse
-    one transcript regardless of how much was forced.
+    one transcript regardless of how much was forced. ``phase_timer`` (a
+    utils.profiling.PhaseTimer) splits decode compute from the device→host
+    result transfer for auditable breakdowns.
     """
     init, sot_index, n_prefix = build_initial_tokens(cfg, opts, prompt_tokens, prefix_tokens)
     prefix_arr = init[len(init) - n_prefix :] if n_prefix else np.zeros(0, np.int32)
@@ -416,9 +419,14 @@ def greedy_decode(
         max_new=max_new,
         cache_len=cache_len,
     )
+    if phase_timer is not None:
+        packed.block_until_ready()
+        phase_timer.lap("decode")
     # single device→host transfer; unpack by the static layout
     audio_ctx = int(xa.shape[1])
     flat = np.asarray(packed)
+    if phase_timer is not None:
+        phase_timer.lap("download")
     row = flat.reshape(b, -1)
     off = 0
     tokens = row[:, off : off + max_new].astype(np.int32); off += max_new

@@ -93,9 +93,11 @@ class StreamServer:
         self.prefix_policy = prefix_policy
         self.min_silence_duration_ms = min_silence_duration_ms
         if vad_factory is None:
-            from realtime_whisper_asr_tpu.models.vad import EnergyVAD
+            from realtime_whisper_asr_tpu.models.vad import EnergyVAD, SileroLikeVAD
 
-            vad_factory = EnergyVAD
+            # trained spectral VAD when packaged weights exist (they ship with
+            # the repo); energy heuristic as the weight-free fallback
+            vad_factory = SileroLikeVAD if SileroLikeVAD().trained else EnergyVAD
         self.vad_factory = vad_factory
         self.streams: dict[int, _Stream] = {}
         self.monitor = PerformanceMonitor()

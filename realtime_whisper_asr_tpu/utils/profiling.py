@@ -41,6 +41,16 @@ class PhaseTimer:
             self.totals[name] += self.clock() - t0
             self.counts[name] += 1
 
+    # lap-style API for instrumenting straight-line pipelines (asr.py hot path)
+    def mark(self) -> None:
+        self._t = self.clock()
+
+    def lap(self, name: str) -> None:
+        now = self.clock()
+        self.totals[name] += now - getattr(self, "_t", now)
+        self.counts[name] += 1
+        self._t = now
+
     def report(self) -> dict[str, dict[str, float]]:
         return {
             name: {
