@@ -164,7 +164,86 @@ V5E_PEAK_BF16 = 197e12
 V5E_PEAK_HBM = 819e9
 
 
+def run_multistream(n_streams: int) -> int:
+    """Aggregate serving capacity: N concurrent streams over ONE shared model
+    via StreamServer's batched scheduler. Reports aggregate RTF (total audio
+    seconds transcribed per wall second across streams)."""
+    import jax.numpy as jnp
+
+    from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+    from realtime_whisper_asr_tpu.serving import StreamServer
+    from realtime_whisper_asr_tpu.utils import (
+        enable_persistent_compile_cache,
+        start_background_warmup,
+        wait_for_warmup,
+    )
+
+    enable_persistent_compile_cache()
+    start_background_warmup()
+    model = os.environ.get("BENCH_MODEL", "large-v3")
+    seconds = float(os.environ.get("BENCH_SECONDS", "24"))
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    max_new = int(os.environ.get("BENCH_MAX_NEW", "96"))
+
+    t_setup0 = time.perf_counter()
+    asr = TPUWhisperASR(
+        model_size=model, dtype=jnp.bfloat16, word_timestamps=True,
+        quantization=None if quant in ("", "none") else quant,
+    )
+    asr.transcribe_kargs.update(max_new_tokens=max_new, max_total_tokens=max_new)
+    server = StreamServer(asr, use_vad=False, online_chunk_size=0.5,
+                          prefix_policy="last", max_batch=max(n_streams, 2))
+    sids = [server.create_stream() for _ in range(n_streams)]
+    audio = synthetic_speech(seconds)
+    chunk = SR  # 1 s feed cadence
+
+    def run_pass():
+        pos = 0
+        while pos < len(audio):
+            for i, sid in enumerate(sids):
+                server.feed(sid, audio[pos : pos + chunk])
+            pos += chunk
+            while server.step():
+                pass
+        for sid in sids:
+            server.poll(sid)
+
+    run_pass()  # warmup: compile every (B, bucket) trace
+    wait_for_warmup()
+    for sid in sids:  # reset stream state, keep compiled traces
+        s = server.streams[sid]
+        s.processor.init()
+    from realtime_whisper_asr_tpu.services import PerformanceMonitor
+
+    server.monitor = PerformanceMonitor()
+    asr.counters = {"new_tokens": 0, "ticks": 0, "encoded_frames": 0}
+    t0 = time.perf_counter()
+    run_pass()
+    wall = time.perf_counter() - t0
+    total_audio = seconds * n_streams
+    agg_rtf = wall / total_audio
+    print(json.dumps({
+        "metric": f"aggregate_rtf_{model}_{n_streams}streams",
+        "value": round(agg_rtf, 4),
+        "unit": "rtf",
+        "vs_baseline": round(4000.0 / (agg_rtf * 1e3), 2),
+        "streams": n_streams,
+        "audio_seconds_total": total_audio,
+        "wall_seconds": round(wall, 2),
+        "ticks": asr.counters["ticks"],
+        "new_tokens": asr.counters["new_tokens"],
+        "setup_seconds": round(time.perf_counter() - t_setup0 - wall, 1),
+        "model": model,
+        "quantization": quant,
+        "note": "N simulated 1s-chunk streams over one shared model via the batched StreamServer scheduler; aggregate rtf = wall / (streams x audio)",
+    }))
+    return 0
+
+
 def main() -> int:
+    streams = os.environ.get("BENCH_STREAMS")
+    if streams:
+        return run_multistream(int(streams))
     scenario = os.environ.get("BENCH_SCENARIO")
     if scenario:
         return run_scenario(int(scenario))

@@ -168,17 +168,15 @@ class TPUWhisperASR:
     _CHUNK_BUCKETS = (16000, 64000, WINDOW_SAMPLES)
     _CAP = WINDOW_SAMPLES + 64000  # device ring capacity (window + append slack)
 
-    def _sync_audio_and_aux(self, audio: np.ndarray, aux_np: np.ndarray):
-        """ONE bundled host→device upload per tick.
+    def _plan_upload(self, key, audio: np.ndarray):
+        """Decide grow-vs-full upload for one stream's buffer (no device work).
 
-        Streaming buffers grow by appending; only the new suffix (bucketed) is
-        uploaded into a device-resident buffer, bundled with the decode aux
-        vector. Any non-append change (trim/reset) falls back to a full
-        upload. Each separate transfer costs ~30 ms of tunnel latency, so this
-        is the difference between 1 and 3-5 uploads per tick.
+        Returns (payload, write_pos, n_new, mirror): ``write_pos`` is None for
+        a full CAP-sized replace, else the append offset for the bucketed
+        new-suffix payload (zero-padded to the chunk bucket).
         """
         audio = np.asarray(audio, np.float32)[: self._CAP - 64000]
-        dev_buf, mirror = self._buffers.get(self._active_stream, (None, np.zeros(0, np.float32)))
+        dev_buf, mirror = self._buffers.get(key, (None, np.zeros(0, np.float32)))
         n_old = len(mirror)
         grows = (
             dev_buf is not None
@@ -194,22 +192,44 @@ class TPUWhisperASR:
             if n_old + cb > self._CAP:
                 grows = False
         if grows:
-            payload = np.zeros(cb + D.AUX_LEN, np.float32)
+            payload = np.zeros(cb, np.float32)
             payload[: len(new)] = new
-            payload[cb:] = aux_np
-            up = jnp.asarray(payload)
-            if len(new):
-                dev_buf = _buf_write(dev_buf, up[:cb], jnp.int32(n_old))
-            aux_dev = up[cb:]
-        else:
-            full = np.zeros(self._CAP + D.AUX_LEN, np.float32)
-            full[: len(audio)] = audio
-            full[self._CAP :] = aux_np
-            up = jnp.asarray(full)
-            dev_buf = up[: self._CAP]
-            aux_dev = up[self._CAP :]
-        self._buffers[self._active_stream] = (dev_buf, audio.copy())
+            return payload, n_old, len(new), audio
+        full = np.zeros(self._CAP, np.float32)
+        full[: len(audio)] = audio
+        return full, None, len(audio), audio
+
+    def _sync_many(self, keys, audios, aux_rows: np.ndarray) -> jnp.ndarray:
+        """ONE bundled host→device upload for B streams + all aux rows.
+
+        Streaming buffers grow by appending; only each stream's new suffix
+        (bucketed) rides in the blob, followed by the (B, AUX_LEN) aux matrix.
+        Each separate transfer costs ~30 ms of tunnel latency, so the batched
+        tick pays exactly one upload regardless of B. Device-side slices +
+        ring writes are async dispatches (cheap on this backend).
+        """
+        plans = [self._plan_upload(k, a) for k, a in zip(keys, audios)]
+        blob = np.concatenate([p[0] for p in plans] + [aux_rows.reshape(-1)])
+        up = jnp.asarray(blob)
+        off = 0
+        for (payload, pos, n_new, mirror), k in zip(plans, keys):
+            seg = jax.lax.slice(up, (off,), (off + len(payload),))
+            if pos is None:
+                dev_buf = seg  # full CAP-sized replace
+            else:
+                dev_buf = self._buffers[k][0]
+                if n_new:
+                    dev_buf = _buf_write(dev_buf, seg, jnp.int32(pos))
+            self._buffers[k] = (dev_buf, mirror.copy())
+            off += len(payload)
+        aux_dev = jax.lax.slice(up, (off,), (off + aux_rows.size,)).reshape(aux_rows.shape)
         return aux_dev
+
+    def _sync_audio_and_aux(self, audio: np.ndarray, aux_np: np.ndarray):
+        """Single-stream tick: one bundled upload (see _sync_many)."""
+        return self._sync_many(
+            [self._active_stream], [audio], aux_np.reshape(1, -1)
+        ).reshape(-1)
 
     def set_active_stream(self, key) -> None:
         """Select which per-stream device buffer transcribe() grows."""
@@ -218,17 +238,33 @@ class TPUWhisperASR:
     def drop_stream(self, key) -> None:
         self._buffers.pop(key, None)
 
-    def _encode_from_buf(self, n_samples: int) -> jnp.ndarray:
+    def _window_bucket(self, n_samples: int) -> int:
         for b in self.WINDOW_BUCKETS_S:
             nb = int(b * SAMPLING_RATE)
             if n_samples <= nb:
-                break
-        dev_buf, _ = self._buffers[self._active_stream]
-        window = jax.lax.slice(dev_buf, (0,), (nb,))
+                return nb
+        return nb
+
+    def _encode_from_buf(self, n_samples: int) -> jnp.ndarray:
+        return self._encode_many([self._active_stream], [n_samples])
+
+    def _encode_many(self, keys, n_samples_list) -> jnp.ndarray:
+        """Encode B streams' windows in ONE batched encoder call.
+
+        All rows share the largest window bucket in the group (ring tails
+        beyond each stream's audio are zero by the upload invariant, and the
+        batched encode amortizes weight reads across rows on the MXU).
+        """
+        nb = max(self._window_bucket(n) for n in n_samples_list)
         from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
 
-        mel = log_mel_spectrogram(window, n_mels=self.cfg.n_mels)
-        return self._encode(self.params, self.cfg, mel.astype(self.params_dtype)[None])
+        mels = []
+        for k in keys:
+            dev_buf, _ = self._buffers[k]
+            window = jax.lax.slice(dev_buf, (0,), (nb,))
+            mels.append(log_mel_spectrogram(window, n_mels=self.cfg.n_mels))
+        mel = jnp.stack(mels).astype(self.params_dtype)
+        return self._encode(self.params, self.cfg, mel)
 
     def _load_alignment_heads(self, checkpoint_dir) -> Optional[np.ndarray]:
         if not checkpoint_dir:
@@ -299,14 +335,7 @@ class TPUWhisperASR:
                 offset += WINDOW_SAMPLES
         return TranscriptionResult(segments)
 
-    def _transcribe_window(
-        self,
-        audio: np.ndarray,
-        init_prompt: str,
-        time_offset: float,
-        prefix_ids: Optional[list[int]] = None,
-    ) -> TranscriptionResult:
-        t0 = time.perf_counter()
+    def _make_opts(self) -> D.DecodeOptions:
         kargs = dict(self.transcribe_kargs)
         if self.adaptive_params is not None:
             # speech-rate-adaptive decode params (reference asr_components.py:
@@ -316,7 +345,7 @@ class TPUWhisperASR:
                     getattr(self.adaptive_params, "rate_class", "normal")))
             except Exception:
                 pass
-        opts = D.DecodeOptions(
+        return D.DecodeOptions(
             task=self.task,
             language=self.original_language,
             beam_size=kargs.pop("beam_size", self.beam_size),
@@ -324,6 +353,83 @@ class TPUWhisperASR:
             word_timestamps=self.word_timestamps,
             **kargs,
         )
+
+    def transcribe_batch(self, items: list[dict]) -> list[TranscriptionResult]:
+        """Batched multi-stream tick: B streams, ONE upload + ONE batched
+        encode + ONE batched decode + ONE download (serving capacity lever —
+        incremental decode is weight-bandwidth-bound, so B streams cost
+        barely more device time than one).
+
+        ``items``: list of ``{"key", "audio", "init_prompt"?, "prefix_ids"?}``.
+        Callers group items by language/task (DecodeOptions are shared across
+        the batch). B is padded to a power of two (duplicating the last row)
+        so batch sizes don't multiply traces; pad rows are dropped on return.
+        """
+        if len(items) == 1:
+            it = items[0]
+            self.set_active_stream(it["key"])
+            return [
+                self.transcribe(
+                    it["audio"], it.get("init_prompt") or "", it.get("prefix_ids")
+                )
+            ]
+        n_real = len(items)
+        padded = list(items)
+        while padded and (len(padded) & (len(padded) - 1)):
+            padded.append(padded[-1])
+        opts = self._make_opts()
+        keys, audios, requests = [], [], []
+        for it in padded:
+            prompt = it.get("init_prompt") or ""
+            requests.append({
+                "prompt_tokens": self.tokenizer.encode(prompt) if prompt else None,
+                "prefix_tokens": it.get("prefix_ids"),
+                "seed": self._sample_seed,
+            })
+            audios.append(np.asarray(it["audio"], np.float32))
+            keys.append(it["key"])
+        planned = D.plan_batch_aux(self.cfg, opts, requests)
+        aux_rows = np.stack([r["aux"] for r in planned[0]])
+        pt = self.phase_timer
+        if pt is not None:
+            pt.mark()
+        aux_dev = self._sync_many(keys, audios, aux_rows)
+        if pt is not None:
+            jax.block_until_ready(aux_dev)
+            pt.lap("upload")
+        xa = self._encode_many(keys, [len(a) for a in audios])
+        if pt is not None:
+            jax.block_until_ready(xa)
+            pt.lap("encode")
+        results = D.greedy_decode_batch(
+            self.params, self.cfg, xa, opts, requests,
+            extra_suppress=self._extra_suppress,
+            alignment_heads=self.alignment_heads,
+            aux_device=aux_dev, phase_timer=pt, planned=planned,
+        )
+        out: list[TranscriptionResult] = []
+        for it, res, req in zip(items[:n_real], results[:n_real], requests[:n_real]):
+            n_frames = min(len(it["audio"]) // (2 * 160), self.cfg.n_audio_ctx)
+            segs = self._parse_segments(res, n_frames, 0.0)
+            ids = res.tokens[0][: res.lengths[0]].tolist()
+            if ids and ids[-1] == self.cfg.eot:
+                ids = ids[:-1]
+            out.append(TranscriptionResult(segs, tokens=ids))
+            self.counters["ticks"] += 1
+            self.counters["new_tokens"] += int(res.lengths[0]) - len(req["prefix_tokens"] or [])
+        if pt is not None:
+            pt.lap("host_parse")
+        return out
+
+    def _transcribe_window(
+        self,
+        audio: np.ndarray,
+        init_prompt: str,
+        time_offset: float,
+        prefix_ids: Optional[list[int]] = None,
+    ) -> TranscriptionResult:
+        t0 = time.perf_counter()
+        opts = self._make_opts()
         prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
         # host-side token planning, then ONE bundled upload (audio suffix + aux)
         init, sot_index, n_prefix = D.build_initial_tokens(

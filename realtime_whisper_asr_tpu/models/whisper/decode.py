@@ -78,19 +78,22 @@ def build_initial_tokens(
     opts: DecodeOptions,
     prompt_tokens: Optional[list[int]] = None,
     prefix_tokens: Optional[list[int]] = None,
+    bucket: Optional[int] = None,
 ) -> tuple[np.ndarray, int, int]:
     """[pad+prompt?] + sot_seq + prefix?, bucketed. -> (tokens, sot_index, n_prefix).
 
     The bucket padding lives INSIDE the conditioning region ([sot_prev] +
     blanks), which Whisper treats as prior context — blank padding there is
     semantically inert, unlike padding the forced prefix would be.
+    ``bucket`` forces the target length (batched decode needs every row at the
+    same prefill length).
     """
     sot_seq = list(cfg.sot_sequence(opts.language, opts.task, timestamps=opts.timestamps))
     prefix = list(prefix_tokens or [])
     prompt = list(prompt_tokens or [])
     if prompt:
         prompt = prompt[-(cfg.n_text_ctx // 2 - 1) :]
-    if not prompt and not prefix:
+    if not prompt and not prefix and bucket is None:
         tokens = sot_seq
         return np.asarray(tokens, np.int32), 0, 0
     # reserve space: [sot_prev] + pad + prompt + sot_seq + prefix
@@ -107,7 +110,15 @@ def build_initial_tokens(
         if overflow > 0:
             prompt = prompt[overflow:]
         base = 1 + len(prompt) + len(sot_seq) + len(prefix)
-    target = _bucket(base)
+    target = _bucket(base) if bucket is None else bucket
+    if base > target:  # forced bucket smaller than content: shed to fit
+        overflow = base - target
+        drop = min(overflow, len(prefix))
+        prefix = prefix[: len(prefix) - drop]
+        overflow -= drop
+        if overflow > 0:
+            prompt = prompt[overflow:]
+        base = 1 + len(prompt) + len(sot_seq) + len(prefix)
     pad = target - base
     tokens = [cfg.sot_prev] + [opts.blank_id] * pad + prompt + sot_seq + prefix
     sot_index = len(tokens) - len(prefix) - len(sot_seq)
@@ -193,36 +204,37 @@ def _amask_dev(cfg: WhisperConfig, heads_key: Optional[bytes]):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "opts", "prompt_len", "capture_xattn",
-                     "apply_initial_rules", "max_new", "cache_len"),
+    static_argnames=("cfg", "opts", "prompt_len", "capture_xattn", "max_new", "cache_len"),
 )
 def _greedy_loop(
     params,
     cfg: WhisperConfig,
     opts: DecodeOptions,
     xa: jnp.ndarray,  # (B, audio_ctx, d)
-    aux: jnp.ndarray,  # (AUX_LEN,) f32 bundle (see pack_aux)
+    aux: jnp.ndarray,  # (B, AUX_LEN) f32 bundles (see pack_aux), one per row
     sup_mask: jnp.ndarray,  # (n_vocab,) additive, device-cached
     alignment_mask: jnp.ndarray,  # (L, H), device-cached
     prompt_len: int,
     capture_xattn: bool,
-    apply_initial_rules: bool,
     max_new: int,
     cache_len: int,
 ):
-    # NOTE: prefix/prompt boundaries are TRACED (unpacked from aux) so
-    # hypothesis growth never retraces; only the bucketed prefill length,
-    # window bucket, and loop bound are static.
+    # NOTE: prefix/prompt boundaries, initial-rule gating, sampling seeds, and
+    # generation caps are all TRACED per row (unpacked from aux) so hypothesis
+    # growth never retraces and rows of a batched multi-stream decode can be
+    # at entirely different streaming states; only the bucketed prefill
+    # length, window bucket, and loop bound are static.
     b = xa.shape[0]
     p = prompt_len
-    initial_tokens = jnp.tile(aux[:p].astype(jnp.int32)[None], (b, 1))
-    n_prefix_arr = aux[AUX_TOK].astype(jnp.int32)
-    sot_index_arr = aux[AUX_TOK + 1].astype(jnp.int32)
-    last_ts_init = jnp.broadcast_to(aux[AUX_TOK + 2].astype(jnp.int32), (b,))
-    # exact generation cap (the static bound max_new is bucket-quantized)
+    initial_tokens = aux[:, :p].astype(jnp.int32)  # (B, p)
+    n_prefix_arr = aux[:, AUX_TOK].astype(jnp.int32)  # (B,)
+    sot_index_arr = aux[:, AUX_TOK + 1].astype(jnp.int32)  # (B,)
+    last_ts_init = aux[:, AUX_TOK + 2].astype(jnp.int32)  # (B,)
+    seeds = aux[:, AUX_TOK + 3].astype(jnp.int32)  # (B,)
+    # exact per-row generation cap (the static bound max_new is quantized)
     total = jnp.minimum(
-        jnp.int32(p + max_new), jnp.int32(p) + aux[AUX_TOK + 4].astype(jnp.int32)
-    )
+        jnp.int32(p + max_new), jnp.int32(p) + aux[:, AUX_TOK + 4].astype(jnp.int32)
+    )  # (B,)
     ts0 = cfg.timestamp_begin
     vocab_ids = jnp.arange(cfg.n_vocab)
     audio_ctx = xa.shape[1]
@@ -232,7 +244,7 @@ def _greedy_loop(
     pre_logits, cache, pre_xattn = M.decode_span(
         params, cfg, initial_tokens, jnp.int32(0), cache, alignment_mask=amask
     )
-    sot_logits = jax.lax.dynamic_index_in_dim(pre_logits, sot_index_arr, axis=1, keepdims=False)
+    sot_logits = jnp.take_along_axis(pre_logits, sot_index_arr[:, None, None], axis=1)[:, 0]
     no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)[:, cfg.no_speech]
 
     tokens0 = jnp.concatenate(
@@ -244,10 +256,12 @@ def _greedy_loop(
     def select_next(logits, tokens, pos, last_ts):
         """All Whisper logit rules + (sampled or argmax) selection at ``pos``."""
         step = pos - p
+        # rows with no forced prefix get whisper's initial-position rules
+        first = (step == 0) & (n_prefix_arr == 0)  # (B,)
         flogits = logits + sup_mask[None, :]
         flogits = flogits.at[:, cfg.no_timestamps].set(-jnp.inf)
-        if opts.suppress_blank and apply_initial_rules:
-            blank = jnp.where(step == 0, -jnp.inf, 0.0)
+        if opts.suppress_blank:
+            blank = jnp.where(first, -jnp.inf, 0.0)
             flogits = flogits.at[:, opts.blank_id].add(blank)
             flogits = flogits.at[:, cfg.eot].add(blank)
         if opts.timestamps:
@@ -265,13 +279,8 @@ def _greedy_loop(
             bound = jnp.where(last_was_ts & ~prev_was_ts, last_ts, last_ts + 1)
             has_ts = last_ts >= ts0
             kill_mono = has_ts[:, None] & is_ts & (vocab_ids[None, :] < bound[:, None])
-            first = (step == 0) & (n_prefix_arr == 0)
-            if apply_initial_rules:
-                kill_init_text = first & (vocab_ids[None, :] < ts0)
-                kill_init_late = first & (vocab_ids[None, :] > ts0 + max_initial_index)
-            else:
-                kill_init_text = jnp.zeros((), bool)
-                kill_init_late = jnp.zeros((), bool)
+            kill_init_text = first[:, None] & (vocab_ids[None, :] < ts0)
+            kill_init_late = first[:, None] & (vocab_ids[None, :] > ts0 + max_initial_index)
             kill = kill_ts | kill_text | kill_mono | kill_init_text | kill_init_late
             flogits = jnp.where(kill, -jnp.inf, flogits)
             logprobs = jax.nn.log_softmax(flogits.astype(jnp.float32), axis=-1)
@@ -284,14 +293,13 @@ def _greedy_loop(
             flogits = jnp.where(is_ts, -jnp.inf, flogits)
 
         if opts.temperature > 0:
-            # Gumbel-max categorical sampling at temperature t
-            key = jax.random.fold_in(
-                jax.random.PRNGKey(aux[AUX_TOK + 3].astype(jnp.int32)), pos
-            )
-            g = jax.random.gumbel(key, flogits.shape, jnp.float32)
-            nxt = jnp.argmax(
-                flogits.astype(jnp.float32) / opts.temperature + g, axis=-1
-            ).astype(jnp.int32)
+            # Gumbel-max categorical sampling at temperature t, per-row seed
+            def sample_row(seed, fl):
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), pos)
+                g = jax.random.gumbel(key, fl.shape, jnp.float32)
+                return jnp.argmax(fl.astype(jnp.float32) / opts.temperature + g)
+
+            nxt = jax.vmap(sample_row)(seeds, flogits).astype(jnp.int32)
         else:
             nxt = jnp.argmax(flogits, axis=-1).astype(jnp.int32)
         logprobs = jax.nn.log_softmax(flogits.astype(jnp.float32), axis=-1)
@@ -299,9 +307,11 @@ def _greedy_loop(
         return nxt, lp
 
     def advance(tokens, pos, finished, sum_lp, last_ts, nxt, lp):
-        nxt = jnp.where(finished, cfg.eot, nxt)
-        sum_lp = sum_lp + jnp.where(finished, 0.0, lp)
-        last_ts = jnp.where((nxt >= ts0) & ~finished, nxt, last_ts)
+        # rows at their per-row cap freeze exactly like EOT'd rows
+        done = finished | (pos >= total)
+        nxt = jnp.where(done, cfg.eot, nxt)
+        sum_lp = sum_lp + jnp.where(done, 0.0, lp)
+        last_ts = jnp.where((nxt >= ts0) & ~done, nxt, last_ts)
         tokens = jax.lax.dynamic_update_slice_in_dim(tokens, nxt[:, None], pos, axis=1)
         finished = finished | (nxt == cfg.eot)
         return tokens, finished, sum_lp, last_ts
@@ -325,7 +335,7 @@ def _greedy_loop(
 
     def cond(state):
         tokens, pos, finished, cache, sum_lp, last_ts, xattn = state
-        return (~jnp.all(finished)) & (pos < total)
+        return (~jnp.all(finished)) & (pos < jnp.max(total))
 
     # seed the FIRST sampled token from the prefill's last logits — its row
     # already predicts position p, so the loop's first decode_step (which used
@@ -347,18 +357,26 @@ def _greedy_loop(
     )
     tokens, pos, finished, cache, sum_lp, last_ts, xattn = jax.lax.while_loop(cond, body, state)
     # pack ALL host-bound outputs into one flat f32 buffer: each device→host
-    # transfer costs ~30-40 ms of tunnel latency on this backend, so one
-    # transfer per tick instead of 3-5 is a direct latency win. Token ids
-    # < 2^24 are exact in f32.
+    # transfer costs ~30 ms of tunnel latency on this backend, so one transfer
+    # per tick instead of 3-5 is a direct latency win. Token ids < 2^24 are
+    # exact in f32. The cross-attention capture is shipped as bf16 pairs
+    # bitcast into f32 words — attention weights live in [0,1] where bf16's
+    # 8-bit mantissa is plenty for DTW, and the tunnel moves ~35 MB/s, so
+    # halving the ~1.5 MB xattn payload saves ~20-30 ms per tick.
     parts = [
         tokens[:, p:].astype(jnp.float32),
         sum_lp[:, None],
         no_speech_prob[:, None],
     ]
     if capture_xattn:
-        parts.append(xattn.reshape(b, -1))
-        # the whole prefill block (static size); host slices the prefix rows
-        parts.append(pre_xattn.reshape(b, -1))
+        # sampled rows then the whole prefill block (host slices prefix rows)
+        xa_all = jnp.concatenate(
+            [xattn.reshape(b, -1), pre_xattn.reshape(b, -1)], axis=1
+        ).astype(jnp.bfloat16)
+        packed_xa = jax.lax.bitcast_convert_type(
+            xa_all.reshape(b, -1, 2), jnp.float32
+        )
+        parts.append(packed_xa)
     return jnp.concatenate(parts, axis=1).reshape(-1)
 
 
@@ -374,6 +392,7 @@ def greedy_decode(
     aux_device: Optional[jnp.ndarray] = None,
     seed: int = 0,
     phase_timer=None,
+    bucket: Optional[int] = None,
 ) -> DecodeResult:
     """Host wrapper: builds initial tokens/masks, runs the jitted loop.
 
@@ -382,7 +401,9 @@ def greedy_decode(
     utils.profiling.PhaseTimer) splits decode compute from the device→host
     result transfer for auditable breakdowns.
     """
-    init, sot_index, n_prefix = build_initial_tokens(cfg, opts, prompt_tokens, prefix_tokens)
+    init, sot_index, n_prefix = build_initial_tokens(
+        cfg, opts, prompt_tokens, prefix_tokens, bucket=bucket
+    )
     prefix_arr = init[len(init) - n_prefix :] if n_prefix else np.zeros(0, np.int32)
     b = xa.shape[0]
     p = int(init.shape[0])
@@ -404,6 +425,10 @@ def greedy_decode(
             seed=seed, max_new_cap=max_new_cap,
         )
         aux_device = jnp.asarray(aux_np)
+    if aux_device.ndim == 1:
+        aux_device = aux_device.reshape(1, AUX_LEN)
+    if b > 1 and aux_device.shape[0] == 1:
+        aux_device = jnp.tile(aux_device, (b, 1))
 
     packed = _greedy_loop(
         params,
@@ -415,7 +440,6 @@ def greedy_decode(
         amask,
         prompt_len=p,
         capture_xattn=capture,
-        apply_initial_rules=(n_prefix == 0),
         max_new=max_new,
         cache_len=cache_len,
     )
@@ -434,9 +458,17 @@ def greedy_decode(
     nsp = row[:, off]; off += 1
     xattn_full = None
     if capture:
-        stored = row[:, off : off + max_new * audio_ctx].reshape(b, max_new, audio_ctx)
-        off += max_new * audio_ctx
-        xattn_prefill = row[:, off:].reshape(b, p, audio_ctx)
+        import ml_dtypes
+
+        n_xa = (max_new + p) * audio_ctx  # always even (audio_ctx is even)
+        packed_sec = np.ascontiguousarray(row[:, off : off + n_xa // 2], np.float32)
+        xa_full = (
+            packed_sec.view(ml_dtypes.bfloat16)
+            .astype(np.float32)
+            .reshape(b, max_new + p, audio_ctx)
+        )
+        stored = xa_full[:, :max_new]
+        xattn_prefill = xa_full[:, max_new:]
         # decode_step at position pos captures the query row of token pos-1 and
         # stores it at index pos-p, so sampled token j's row sits at stored[j+1]
         # (stored[0] duplicates the last prefill row). Realign and repeat-pad
@@ -462,3 +494,139 @@ def greedy_decode(
         no_speech_prob=nsp,
         xattn=xattn_full,
     )
+
+
+def greedy_decode_batch(
+    params,
+    cfg: WhisperConfig,
+    xa: jnp.ndarray,  # (B, audio_ctx, d) — one encoded window per stream
+    opts: DecodeOptions,
+    requests: list[dict],
+    extra_suppress: tuple[int, ...] = (),
+    alignment_heads: Optional[np.ndarray] = None,
+    aux_device: Optional[jnp.ndarray] = None,
+    phase_timer=None,
+    planned=None,  # optional (rows, p, max_new, cap) from plan_batch_aux
+) -> list[DecodeResult]:
+    """Batched multi-stream greedy decode: one jitted loop over B streams.
+
+    Each request is ``{"prompt_tokens": ..., "prefix_tokens": ..., "seed": ...}``
+    and may be at a completely different streaming state — per-row prefix
+    lengths, initial-rule gating, caps, and seeds ride in the (B, AUX_LEN) aux
+    bundle. All rows share one prefill bucket (the max across rows; bucket
+    padding is semantically inert, build_initial_tokens). The capacity lever:
+    incremental decode at batch 1 is weight-bandwidth-bound, so B streams cost
+    barely more than one (the full decoder streams from HBM once per step
+    either way). Callers group rows by window bucket; ``plan_batch_aux``
+    exposes the planning half for one-upload bundling.
+    """
+    b = xa.shape[0]
+    assert len(requests) == b, (len(requests), b)
+    init_rows, p, max_new, max_new_cap = (
+        planned if planned is not None else plan_batch_aux(cfg, opts, requests)
+    )
+    if aux_device is None:
+        aux_device = jnp.asarray(np.stack([row["aux"] for row in init_rows]))
+    cache_len = min(cfg.n_text_ctx, _round_up(p + max_new, 128))
+    sup = _sup_mask_dev(cfg, tuple(extra_suppress))
+    capture = opts.word_timestamps
+    heads_key = (
+        None
+        if alignment_heads is None
+        else np.ascontiguousarray(alignment_heads, np.float32).tobytes()
+    )
+    amask = _amask_dev(cfg, heads_key)
+
+    packed = _greedy_loop(
+        params, cfg, opts, xa, aux_device, sup, amask,
+        prompt_len=p, capture_xattn=capture, max_new=max_new, cache_len=cache_len,
+    )
+    if phase_timer is not None:
+        packed.block_until_ready()
+        phase_timer.lap("decode")
+    audio_ctx = int(xa.shape[1])
+    flat = np.asarray(packed)
+    if phase_timer is not None:
+        phase_timer.lap("download")
+    row = flat.reshape(b, -1)
+    off = 0
+    tokens = row[:, off : off + max_new].astype(np.int32); off += max_new
+    sum_lp = row[:, off].astype(np.float64); off += 1
+    nsp = row[:, off]; off += 1
+    xa_full = None
+    if capture:
+        import ml_dtypes
+
+        n_xa = (max_new + p) * audio_ctx
+        packed_sec = np.ascontiguousarray(row[:, off : off + n_xa // 2], np.float32)
+        xa_full = (
+            packed_sec.view(ml_dtypes.bfloat16)
+            .astype(np.float32)
+            .reshape(b, max_new + p, audio_ctx)
+        )
+
+    results: list[DecodeResult] = []
+    for i in range(b):
+        prefix_arr = init_rows[i]["prefix_arr"]
+        n_prefix = len(prefix_arr)
+        full = np.concatenate([prefix_arr, tokens[i]])[None]
+        eots = np.nonzero(full[0] == cfg.eot)[0]
+        length = int(eots[0] + 1) if eots.size else full.shape[1]
+        xattn_i = None
+        if capture:
+            stored = xa_full[i, :max_new]
+            gen = np.concatenate([stored[1:], stored[-1:]], axis=0)
+            if n_prefix:
+                xattn_i = np.concatenate(
+                    [xa_full[i, max_new:][p - n_prefix :], gen], axis=0
+                )[None]
+            else:
+                xattn_i = gen[None]
+        results.append(
+            DecodeResult(
+                tokens=full,
+                lengths=np.array([length], np.int64),
+                sum_logprob=sum_lp[i : i + 1],
+                avg_logprob=sum_lp[i : i + 1] / max(length - n_prefix, 1),
+                no_speech_prob=nsp[i : i + 1],
+                xattn=xattn_i,
+            )
+        )
+    return results
+
+
+def plan_batch_aux(
+    cfg: WhisperConfig, opts: DecodeOptions, requests: list[dict]
+) -> tuple[list[dict], int, int, int]:
+    """Host planning half of the batched decode: per-row initial tokens at a
+    COMMON prefill bucket + packed aux rows. Returns (rows, p, max_new, cap).
+    Split out so asr.transcribe_batch can bundle all aux rows into the single
+    per-tick upload."""
+    naturals = [
+        build_initial_tokens(
+            cfg, opts, r.get("prompt_tokens"), r.get("prefix_tokens")
+        )[0].shape[0]
+        for r in requests
+    ]
+    p = _bucket(max(naturals))
+    rows = []
+    max_new = max_new_cap = None
+    for r in requests:
+        init, sot_index, n_prefix = build_initial_tokens(
+            cfg, opts, r.get("prompt_tokens"), r.get("prefix_tokens"), bucket=p
+        )
+        mn, cap = plan_decode_budget(cfg, opts, p, n_prefix)
+        max_new = mn if max_new is None else max(max_new, mn)
+        max_new_cap = cap if max_new_cap is None else max(max_new_cap, cap)
+        ts_in_prefix = [int(t) for t in init[len(init) - n_prefix :] if t >= cfg.timestamp_begin]
+        aux = pack_aux(
+            init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
+            seed=int(r.get("seed", 0)), max_new_cap=cap,
+        )
+        rows.append({
+            "aux": aux,
+            "prefix_arr": init[len(init) - n_prefix :] if n_prefix else np.zeros(0, np.int32),
+            "init": init,
+            "n_prefix": n_prefix,
+        })
+    return rows, p, max_new, max_new_cap

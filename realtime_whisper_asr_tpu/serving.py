@@ -79,8 +79,10 @@ class StreamServer:
         min_silence_duration_ms: int = 500,
         use_vad: bool = True,
         max_consecutive_sheds: int = 3,
+        max_batch: int = 8,
         clock: Callable[[], float] = time.monotonic,
     ):
+        self.max_batch = max_batch
         self.max_consecutive_sheds = max_consecutive_sheds
         self.asr = asr
         # streams created with language=None must not inherit whatever language
@@ -211,10 +213,11 @@ class StreamServer:
         with self._lock:
             s.results.append(StreamResult(s.sid, beg, end, text))
 
-    def step(self) -> bool:
-        """Run ONE tick for the next ready stream; True if work was done."""
+    def _collect_ready(self) -> list[_Stream]:
+        """Pick up to max_batch ready streams in round-robin order."""
         with self._lock:
             order = list(self._rr)
+        out: list[_Stream] = []
         for sid in order:
             with self._lock:
                 s = self.streams.get(sid)
@@ -230,7 +233,64 @@ class StreamServer:
                     self._rr.append(sid)
                 except ValueError:
                     continue
-            with self._asr_lock:
+            out.append(s)
+            if len(out) >= self.max_batch:
+                break
+        return out
+
+    def _tick_single(self, s: _Stream) -> None:
+        self._activate(s)
+        t0 = self.clock()
+        beg, end, text = s.processor.process_iter()
+        dt = self.clock() - t0
+        s.ticks += 1
+        # every real tick updates the window, with the audio actually
+        # processed since the last tick (not the committed-word span)
+        self.monitor.record_recognition(max(s.audio_since_tick, 1e-3), max(dt, 1e-6))
+        s.audio_since_tick = 0.0
+        self._emit(s, beg, end, text)
+
+    def _tick_batch(self, group: list[_Stream]) -> None:
+        """ONE batched transcribe across same-language streams: the decode
+        loop is weight-bandwidth-bound at batch 1, so B streams share one
+        weight pass (+ one upload/download) instead of B of each."""
+        self._activate(group[0])  # language is uniform within the group
+        reqs = []
+        for s in group:
+            r = s.processor.prepare_request()
+            r["key"] = s.sid
+            reqs.append(r)
+        t0 = self.clock()
+        try:
+            results = self.asr.transcribe_batch(reqs)
+        except Exception:
+            logger.exception("batched transcribe failed; resetting group")
+            for s in group:
+                inner = getattr(s.processor, "online", s.processor)
+                inner.init(offset=inner.buffer_time_offset
+                           + len(inner.audio_buffer) / SR)
+            return
+        dt = self.clock() - t0
+        share = dt / max(len(group), 1)
+        for s, res in zip(group, results):
+            beg, end, text = s.processor.apply_result(res, dt)
+            s.ticks += 1
+            self.monitor.record_recognition(max(s.audio_since_tick, 1e-3), max(share, 1e-6))
+            s.audio_since_tick = 0.0
+            self._emit(s, beg, end, text)
+
+    def step(self) -> bool:
+        """Run one scheduling round: drain + shed-check the ready streams,
+        batch the same-language regular ticks into one transcribe, run the
+        rest (utterance finals, odd languages) individually."""
+        candidates = self._collect_ready()
+        if not candidates:
+            return False
+        did_work = False
+        with self._asr_lock:
+            batchable: list[_Stream] = []
+            singles: list[_Stream] = []
+            for s in candidates:
                 with self._lock:
                     if s.closed:
                         continue
@@ -241,21 +301,40 @@ class StreamServer:
                 if skip and s.consecutive_sheds < self.max_consecutive_sheds:
                     s.skipped_ticks += 1
                     s.consecutive_sheds += 1
-                    logger.debug("shedding load on stream %d: %s", sid, why)
-                    return True
+                    logger.debug("shedding load on stream %d: %s", s.sid, why)
+                    did_work = True
+                    continue
                 s.consecutive_sheds = 0
-                self._activate(s)
-                t0 = self.clock()
-                beg, end, text = s.processor.process_iter()
-                dt = self.clock() - t0
-                s.ticks += 1
-                # every real tick updates the window, with the audio actually
-                # processed since the last tick (not the committed-word span)
-                self.monitor.record_recognition(max(s.audio_since_tick, 1e-3), max(dt, 1e-6))
-                s.audio_since_tick = 0.0
-                self._emit(s, beg, end, text)
-            return True
-        return False
+                proc = s.processor
+                if (
+                    hasattr(self.asr, "transcribe_batch")
+                    and hasattr(proc, "wants_tick")
+                    and hasattr(proc, "prepare_request")
+                ):
+                    if proc.wants_tick():
+                        batchable.append(s)
+                    elif getattr(proc, "is_currently_final", False) or not hasattr(
+                        proc, "is_currently_final"
+                    ):
+                        singles.append(s)
+                    # else: VAC gate not met — nothing to do this round
+                else:
+                    singles.append(s)
+            # group batchable streams by language (DecodeOptions are shared
+            # across a batch); stragglers run individually
+            while batchable:
+                lang = batchable[0].language
+                group = [s for s in batchable if s.language == lang]
+                batchable = [s for s in batchable if s.language != lang]
+                if len(group) == 1:
+                    singles.extend(group)
+                else:
+                    self._tick_batch(group)
+                    did_work = True
+            for s in singles:
+                self._tick_single(s)
+                did_work = True
+        return did_work
 
     def serve_forever(self, idle_sleep: float = 0.01) -> None:
         while not self._stop.is_set():

@@ -145,19 +145,44 @@ class OnlineASRProcessor:
     def process_iter(self) -> tuple[Optional[float], Optional[float], str]:
         """Re-transcribe the buffer, commit agreed words, trim, return commit."""
         t_start = self.clock()
-        prompt, non_prompt = self.prompt()
+        req = self.prepare_request()
         logger.debug(
             "transcribing %.2f s from %.2f s",
             len(self.audio_buffer) / SAMPLING_RATE,
             self.buffer_time_offset,
         )
         try:
-            kwargs = {}
-            if self.incremental_prefix:
-                prefix = self._stable_prefix()
-                if prefix:
-                    kwargs["prefix_ids"] = prefix
-            res = self.asr.transcribe(self.audio_buffer, init_prompt=prompt, **kwargs)
+            res = self.asr.transcribe(
+                req["audio"], init_prompt=req["init_prompt"],
+                **({"prefix_ids": req["prefix_ids"]} if req.get("prefix_ids") else {}),
+            )
+        except Exception:
+            # reference behavior: reset streaming state and continue
+            # (enhanced_asr_processor.py:369-381)
+            logger.exception("process_iter failed; resetting stream state")
+            self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
+            return (None, None, "")
+        return self.apply_result(res, self.clock() - t_start)
+
+    # two-phase tick for batched serving: prepare_request() gathers this
+    # stream's transcribe inputs with no side effects; the server runs ONE
+    # batched transcribe across streams; apply_result() finishes the tick
+    # (hypothesis insert, LocalAgreement commit, trimming)
+
+    def wants_tick(self) -> bool:
+        return len(self.audio_buffer) > 0
+
+    def prepare_request(self) -> dict:
+        prompt, _ = self.prompt()
+        req: dict = {"audio": self.audio_buffer, "init_prompt": prompt}
+        if self.incremental_prefix:
+            prefix = self._stable_prefix()
+            if prefix:
+                req["prefix_ids"] = prefix
+        return req
+
+    def apply_result(self, res, proc_delay_s: float = 0.0):
+        try:
             if self.incremental_prefix:
                 toks = getattr(res, "tokens", None)
                 if toks is not None:
@@ -167,15 +192,13 @@ class OnlineASRProcessor:
             o = self.transcript_buffer.flush()
             self.commited.extend(o)
         except Exception:
-            # reference behavior: reset streaming state and continue
-            # (enhanced_asr_processor.py:369-381)
-            logger.exception("process_iter failed; resetting stream state")
+            logger.exception("apply_result failed; resetting stream state")
             self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
             return (None, None, "")
 
         trim_sec = self.buffer_trimming_sec
         if self.buffer_manager is not None:
-            trim_sec = self.buffer_manager.adjust(self.clock() - t_start)
+            trim_sec = self.buffer_manager.adjust(proc_delay_s)
         if len(self.audio_buffer) / SAMPLING_RATE > trim_sec:
             if self.buffer_trimming_way == "sentence":
                 self.chunk_completed_sentence()

@@ -199,6 +199,22 @@ class VACOnlineASRProcessor:
             return self.online.process_iter()
         return (None, None, "")
 
+    # two-phase tick (batched serving): wants_tick mirrors process_iter's
+    # regular-tick gate; prepare_request consumes it; apply_result finishes.
+    # The finish() path (is_currently_final) stays on process_iter.
+
+    def wants_tick(self) -> bool:
+        return (not self.is_currently_final) and (
+            self.current_online_chunk_buffer_size > SAMPLING_RATE * self.online_chunk_size
+        )
+
+    def prepare_request(self) -> dict:
+        self.current_online_chunk_buffer_size = 0
+        return self.online.prepare_request()
+
+    def apply_result(self, res, proc_delay_s: float = 0.0):
+        return self.online.apply_result(res, proc_delay_s)
+
     def finish(self) -> tuple[Optional[float], Optional[float], str]:
         # transcribe any audio that never got a process_iter tick (short
         # utterances can end before reaching online_chunk_size), then flush

@@ -225,3 +225,88 @@ def test_max_total_tokens_enforced_exactly(asr):
     if body and body[-1] == cfg.eot:
         body = body[:-1]
     assert len(body) <= 7, f"cap violated: {len(body)} tokens"
+
+
+def test_batched_decode_matches_sequential(asr):
+    """greedy_decode_batch over rows at DIFFERENT streaming states (no prefix /
+    forced prefix / prompt) must reproduce each row's sequential decode —
+    batching is the serving capacity lever and must be a pure reshape."""
+    cfg = asr.cfg
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=True, max_new_tokens=16)
+
+    xs = [_audio(seed=s) for s in (0, 1, 2)]
+    xas = [asr._encode_window(x) for x in xs]
+
+    # sequential references with batch-compatible prefill bucket:
+    # row 1's prefix decode -> take its stable tokens
+    ref0 = D.greedy_decode(asr.params, cfg, xas[0], opts)
+    stable = ref0.tokens[0][:6].tolist()
+    requests = [
+        {"prompt_tokens": None, "prefix_tokens": None, "seed": 0},
+        {"prompt_tokens": None, "prefix_tokens": stable, "seed": 0},
+        {"prompt_tokens": [41, 42, 43], "prefix_tokens": None, "seed": 0},
+    ]
+    rows, p, _, _ = D.plan_batch_aux(cfg, opts, requests)
+    # parity contract: batched == sequential AT THE SAME prefill bucket (bucket
+    # padding shifts position embeddings, so differing buckets differ legally)
+    seq = [
+        D.greedy_decode(
+            asr.params, cfg, xas[i], opts,
+            prompt_tokens=requests[i]["prompt_tokens"],
+            prefix_tokens=requests[i]["prefix_tokens"],
+            bucket=p,
+        )
+        for i in range(3)
+    ]
+
+    import jax.numpy as jnp2
+    xa_batch = jnp2.concatenate(xas, axis=0)
+    got = D.greedy_decode_batch(asr.params, cfg, xa_batch, opts, requests)
+
+    assert len(got) == 3
+    for i in range(3):
+        li, ls = int(got[i].lengths[0]), int(seq[i].lengths[0])
+        assert li == ls, (i, got[i].tokens[0][:li], seq[i].tokens[0][:ls])
+        np.testing.assert_array_equal(got[i].tokens[0][:li], seq[i].tokens[0][:ls])
+        assert got[i].xattn is not None and got[i].xattn.shape == seq[i].xattn.shape
+        np.testing.assert_allclose(
+            got[i].no_speech_prob, seq[i].no_speech_prob, atol=1e-5
+        )
+
+
+def test_asr_transcribe_batch_end_to_end(asr):
+    """transcribe_batch: B streams with per-stream device buffers, one
+    bundled upload, batched encode+decode, per-stream segment parsing."""
+    items = [
+        {"key": "s1", "audio": _audio(seconds=3.0, seed=0)},
+        {"key": "s2", "audio": _audio(seconds=5.0, seed=1), "init_prompt": "w3 w4"},
+        {"key": "s3", "audio": _audio(seconds=2.0, seed=2)},
+    ]
+    asr.transcribe_kargs["max_total_tokens"] = 12
+    try:
+        out = asr.transcribe_batch(items)
+    finally:
+        asr.transcribe_kargs.pop("max_total_tokens", None)
+    assert len(out) == 3
+    for res in out:
+        assert isinstance(res.tokens, list)
+        for seg in res:
+            assert seg.end >= seg.start
+    # per-stream device buffers exist for every key (B was padded to 4 with a
+    # duplicated row, which must not corrupt stream state)
+    for key in ("s1", "s2", "s3"):
+        dev_buf, mirror = asr._buffers[key]
+        assert len(mirror) > 0
+    # growing one stream's audio afterwards still works (append path)
+    asr.set_active_stream("s2")
+    more = np.concatenate([items[1]["audio"], _audio(seconds=1.0, seed=3)])
+    res2 = asr.transcribe(more, init_prompt="w3 w4")
+    assert isinstance(res2.tokens, list)
+
+
+def test_asr_batch_of_one_equals_transcribe(asr):
+    audio = _audio(seconds=3.0, seed=5)
+    asr.set_active_stream("solo")
+    ref = asr.transcribe(audio)
+    got = asr.transcribe_batch([{"key": "solo", "audio": audio}])[0]
+    assert got.tokens == ref.tokens

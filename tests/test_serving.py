@@ -221,3 +221,74 @@ def test_default_language_restored_for_unspecified_streams():
             pass
     assert seen[a] == "zh"
     assert seen[b] == "en"
+
+
+class BatchingFakeASR(PerStreamFakeASR):
+    """Fake backend with the batched-tick API: records batch sizes."""
+
+    def __init__(self, words_by_stream):
+        super().__init__(words_by_stream)
+        self.batch_sizes = []
+
+    def transcribe_batch(self, items):
+        self.batch_sizes.append(len(items))
+        out = []
+        for it in items:
+            self.active = it["key"]
+            out.append(self.transcribe(it["audio"], it.get("init_prompt") or ""))
+        return out
+
+
+def _run_two_streams(asr, **server_kw):
+    server = StreamServer(asr, use_vad=False, online_chunk_size=0.5, **server_kw)
+    a = server.create_stream()
+    b = server.create_stream()
+    outs = {a: [], b: []}
+    for t in (0.0, 1.0, 2.0, 3.0):
+        server.feed(a, timecoded_audio(t, t + 1.0))
+        server.feed(b, timecoded_audio(t, t + 1.0))
+        while server.step():
+            pass
+        for sid in (a, b):
+            outs[sid].extend(server.poll(sid))
+    outs[a].extend(server.close_stream(a))
+    outs[b].extend(server.close_stream(b))
+    return outs, (a, b)
+
+
+def test_batched_step_groups_same_language_streams():
+    words_a = [(0.5, 0.9, " alpha1"), (1.2, 1.6, " alpha2"), (2.2, 2.6, " alpha3")]
+    words_b = [(0.5, 0.9, " beta1"), (1.2, 1.6, " beta2"), (2.2, 2.6, " beta3")]
+    asr = BatchingFakeASR({1: words_a, 2: words_b})
+    outs, (a, b) = _run_two_streams(asr)
+    assert any(n >= 2 for n in asr.batch_sizes), asr.batch_sizes
+    text_a = "".join(r.text for r in outs[a])
+    text_b = "".join(r.text for r in outs[b])
+    assert "alpha1" in text_a and "alpha3" in text_a and "beta" not in text_a
+    assert "beta1" in text_b and "beta3" in text_b and "alpha" not in text_b
+
+
+def test_batched_outputs_match_sequential_serving():
+    """The batched scheduler must produce the same committed text as the
+    sequential one (the fake backend is bucket-free, so parity is exact)."""
+    words_a = [(0.5, 0.9, " alpha1"), (1.2, 1.6, " alpha2"), (2.2, 2.6, " alpha3")]
+    words_b = [(0.5, 0.9, " beta1"), (1.2, 1.6, " beta2"), (2.2, 2.6, " beta3")]
+    batched_outs, (a1, b1) = _run_two_streams(BatchingFakeASR({1: words_a, 2: words_b}))
+    seq_outs, (a2, b2) = _run_two_streams(PerStreamFakeASR({1: words_a, 2: words_b}))
+    assert "".join(r.text for r in batched_outs[a1]) == "".join(r.text for r in seq_outs[a2])
+    assert "".join(r.text for r in batched_outs[b1]) == "".join(r.text for r in seq_outs[b2])
+
+
+def test_batching_respects_language_groups():
+    """Streams with different languages never share a batch (DecodeOptions
+    are per-batch; the reference rebuilds per language)."""
+    asr = BatchingFakeASR({1: make_words(3), 2: make_words(3)})
+    server = StreamServer(asr, use_vad=False, online_chunk_size=0.5)
+    a = server.create_stream(language="en")
+    b = server.create_stream(language="zh")
+    for t in (0.0, 1.0, 2.0):
+        server.feed(a, timecoded_audio(t, t + 1.0))
+        server.feed(b, timecoded_audio(t, t + 1.0))
+        while server.step():
+            pass
+    assert all(n == 1 for n in asr.batch_sizes), asr.batch_sizes
