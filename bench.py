@@ -104,7 +104,7 @@ def run_scenario(n: int) -> int:
         4: dict(model="medium", language="en",
                 overrides={"audio_deduplication.enable": True}, task="translate"),
         5: dict(model="large-v3", language="en",
-                overrides={"vocal_separation.enable": True, "vocal_separation.method": "filter",
+                overrides={"vocal_separation.enable": True, "vocal_separation.method": "neural",
                            "audio_deduplication.enable": False}),
     }
     s = setups[n]

@@ -13,6 +13,7 @@ access) with npz load/save for trained weights — the band-pass separator
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,10 @@ N_FFT = 1024
 HOP = 256
 F_BINS = N_FFT // 2 + 1  # 513
 _CH = (16, 32, 16)
+
+_PACKAGED_WEIGHTS = os.path.join(
+    os.path.dirname(__file__), "weights", "separation_nn.npz"
+)
 
 
 def init_separator_params(key: jax.Array, dtype=jnp.float32) -> dict:
@@ -84,6 +89,11 @@ class NeuralSeparator:
     name = "neural"
 
     def __init__(self, params: dict | None = None, seed: int = 0):
+        self.trained = False
+        if params is None and os.path.exists(_PACKAGED_WEIGHTS):
+            data = np.load(_PACKAGED_WEIGHTS)
+            params = {k: jnp.asarray(data[k]) for k in data.files}
+            self.trained = True
         self.params = params if params is not None else init_separator_params(
             jax.random.PRNGKey(seed)
         )

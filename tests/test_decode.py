@@ -310,3 +310,49 @@ def test_asr_batch_of_one_equals_transcribe(asr):
     ref = asr.transcribe(audio)
     got = asr.transcribe_batch([{"key": "solo", "audio": audio}])[0]
     assert got.tokens == ref.tokens
+
+
+def test_beam_with_prefix_and_cap(asr):
+    """Beam + forced prefix + exact total cap (weak-spot interplay from the
+    round-1 review): prefix must survive verbatim, grammar must hold, and the
+    cap must bound prefix+generated."""
+    from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode
+
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=21))
+    base = D.greedy_decode(asr.params, cfg, xa, D.DecodeOptions(timestamps=True, max_new_tokens=24))
+    ids = base.tokens[0][: base.lengths[0]].tolist()
+    body = ids[:-1] if ids and ids[-1] == cfg.eot else ids
+    if len(body) < 6:
+        pytest.skip("too short")
+    prefix = body[:5]
+    opts = D.DecodeOptions(timestamps=True, beam_size=3, max_new_tokens=24,
+                           max_total_tokens=12, word_timestamps=True)
+    res = beam_decode(asr.params, cfg, xa, opts, prefix_tokens=prefix)
+    out = res.tokens[0][: res.lengths[0]].tolist()
+    assert out[:5] == prefix
+    body2 = out[:-1] if out[-1] == cfg.eot else out
+    assert len(body2) <= 12
+    ts0 = cfg.timestamp_begin
+    ts = [t for t in body2 if t >= ts0]
+    assert ts == sorted(ts)
+    assert res.xattn is not None
+
+
+def test_beam_with_temperature_ladder(asr):
+    """beam_size>1 + temperature_fallback: the ladder re-decodes with greedy
+    SAMPLING at rising temperature (faster-whisper switches decode modes the
+    same way) and must return a parseable result + advance the seed."""
+    asr.beam_size = 3
+    asr.temperature_fallback = True
+    asr.logprob_threshold = 1e9  # force 'bad' -> full ladder engages
+    seed0 = asr._sample_seed
+    try:
+        segs = asr.transcribe(_audio(3.0, seed=22))
+        assert isinstance(segs.tokens, list)
+        assert asr._sample_seed == seed0 + 5  # 0.2..1.0 retries, seeded
+    finally:
+        asr.beam_size = 1
+        asr.temperature_fallback = False
+        asr.logprob_threshold = -1.0
+        asr._sample_seed = seed0

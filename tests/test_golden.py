@@ -1,0 +1,47 @@
+"""Golden decode fixtures: the committed test-tiny checkpoint + recorded
+transcripts must reproduce EXACTLY — locks decode behavior across refactors
+(BASELINE "transcripts matching" acceptance, VERDICT round-1 item 6)."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden", "transcripts.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    import golden as G
+
+    with open(FIXTURE) as f:
+        recorded = json.load(f)
+    asr = G.build_asr()
+    clips = G.run_clips(asr)
+    return recorded, clips
+
+
+def test_offline_tokens_reproduce_exactly(golden):
+    recorded, clips = golden
+    for rec, cur in zip(recorded["clips"], clips):
+        assert cur["offline_tokens"] == rec["offline_tokens"], (
+            f"clip {rec['idx']}: decode behavior drifted from the committed golden"
+        )
+        assert cur["offline_text"] == rec["offline_text"]
+
+
+def test_streaming_commits_reproduce_exactly(golden):
+    recorded, clips = golden
+    for rec, cur in zip(recorded["clips"], clips):
+        assert cur["streaming_text"] == rec["streaming_text"], (
+            f"clip {rec['idx']}: streaming pipeline output drifted"
+        )
+
+
+def test_agreement_metric_matches_recorded(golden):
+    recorded, clips = golden
+    for rec, cur in zip(recorded["clips"], clips):
+        assert cur["agreement_wer"] == pytest.approx(rec["agreement_wer"], abs=1e-6)

@@ -96,3 +96,68 @@ def test_graft_entry_contract():
     assert out.shape[-1] == 51865
     g.dryrun_multichip(8)
     g.dryrun_multichip(2)
+
+
+def test_sharded_kv_decode_matches_single_device():
+    """ICI-sharded inference (VERDICT round-1 item 4): tensor-parallel params
+    + the KV-cached greedy decode loop under the mesh must produce the SAME
+    tokens as single-device decode — XLA propagates the head-dim sharding into
+    the caches and inserts the psums."""
+    from realtime_whisper_asr_tpu.models.whisper import decode as D
+    from realtime_whisper_asr_tpu.parallel import shard_params
+
+    mesh = make_mesh(8)  # data=2, model=4
+    cfg = _tiny_cfg(4)
+    params = W.init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 2 * cfg.n_audio_ctx, cfg.n_mels)) * 0.3,
+                      jnp.float32)
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=True, max_new_tokens=16)
+
+    xa = W.encode(params, cfg, mel)
+    ref = D.greedy_decode(params, cfg, xa, opts)
+
+    with mesh:
+        sp = shard_params(params, mesh)
+        xa_s = W.encode(sp, cfg, mel)
+        got = D.greedy_decode(sp, cfg, xa_s, opts)
+
+    n = int(ref.lengths[0])
+    assert int(got.lengths[0]) == n
+    np.testing.assert_array_equal(got.tokens[0][:n], ref.tokens[0][:n])
+    np.testing.assert_allclose(got.no_speech_prob, ref.no_speech_prob, atol=1e-4)
+    assert got.xattn is not None
+    np.testing.assert_allclose(got.xattn, ref.xattn, atol=1e-3)
+
+
+def test_sharded_batched_decode_runs():
+    """Batched multi-stream decode under the mesh (dp over rows is implicit;
+    tp shards the weights) — compiles and matches per-row sequential decode."""
+    from realtime_whisper_asr_tpu.models.whisper import decode as D
+    from realtime_whisper_asr_tpu.parallel import shard_params
+
+    mesh = make_mesh(8)
+    cfg = _tiny_cfg(4)
+    params = W.init_params(cfg, jax.random.PRNGKey(2), jnp.float32)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((2, 2 * cfg.n_audio_ctx, cfg.n_mels)) * 0.3,
+                      jnp.float32)
+    opts = D.DecodeOptions(timestamps=True, max_new_tokens=16)
+    requests = [
+        {"prompt_tokens": None, "prefix_tokens": None, "seed": 0},
+        {"prompt_tokens": [50, 60], "prefix_tokens": None, "seed": 0},
+    ]
+    with mesh:
+        sp = shard_params(params, mesh)
+        xa = W.encode(sp, cfg, mel)
+        got = D.greedy_decode_batch(sp, cfg, xa, opts, requests)
+    rows, p, _, _ = D.plan_batch_aux(cfg, opts, requests)
+    xa1 = W.encode(params, cfg, mel)
+    for i in range(2):
+        ref = D.greedy_decode(
+            params, cfg, xa1[i : i + 1], opts,
+            prompt_tokens=requests[i]["prompt_tokens"], bucket=p,
+        )
+        n = int(ref.lengths[0])
+        assert int(got[i].lengths[0]) == n
+        np.testing.assert_array_equal(got[i].tokens[0][:n], ref.tokens[0][:n])

@@ -1,0 +1,64 @@
+"""Trained neural vocal separation: packaged weights + SI-SNR margin.
+
+The reference ships working Demucs (`/root/reference/vocal_separation.py:
+47-222`); the TPU-native equivalent is the compact spectral-mask net trained
+on synthetic speech+music mixtures (tools/train_separator.py). These tests
+lock that the committed weights actually separate (measured SI-SNR gain over
+the unprocessed mixture), not just run."""
+
+import numpy as np
+
+from realtime_whisper_asr_tpu.models.separation_nn import NeuralSeparator
+from realtime_whisper_asr_tpu.models.vad.synthetic import synth_nonspeech, synth_speech
+
+CLIP = 16384
+
+
+def _mix(rng, snr_db=0.0):
+    seconds = CLIP / 16000 + 0.1
+    speech, _ = synth_speech(rng, seconds)
+    noise = synth_nonspeech(rng, seconds)
+    speech, noise = speech[:CLIP], noise[:CLIP]
+    sp = np.sqrt(np.mean(speech**2) + 1e-9)
+    npow = np.sqrt(np.mean(noise**2) + 1e-9)
+    g = (sp / npow) * 10 ** (-snr_db / 20)
+    return (speech + g * noise).astype(np.float32), speech
+
+
+def _si_snr(est, ref):
+    ref = ref - ref.mean()
+    est = est - est.mean()
+    s = (np.dot(est, ref) / (np.dot(ref, ref) + 1e-9)) * ref
+    e = est - s
+    return float(10 * np.log10((np.dot(s, s) + 1e-9) / (np.dot(e, e) + 1e-9)))
+
+
+def test_packaged_weights_load_by_default():
+    sep = NeuralSeparator()
+    assert sep.trained, "packaged weights missing (tools/train_separator.py output)"
+
+
+def test_trained_separator_improves_si_snr():
+    sep = NeuralSeparator()
+    rng = np.random.default_rng(42)
+    gains = []
+    for _ in range(8):
+        mix, clean = _mix(rng, snr_db=0.0)
+        est = sep.separate(mix)
+        gains.append(_si_snr(est, clean) - _si_snr(mix, clean))
+    mean_gain = float(np.mean(gains))
+    assert mean_gain > 3.0, f"SI-SNR gain {mean_gain:.2f} dB (gains={gains})"
+
+
+def test_separator_passthrough_on_short_input():
+    sep = NeuralSeparator()
+    tiny = np.zeros(100, np.float32)
+    out = sep.separate(tiny)
+    np.testing.assert_array_equal(out, tiny)  # < N_FFT: passthrough
+
+
+def test_factory_returns_trained_neural():
+    from realtime_whisper_asr_tpu.pipeline import create_separator
+
+    sep = create_separator("neural", low_hz=85.0, high_hz=3400.0)
+    assert sep.name == "neural" and sep.trained
