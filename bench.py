@@ -352,13 +352,38 @@ def main() -> int:
     logits_flops = 2 * emb.size  # tied output head
     flops_per_token = 2 * dec_count + logits_flops
     if profile_phases and asr.phase_timer is not None:
+        from realtime_whisper_asr_tpu.utils.profiling import measure_sync_floor
+
         rep = asr.phase_timer.report()
-        extras["phases_ms_per_tick"] = {k: v["mean_ms"] for k, v in rep.items()}
-        dev_s = sum(rep[k]["total_s"] for k in ("encode", "decode") if k in rep)
-        xfer_s = sum(rep[k]["total_s"] for k in ("upload", "download") if k in rep)
+        # every phase boundary blocks on the device once, paying the backend's
+        # fixed sync round-trip (~30 ms through the axon tunnel, ~0.1 ms on a
+        # direct-attached chip). Report raw laps AND floor-corrected ones: the
+        # corrected numbers are what the op itself costs on the device.
+        floor_ms = measure_sync_floor()
+        extras["sync_floor_ms"] = round(floor_ms, 1)
+        extras["phases_ms_per_tick_raw"] = {k: v["mean_ms"] for k, v in rep.items()}
+        corrected = {
+            k: max(v["mean_ms"] - (floor_ms if k != "host_parse" else 0.0), 0.0)
+            for k, v in rep.items()
+        }
+        extras["phases_ms_per_tick"] = {k: round(v, 2) for k, v in corrected.items()}
+
+        def _corr_total(k):  # corrected total seconds for a phase
+            if k not in rep:
+                return 0.0
+            fl = 0.0 if k == "host_parse" else floor_ms / 1e3
+            return max(rep[k]["total_s"] - fl * rep[k]["count"], 0.0)
+
+        dev_s = _corr_total("encode") + _corr_total("decode")
+        xfer_s = _corr_total("upload") + _corr_total("download")
+        sync_s = sum(
+            floor_ms / 1e3 * rep[k]["count"]
+            for k in ("upload", "encode", "decode", "download") if k in rep
+        )
         extras["compute_rtf"] = round(dev_s / audio_s, 4)
         extras["transfer_rtf"] = round(xfer_s / audio_s, 4)
-        dec_s = rep.get("decode", {}).get("total_s", 0.0)
+        extras["sync_rtf"] = round(sync_s / audio_s, 4)
+        dec_s = _corr_total("decode")
         if dec_s > 0 and new_tokens > 0:
             tps = new_tokens / dec_s
             extras["decode_tokens_per_s"] = round(tps, 1)

@@ -55,6 +55,76 @@ def validate_timestamps(beg, end, text: str) -> bool:
     return True
 
 
+class AutoLanguageController:
+    """Auto-language streaming: re-detect language at utterance boundaries and
+    hot-swap per-language config when it changes.
+
+    The reference supports only a MANUAL language change between sessions
+    (`一键实时识别麦克风.py:2194-2347`, full ASR/processor rebuild); this
+    automates it: each utterance end (VAC voice→nonvoice) runs
+    ``asr.detect_language`` on the utterance's audio, and after ``consecutive``
+    agreeing detections of a different language with p ≥ ``min_prob`` the app
+    is switched via ``change_language`` (which re-applies per-language vad/
+    streaming/skip overrides and re-inits the processor — safe at an utterance
+    boundary because the hypothesis was just flushed).
+    """
+
+    def __init__(self, app: "StreamingApp", min_prob: float = 0.5,
+                 consecutive: int = 2, min_audio_s: float = 1.0,
+                 max_audio_s: float = 8.0):
+        self.app = app
+        self.min_prob = min_prob
+        self.consecutive = consecutive
+        self.min_samples = int(min_audio_s * SR)
+        self.max_samples = int(max_audio_s * SR)
+        self._ring = np.zeros(0, np.float32)
+        self._utterance_samples = 0
+        self._candidate: Optional[str] = None
+        self._votes = 0
+        self.switches = 0
+        self.detections = 0
+
+    def observe_chunk(self, chunk: np.ndarray, voiced: bool) -> None:
+        """Track the current utterance's audio (bounded ring)."""
+        if voiced:
+            self._ring = np.append(self._ring, chunk)[-self.max_samples :]
+            self._utterance_samples += len(chunk)
+        # silence chunks don't reset: the ring holds the last utterance until
+        # the boundary fires
+
+    def on_utterance_end(self) -> Optional[str]:
+        """Detect on the finished utterance; switch after enough agreement.
+
+        Returns the new language when a switch happened, else None.
+        """
+        audio, self._ring = self._ring, np.zeros(0, np.float32)
+        n = self._utterance_samples
+        self._utterance_samples = 0
+        if min(len(audio), n) < self.min_samples:
+            return None
+        try:
+            lang, prob = self.app.asr.detect_language(audio)
+        except Exception:
+            logger.exception("language detection failed; keeping %s", self.app.language)
+            return None
+        self.detections += 1
+        if prob < self.min_prob or lang == self.app.language:
+            self._candidate, self._votes = None, 0
+            return None
+        if lang == self._candidate:
+            self._votes += 1
+        else:
+            self._candidate, self._votes = lang, 1
+        if self._votes >= self.consecutive:
+            self._candidate, self._votes = None, 0
+            logger.info("auto-language: %s confirmed (p=%.2f); switch scheduled", lang, prob)
+            return lang  # the app performs the switch at a safe boundary
+        return None
+
+    def get_stats(self) -> dict:
+        return {"detections": self.detections, "switches": self.switches}
+
+
 @dataclasses.dataclass
 class SessionStats:
     results: int = 0
@@ -206,6 +276,23 @@ class StreamingApp:
                 target_language=tr["target_language"],
             )
             self.translation.start()
+        ld = cfg.get("language_detection", {"enable": False})
+        self.auto_language = None
+        self._pending_lang_switch: Optional[str] = None
+        self._prev_vac_status: Optional[str] = None
+        if (
+            ld.get("enable")
+            and cfg["vad"]["enable"]
+            and hasattr(self.asr, "detect_language")
+        ):
+            self.auto_language = AutoLanguageController(
+                self,
+                min_prob=ld.get("min_prob", 0.5),
+                consecutive=ld.get("consecutive", 2),
+                min_audio_s=ld.get("min_audio_s", 1.0),
+                max_audio_s=ld.get("max_audio_s", 8.0),
+            )
+
         perf = cfg["performance"]
         self.monitor = (
             PerformanceMonitor(hard_ratio=perf.get("hard_ratio", 0.4),
@@ -221,9 +308,22 @@ class StreamingApp:
 
     # ---------------------------------------------------------------- session
 
+    def _lang_switch_safe(self) -> bool:
+        """A language hot-swap re-inits the processor; only do it at a true
+        utterance boundary (no active voice, no unflushed final, no staged
+        utterance)."""
+        return (
+            getattr(self.processor, "status", None) != "voice"
+            and not getattr(self.processor, "is_currently_final", False)
+            and getattr(self.processor, "_pending", None) is None
+        )
+
     def process_chunk(self, chunk: np.ndarray, stats: SessionStats, now: float) -> Optional[str]:
         """One hot-loop iteration body (reference 一键…py:1444-1677)."""
         stats.chunks += 1
+        if self._pending_lang_switch is not None and self._lang_switch_safe():
+            self.change_language(self._pending_lang_switch)
+            self._pending_lang_switch = None
         if self.separator is not None:
             chunk = self.separator.separate(chunk)
         if self.deduplicator is not None:
@@ -232,6 +332,14 @@ class StreamingApp:
                 stats.dedup_skipped += 1
                 return None
         self.processor.insert_audio_chunk(chunk)
+        if self.auto_language is not None:
+            status = getattr(self.processor, "status", None)
+            self.auto_language.observe_chunk(chunk, voiced=(status == "voice"))
+            if self._prev_vac_status == "voice" and status == "nonvoice":
+                lang = self.auto_language.on_utterance_end()
+                if lang is not None:
+                    self._pending_lang_switch = lang
+            self._prev_vac_status = status
         # non-VAC mode throttles full re-transcriptions to min_chunk_seconds
         # (reference chunk_duration gating, 一键…py:1679-1876); VAC gates itself
         if not hasattr(self.processor, "set_silence_duration"):

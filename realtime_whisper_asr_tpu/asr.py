@@ -39,9 +39,46 @@ WINDOW_SECONDS = 30.0
 WINDOW_SAMPLES = int(WINDOW_SECONDS * SAMPLING_RATE)
 
 
+def _words_to_samples(words: jnp.ndarray) -> jnp.ndarray:
+    """f32 transfer words -> float samples. Audio rides the host→device link
+    as s16 PCM bitcast into f32 words (2 samples/word): mic input is s16
+    anyway, and halving the payload matters at the ~35 MB/s this backend's
+    tunnel moves (a full 34 s window drops 2.2 MB → 1.1 MB)."""
+    i16 = jax.lax.bitcast_convert_type(words, jnp.int16)  # (n, 2)
+    return i16.reshape(-1).astype(jnp.float32) / 32768.0
+
+
+def _samples_to_words(audio: np.ndarray) -> np.ndarray:
+    """Host half of the s16-bitcast transfer encoding (even length required)."""
+    q = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+    return q.view(np.float32)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _buf_write(buf: jnp.ndarray, chunk: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.dynamic_update_slice(buf, chunk, (pos,))
+def _buf_write(buf: jnp.ndarray, words: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dynamic_update_slice(buf, _words_to_samples(words), (pos,))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _buf_place(words: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Fresh CAP-sized ring from a bucketed payload (full-replace path)."""
+    samples = _words_to_samples(words)
+    if samples.shape[0] >= cap:
+        return samples[:cap]
+    return jnp.concatenate([samples, jnp.zeros(cap - samples.shape[0], jnp.float32)])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _buf_shift_write(
+    buf: jnp.ndarray, words: jnp.ndarray, k: jnp.ndarray, n_remain: jnp.ndarray,
+) -> jnp.ndarray:
+    """Drop the first ``k`` samples device-side (front trim: the retained
+    audio is already on the chip — re-uploading it is the single biggest
+    avoidable transfer), then append the new suffix at ``n_remain``."""
+    idx = jnp.arange(buf.shape[0])
+    src = jnp.take(buf, jnp.minimum(idx + k, buf.shape[0] - 1), axis=0)
+    shifted = jnp.where(idx < n_remain, src, 0.0)
+    return jax.lax.dynamic_update_slice(shifted, _words_to_samples(words), (n_remain,))
 
 
 @dataclasses.dataclass
@@ -119,8 +156,18 @@ class TPUWhisperASR:
             from realtime_whisper_asr_tpu.models.whisper.quant import quantize_decoder
 
             self.params = quantize_decoder(self.params)
+        elif quantization == "int8-all":
+            from realtime_whisper_asr_tpu.models.whisper.quant import quantize_all
+
+            self.params = quantize_all(self.params)
         elif quantization not in (None, "", "none"):
             raise ValueError(f"unknown quantization {quantization!r}")
+        # inference-time QKV fusion: one matmul instead of three per layer on
+        # the latency-bound batch-1 decode step (training/sharding keep the
+        # canonical unfused layout; see parallel/sharding.py)
+        from realtime_whisper_asr_tpu.models.whisper.quant import fuse_qkv
+
+        self.params = fuse_qkv(self.params)
         self.tokenizer = tokenizer or get_tokenizer(self.cfg, checkpoint_dir)
         #: (L, H) f32 weights for DTW cross-attention capture; loaded from the
         #: checkpoint's generation_config.json alignment_heads when available
@@ -168,60 +215,117 @@ class TPUWhisperASR:
     _CHUNK_BUCKETS = (16000, 64000, WINDOW_SAMPLES)
     _CAP = WINDOW_SAMPLES + 64000  # device ring capacity (window + append slack)
 
-    def _plan_upload(self, key, audio: np.ndarray):
-        """Decide grow-vs-full upload for one stream's buffer (no device work).
+    def _find_shift(self, mirror: np.ndarray, audio: np.ndarray) -> Optional[int]:
+        """Find k > 0 with mirror[k:] == audio[:len(mirror)-k] (front trim).
 
-        Returns (payload, write_pos, n_new, mirror): ``write_pos`` is None for
-        a full CAP-sized replace, else the append offset for the bucketed
-        new-suffix payload (zero-padded to the chunk bucket).
+        Any verified k is correct (content equality is the only requirement),
+        so periodic audio with several candidates is fine. Bounded work: an
+        8-sample signature scan + at most a few full verifications.
+        """
+        n_old = len(mirror)
+        if n_old < 16 or len(audio) < 8:
+            return None
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        sig = audio[:8]
+        wins = sliding_window_view(mirror, 8)
+        cand = np.flatnonzero((wins == sig).all(axis=1))
+        checked = 0
+        for k in cand:
+            k = int(k)
+            if k == 0:
+                continue
+            m = n_old - k
+            if len(audio) < m or len(audio) - m > self._CHUNK_BUCKETS[-1]:
+                continue
+            if np.array_equal(audio[:m], mirror[k:]):
+                return k
+            checked += 1
+            if checked >= 4:
+                break
+        return None
+
+    def _plan_upload(self, key, audio: np.ndarray) -> dict:
+        """Decide grow / shift / full upload for one stream's buffer.
+
+        - grow: the previous window is a prefix — upload only the bucketed
+          new suffix;
+        - shift: the previous window was front-trimmed (buffer trimming,
+          streaming/online.py) — the retained audio is already on the chip;
+          shift it device-side and upload only the new suffix;
+        - full: anything else (stream reset, utterance re-init).
+
+        Payloads are s16-bitcast f32 words (2 samples/word); see
+        _words_to_samples. The plan dict carries the host mirror (original
+        f32) for the next tick's equality checks.
         """
         audio = np.asarray(audio, np.float32)[: self._CAP - 64000]
         dev_buf, mirror = self._buffers.get(key, (None, np.zeros(0, np.float32)))
         n_old = len(mirror)
-        grows = (
-            dev_buf is not None
-            and len(audio) >= n_old
-            and len(audio) - n_old <= self._CHUNK_BUCKETS[-1]
-            and np.array_equal(audio[:n_old], mirror)
-        )
-        if grows:
-            new = audio[n_old:]
-            cb = next(b for b in self._CHUNK_BUCKETS if len(new) <= b)
+
+        def _suffix_plan(kind: str, n_keep: int, shift_k: int = 0):
+            new = audio[n_keep:]
+            cb = next((b for b in self._CHUNK_BUCKETS if len(new) <= b), None)
             # dynamic_update_slice clamps out-of-range starts, which would
-            # silently misplace the write — fall back to a full upload instead
-            if n_old + cb > self._CAP:
-                grows = False
-        if grows:
+            # silently misplace the write — full upload instead
+            if cb is None or n_keep + cb > self._CAP:
+                return None
             payload = np.zeros(cb, np.float32)
             payload[: len(new)] = new
-            return payload, n_old, len(new), audio
-        full = np.zeros(self._CAP, np.float32)
+            return {"kind": kind, "words": _samples_to_words(payload),
+                    "pos": n_keep, "shift_k": shift_k, "n_new": len(new),
+                    "mirror": audio}
+
+        if dev_buf is not None and len(audio) >= n_old and np.array_equal(audio[:n_old], mirror):
+            plan = _suffix_plan("grow", n_old)
+            if plan is not None:
+                return plan
+        if dev_buf is not None:
+            k = self._find_shift(mirror, audio)
+            if k is not None:
+                plan = _suffix_plan("shift", n_old - k, shift_k=k)
+                if plan is not None:
+                    return plan
+        # full replace: pad to the smallest chunk bucket that fits (utterance
+        # re-inits carry ~1-2 s of audio; always shipping the 34 s CAP would
+        # waste ~1 MB of tunnel time per utterance start). The device side
+        # writes the bucketed payload into a zeroed CAP ring.
+        fb = next((b for b in self._CHUNK_BUCKETS if len(audio) <= b), self._CAP)
+        full = np.zeros(min(fb, self._CAP), np.float32)
         full[: len(audio)] = audio
-        return full, None, len(audio), audio
+        return {"kind": "full", "words": _samples_to_words(full), "pos": None,
+                "shift_k": 0, "n_new": len(audio), "mirror": audio}
 
     def _sync_many(self, keys, audios, aux_rows: np.ndarray) -> jnp.ndarray:
         """ONE bundled host→device upload for B streams + all aux rows.
 
-        Streaming buffers grow by appending; only each stream's new suffix
-        (bucketed) rides in the blob, followed by the (B, AUX_LEN) aux matrix.
-        Each separate transfer costs ~30 ms of tunnel latency, so the batched
-        tick pays exactly one upload regardless of B. Device-side slices +
-        ring writes are async dispatches (cheap on this backend).
+        Streaming buffers grow by appending (or shift device-side after a
+        trim); only each stream's new suffix — as s16-bitcast words — rides in
+        the blob, followed by the (B, AUX_LEN) aux matrix. Each separate
+        transfer costs ~30 ms of tunnel latency, so the batched tick pays
+        exactly one upload regardless of B. Device-side slices + ring writes
+        are async dispatches (cheap on this backend).
         """
         plans = [self._plan_upload(k, a) for k, a in zip(keys, audios)]
-        blob = np.concatenate([p[0] for p in plans] + [aux_rows.reshape(-1)])
+        blob = np.concatenate([p["words"] for p in plans] + [aux_rows.reshape(-1)])
         up = jnp.asarray(blob)
         off = 0
-        for (payload, pos, n_new, mirror), k in zip(plans, keys):
-            seg = jax.lax.slice(up, (off,), (off + len(payload),))
-            if pos is None:
-                dev_buf = seg  # full CAP-sized replace
-            else:
+        for plan, k in zip(plans, keys):
+            words = plan["words"]
+            seg = jax.lax.slice(up, (off,), (off + len(words),))
+            if plan["kind"] == "full":
+                dev_buf = _buf_place(seg, self._CAP)
+            elif plan["kind"] == "shift":
+                dev_buf = _buf_shift_write(
+                    self._buffers[k][0], seg, jnp.int32(plan["shift_k"]),
+                    jnp.int32(plan["pos"]),
+                )
+            else:  # grow
                 dev_buf = self._buffers[k][0]
-                if n_new:
-                    dev_buf = _buf_write(dev_buf, seg, jnp.int32(pos))
-            self._buffers[k] = (dev_buf, mirror.copy())
-            off += len(payload)
+                if plan["n_new"]:
+                    dev_buf = _buf_write(dev_buf, seg, jnp.int32(plan["pos"]))
+            self._buffers[k] = (dev_buf, plan["mirror"].copy())
+            off += len(words)
         aux_dev = jax.lax.slice(up, (off,), (off + aux_rows.size,)).reshape(aux_rows.shape)
         return aux_dev
 

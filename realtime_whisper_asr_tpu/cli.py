@@ -131,8 +131,17 @@ def cmd_stream(args) -> int:
 
 
 def cmd_wizard(args) -> int:
-    """Interactive setup (reference main() wizard, ASCII-art free)."""
-    from realtime_whisper_asr_tpu.utils.hardware import detect_hardware, recommend_config
+    """Interactive setup (reference main() wizard, `一键实时识别麦克风.py:
+    511-1089`): hardware detect → model/language/task → separation depth
+    (recommend_demucs_config analog :332-430, asked at :766-883) →
+    quantization → streaming mode, with choices persisted to the config file
+    the way the reference writes back the demucs pick (:824-828)."""
+    from realtime_whisper_asr_tpu.utils.hardware import (
+        detect_hardware,
+        recommend_config,
+        recommend_quantization,
+        recommend_separation_config,
+    )
 
     hw = detect_hardware()
     rec = recommend_config(hw)
@@ -141,9 +150,41 @@ def cmd_wizard(args) -> int:
     model = input(f"model [{rec['model']}]: ").strip() or rec["model"]
     lang = input("language (en/zh/... or auto) [en]: ").strip() or "en"
     task = input("task (transcribe/translate) [transcribe]: ").strip() or "transcribe"
+
+    music = (input("background music/noise in the audio? (y/n) [n]: ").strip().lower()
+             in ("y", "yes"))
+    sep = recommend_separation_config(hw, model, music_expected=music)
+    print(f"💡 separation: {sep['method']} ({sep['reason']})")
+    sep_method = input(f"separation (none/filter/neural/demucs) [{sep['method']}]: "
+                       ).strip() or sep["method"]
+
+    q = recommend_quantization(hw, model)
+    q_default = q["quantization"] or "none"
+    print(f"💡 quantization: {q_default} ({q['reason']})")
+    quant = input(f"quantization (int8/none) [{q_default}]: ").strip() or q_default
+
+    # large models stream best with the SimulStreaming-style incremental mode
+    # (the reference's own advice, 先看这个，cursor不用看/先看这个.txt)
+    pp_default = "last" if model.startswith(("large", "medium")) else "agree2"
+    policy = input(f"streaming mode (agree2=conservative / last=low-latency) "
+                   f"[{pp_default}]: ").strip() or pp_default
+
     wav = input("stream a wav file (path) or mic [mic]: ").strip()
+
+    # persist the choices (reference writes the demucs pick back, :824-828)
+    cm = ConfigManager(args.config, autoload=True)
+    cm.set("model.size", model)
+    cm.set("model.quantization", None if quant == "none" else quant)
+    cm.set("streaming.prefix_policy", policy)
+    cm.set("vocal_separation.enable", sep_method != "none")
+    if sep_method != "none":
+        cm.set("vocal_separation.method", sep_method)
+    cm.save_config()
+    print(f"💾 saved choices to {args.config}")
+
     argv = ["stream", "--model", model, "--language", lang, "--task", task,
-            "--config", args.config]
+            "--config", args.config, "--quantization", quant,
+            "--prefix-policy", policy]
     if wav:
         argv += ["--wav", wav, "--realtime"]
     print(f"▶ running: {' '.join(argv)}")

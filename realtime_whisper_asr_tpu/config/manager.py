@@ -87,6 +87,16 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "interval_s": 10.0,
         "target_language": "zh",
     },
+    "language_detection": {
+        # auto-language streaming: re-detect at utterance boundaries and
+        # hot-swap via app.change_language (reference rebuilds the processor
+        # on manual language change, 一键…py:2194-2347; this automates it)
+        "enable": False,
+        "min_prob": 0.5,
+        "consecutive": 2,  # switch only after N agreeing detections
+        "min_audio_s": 1.0,  # skip detection on very short utterances
+        "max_audio_s": 8.0,  # detect on at most the last N seconds
+    },
     "logging": {
         "enable": False,
         "dir": "logs",
@@ -144,6 +154,8 @@ _VALIDATION: dict[str, tuple[float, float]] = {
     "speech_rate_adaptive.min_silence_ms": (50, 2000),
     "speech_rate_adaptive.max_silence_ms": (100, 5000),
     "translation.interval_s": (1.0, 120.0),
+    "language_detection.min_prob": (0.0, 1.0),
+    "language_detection.consecutive": (1, 10),
     "model.beam_size": (1, 10),
 }
 

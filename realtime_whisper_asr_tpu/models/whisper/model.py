@@ -99,12 +99,28 @@ def _attend(
     return (out, w) if return_weights else (out, None)
 
 
+def _self_qkv(attn: Params, h: jnp.ndarray, n_head: int):
+    """Self-attention projections; uses the fused wqkv weight when present
+    (quant.fuse_qkv) — one matmul instead of three on the latency-bound
+    batch-1 decode step."""
+    if "wqkv" in attn:
+        qkv = _linear(h, attn["wqkv"], attn["bqkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = _linear(h, attn["wq"], attn["bq"])
+        k = _linear(h, attn["wk"], None)
+        v = _linear(h, attn["wv"], attn["bv"])
+    return (
+        _split_heads(q, n_head),
+        _split_heads(k, n_head),
+        _split_heads(v, n_head),
+    )
+
+
 def _mha_block(p: Params, x: jnp.ndarray, n_head: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Pre-LN self-attention (full-sequence form)."""
     h = layer_norm(x, p["attn_ln"]["g"], p["attn_ln"]["b"])
-    q = _split_heads(_linear(h, p["attn"]["wq"], p["attn"]["bq"]), n_head)
-    k = _split_heads(_linear(h, p["attn"]["wk"], None), n_head)
-    v = _split_heads(_linear(h, p["attn"]["wv"], p["attn"]["bv"]), n_head)
+    q, k, v = _self_qkv(p["attn"], h, n_head)
     o, _ = _attend(q, k, v, mask)
     return x + _linear(_merge_heads(o), p["attn"]["wo"], p["attn"]["bo"])
 
@@ -314,9 +330,7 @@ def decode_step(
         blk, kc, vc, ck, cv, am = xs
         # self-attention with cache write at pos
         hn = layer_norm(h, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
-        q = _split_heads(_linear(hn, blk["attn"]["wq"], blk["attn"]["bq"]), n_head)
-        k = _split_heads(_linear(hn, blk["attn"]["wk"], None), n_head)  # (B,H,1,Dh)
-        v = _split_heads(_linear(hn, blk["attn"]["wv"], blk["attn"]["bv"]), n_head)
+        q, k, v = _self_qkv(blk["attn"], hn, n_head)  # each (B,H,1,Dh)
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=2)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=2)
         o, _ = _attend(q, kc, vc, t_mask)
@@ -377,9 +391,7 @@ def decode_span(
     def body(h, xs):
         blk, kc, vc, ck, cv, am = xs
         hn = layer_norm(h, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
-        q = _split_heads(_linear(hn, blk["attn"]["wq"], blk["attn"]["bq"]), n_head)
-        k = _split_heads(_linear(hn, blk["attn"]["wk"], None), n_head)  # (B,H,S,Dh)
-        v = _split_heads(_linear(hn, blk["attn"]["wv"], blk["attn"]["bv"]), n_head)
+        q, k, v = _self_qkv(blk["attn"], hn, n_head)  # each (B,H,S,Dh)
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos0, axis=2)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos0, axis=2)
         o, _ = _attend(q, kc, vc, mask)

@@ -65,3 +65,55 @@ def quantize_all(params: Params) -> Params:
     enc["blocks"] = _quantize_tree(out["encoder"]["blocks"])
     out["encoder"] = enc
     return out
+
+
+# ---------------------------------------------------------------------------
+# QKV fusion (inference-time transform)
+# ---------------------------------------------------------------------------
+
+
+def _concat_weights(ws: list, axis: int):
+    """Concat dense arrays or int8 {"q","s"} dicts along the output axis."""
+    if isinstance(ws[0], dict):
+        return {
+            "q": jnp.concatenate([w["q"] for w in ws], axis=axis),
+            "s": jnp.concatenate([w["s"] for w in ws], axis=axis - 1 if axis > 0 else axis),
+        }
+    return jnp.concatenate(ws, axis=axis)
+
+
+def _fuse_attn(attn: dict) -> dict:
+    """wq/wk/wv → one wqkv (in, 3d) + bqkv (bk is zero in Whisper), halving
+    the per-layer launch count of the latency-bound batch-1 decode step.
+    Works on dense or int8-quantized weights, stacked (L, in, out) or flat."""
+    if "wqkv" in attn or "wk" not in attn:
+        return attn
+    wq, wk, wv = attn["wq"], attn["wk"], attn["wv"]
+    ndim = wq["q"].ndim if isinstance(wq, dict) else wq.ndim
+    axis = ndim - 1  # output axis (flat: 1; stacked: 2)
+    bq, bv = attn["bq"], attn["bv"]
+    bk = jnp.zeros_like(bq)
+    out = {k: v for k, v in attn.items() if k in ("wo", "bo")}
+    out["wqkv"] = _concat_weights([wq, wk, wv], axis)
+    out["bqkv"] = jnp.concatenate([bq, bk, bv], axis=-1)
+    return out
+
+
+def _fuse_tree(tree):
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            if k == "attn" and isinstance(v, dict):
+                out[k] = _fuse_attn(v)
+            else:
+                out[k] = _fuse_tree(v)
+        return out
+    return tree
+
+
+def fuse_qkv(params: Params) -> Params:
+    """Fuse self-attention q/k/v projections in BOTH encoder and decoder
+    blocks (cross-attention keeps its separate wq — its k/v are precomputed
+    per window). Composes with quantization in either order. Inference-only:
+    the training/sharding paths keep the canonical unfused layout."""
+    return _fuse_tree(params)

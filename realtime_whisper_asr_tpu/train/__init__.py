@@ -1,7 +1,14 @@
-"""Fine-tuning: sharded training step (dp × tp) for the JAX Whisper."""
+"""Fine-tuning: sharded training step (dp × tp) + manifest data pipeline."""
 
 from realtime_whisper_asr_tpu.train.train_step import (
     make_train_state,
     make_sharded_train_step,
     loss_fn,
+)
+from realtime_whisper_asr_tpu.train.data import (
+    DataPipeline,
+    ManifestEntry,
+    prepare_batch,
+    read_manifest,
+    tokenize_example,
 )

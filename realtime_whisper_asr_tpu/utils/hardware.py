@@ -53,3 +53,40 @@ def recommend_config(hw: dict[str, Any]) -> dict[str, Any]:
             return {"model": model, "dtype": "bfloat16",
                     "reason": f"{gib:.0f} GiB HBM ≥ {need:.1f} GiB needed"}
     return {"model": "tiny", "dtype": "bfloat16", "reason": "minimal HBM"}
+
+
+def recommend_separation_config(hw: dict[str, Any], model: str,
+                                music_expected: bool = False) -> dict[str, Any]:
+    """Separation-method recommendation (reference recommend_demucs_config,
+    `一键实时识别麦克风.py:332-430`: VRAM tiers → demucs variant or filter).
+
+    TPU tiers: the on-device ``neural`` spectral-mask separator costs one extra
+    small model in HBM and ~a filter's latency; ``filter`` (band-pass) is the
+    reference's shipped default; ``none`` when no music is expected (the gate
+    the reference wizard asks about at :771-789).
+    """
+    if not music_expected:
+        return {"method": "none",
+                "reason": "no background music expected; separation off saves latency"}
+    hbm = hw.get("hbm_bytes") or 0
+    gib = hbm / 2**30 if hbm else 0
+    model_gib = MODEL_MEMORY_GIB.get(model, 3.2)
+    if hw.get("platform") == "tpu" and gib >= model_gib * 3 + 1:
+        return {"method": "neural",
+                "reason": f"{gib:.0f} GiB HBM leaves headroom for the trained "
+                          "on-device spectral-mask separator (best quality)"}
+    return {"method": "filter",
+            "reason": "tight memory: 85-3400 Hz band-pass (reference default, ~1-5 ms)"}
+
+
+def recommend_quantization(hw: dict[str, Any], model: str) -> dict[str, Any]:
+    """Quantization recommendation (reference int8-on-CPU advice,
+    `一键实时识别麦克风.py:300-328`): single-stream decode is weight-bandwidth
+    bound, so int8 halves HBM traffic on medium+ models with negligible
+    streaming-quality cost; small models are latency-bound elsewhere."""
+    if model in ("medium", "large-v2", "large-v3", "large-v3-turbo"):
+        return {"quantization": "int8",
+                "reason": "decode is HBM-bandwidth-bound at batch 1; int8 weights "
+                          "halve bytes/token on a ≥medium model"}
+    return {"quantization": None,
+            "reason": f"{model} decode is not bandwidth-limited; bf16 keeps full quality"}

@@ -24,6 +24,32 @@ def trace(log_dir: str = "/tmp/rtwa_trace"):
         jax.profiler.stop_trace()
 
 
+def measure_sync_floor(n: int = 12) -> float:
+    """Median ms of a minimal device sync round-trip.
+
+    On a tunneled backend (axon relay) every ``block_until_ready`` /
+    device→host read pays a fixed ~30 ms latency that has nothing to do with
+    the op being measured; on direct-attached TPUs it is ~0.1 ms. Phase
+    breakdowns that block at phase boundaries (asr.TPUWhisperASR.phase_timer)
+    overstate every phase by this floor — bench.py measures it once and
+    reports floor-corrected numbers alongside the raw ones.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jax.device_put(jnp.zeros((8,), jnp.float32))
+    f = jax.jit(lambda v: v + 1.0)
+    np.asarray(f(x))  # compile + first-transfer outside the measurement
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return 1e3 * times[len(times) // 2]
+
+
 class PhaseTimer:
     """Accumulates wall time per named phase; negligible overhead."""
 

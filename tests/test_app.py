@@ -155,3 +155,70 @@ def test_session_without_vad_direct_online():
     app.shutdown()
     assert stats.results > 0
     assert any("word0" in l for l in lines)
+
+
+def test_auto_language_switches_after_consecutive_detections():
+    """ROADMAP auto-language: utterance-boundary re-detection hot-swaps the
+    per-language config after `consecutive` agreeing detections."""
+    words = [(1.2, 1.6, " one"), (4.2, 4.6, " two"), (7.2, 7.6, " three")]
+
+    class DetectingFakeASR(TimecodedFakeASR):
+        def __init__(self, words):
+            super().__init__(words, unstable_tail=False)
+            self.detect_calls = []
+
+        def detect_language(self, audio):
+            self.detect_calls.append(len(audio) / SR)
+            return "zh", 0.93
+
+    cm = ConfigManager(autoload=False)
+    cm.set("audio_deduplication.enable", False)
+    cm.set("performance.display_interval_s", 1e9)
+    cm.set("language_detection.enable", True)
+    cm.set("language_detection.consecutive", 2)
+    cm.set("language_detection.min_audio_s", 0.5)
+    lines = []
+    asr = DetectingFakeASR(words)
+    app = StreamingApp(config=cm, asr=asr, language="en",
+                       vad_prob_fn=ScriptedProbs([(1.0, 2.0), (4.0, 5.0), (7.0, 8.0)]),
+                       output=lines.append)
+    assert app.auto_language is not None
+    stream = SimulatedMicStream(timecoded_audio(0.0, 10.0))
+    app.record_session(stream, chunk_seconds=0.25)
+    app.shutdown()
+    # two utterance-end detections agreed -> switch before the third utterance
+    assert len(asr.detect_calls) >= 2
+    assert app.language == "zh"
+    # zh per-language overrides applied on swap (config/manager.py zh block)
+    online = getattr(app.processor, "online", app.processor)
+    assert online.agreement_n == 3
+    assert app.auto_language.get_stats()["detections"] >= 2
+    # the session still transcribed across the switch
+    assert any("three" in l for l in lines)
+
+
+def test_auto_language_ignores_low_confidence_and_same_language():
+    class FlakyDetectASR(TimecodedFakeASR):
+        def __init__(self, words, answers):
+            super().__init__(words, unstable_tail=False)
+            self.answers = iter(answers)
+
+        def detect_language(self, audio):
+            return next(self.answers)
+
+    words = [(1.2, 1.6, " a"), (4.2, 4.6, " b"), (7.2, 7.6, " c")]
+    cm = ConfigManager(autoload=False)
+    cm.set("audio_deduplication.enable", False)
+    cm.set("performance.display_interval_s", 1e9)
+    cm.set("language_detection.enable", True)
+    cm.set("language_detection.consecutive", 2)
+    cm.set("language_detection.min_audio_s", 0.5)
+    # low prob, then same language, then one zh vote (not consecutive enough)
+    asr = FlakyDetectASR(words, [("zh", 0.2), ("en", 0.9), ("zh", 0.9)])
+    app = StreamingApp(config=cm, asr=asr, language="en",
+                       vad_prob_fn=ScriptedProbs([(1.0, 2.0), (4.0, 5.0), (7.0, 8.0)]),
+                       output=[].append)
+    stream = SimulatedMicStream(timecoded_audio(0.0, 10.0))
+    app.record_session(stream, chunk_seconds=0.25)
+    app.shutdown()
+    assert app.language == "en"

@@ -1,0 +1,81 @@
+"""CLI wizard + hardware recommendation tests.
+
+The reference wizard surfaces VRAM-tiered separation depth
+(`一键实时识别麦克风.py:332-430,766-883`) and int8-on-CPU advice (:300-328);
+these lock the TPU-native analogs (HBM-tiered separation method, bandwidth-
+based quantization) and the wizard's config write-back (:824-828).
+"""
+
+import json
+
+from realtime_whisper_asr_tpu.utils.hardware import (
+    recommend_config,
+    recommend_quantization,
+    recommend_separation_config,
+)
+
+TPU16 = {"platform": "tpu", "device_kind": "TPU v5e", "n_devices": 1,
+         "hbm_bytes": 16 * 2**30}
+CPU = {"platform": "cpu", "device_kind": "cpu", "n_devices": 8, "hbm_bytes": None}
+
+
+def test_separation_recommendation_tiers():
+    # no music → off (the gate the reference wizard asks about)
+    assert recommend_separation_config(TPU16, "large-v3")["method"] == "none"
+    # music + roomy HBM → trained neural separator
+    assert recommend_separation_config(TPU16, "large-v3", music_expected=True)[
+        "method"] == "neural"
+    # music + tight memory → band-pass (reference shipped default)
+    tight = dict(TPU16, hbm_bytes=4 * 2**30)
+    assert recommend_separation_config(tight, "large-v3", music_expected=True)[
+        "method"] == "filter"
+    assert recommend_separation_config(CPU, "tiny", music_expected=True)[
+        "method"] == "filter"
+
+
+def test_quantization_recommendation():
+    assert recommend_quantization(TPU16, "large-v3")["quantization"] == "int8"
+    assert recommend_quantization(TPU16, "medium")["quantization"] == "int8"
+    assert recommend_quantization(TPU16, "base")["quantization"] is None
+    assert recommend_quantization(CPU, "tiny")["quantization"] is None
+
+
+def test_wizard_persists_choices(tmp_path, monkeypatch):
+    import realtime_whisper_asr_tpu.cli as cli
+
+    cfg = tmp_path / "config.json"
+    answers = iter([
+        "tiny",        # model
+        "zh",          # language
+        "",            # task -> transcribe
+        "y",           # background music
+        "",            # separation -> recommended
+        "int8",        # quantization
+        "",            # streaming mode -> default (agree2 for tiny)
+        "",            # wav -> mic
+    ])
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+    monkeypatch.setattr(cli, "detect_hardware", None, raising=False)
+    monkeypatch.setattr(
+        "realtime_whisper_asr_tpu.utils.hardware.detect_hardware", lambda: dict(TPU16)
+    )
+    captured = {}
+    monkeypatch.setattr(cli, "main", lambda argv: captured.update(argv=argv) or 0)
+
+    class A:
+        config = str(cfg)
+
+    assert cli.cmd_wizard(A()) == 0
+    saved = json.loads(cfg.read_text())
+    assert saved["model"]["size"] == "tiny"
+    assert saved["model"]["quantization"] == "int8"
+    assert saved["vocal_separation"]["enable"] is True
+    assert saved["vocal_separation"]["method"] == "neural"
+    assert saved["streaming"]["prefix_policy"] == "agree2"
+    assert "--wav" not in captured["argv"]
+    assert "stream" in captured["argv"]
+
+
+def test_recommend_config_cpu_fallback():
+    assert recommend_config(CPU)["model"] == "tiny"
+    assert recommend_config(TPU16)["model"] == "large-v3"

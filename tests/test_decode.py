@@ -356,3 +356,102 @@ def test_beam_with_temperature_ladder(asr):
         asr.temperature_fallback = False
         asr.logprob_threshold = -1.0
         asr._sample_seed = seed0
+
+
+def test_fused_qkv_matches_unfused():
+    """quant.fuse_qkv is an exact inference-time rewrite: same tokens, logits,
+    and xattn as the canonical layout, dense and int8."""
+    from realtime_whisper_asr_tpu.models.whisper.quant import fuse_qkv, quantize_decoder
+
+    cfg = W.get_config("test-tiny")
+    params = W.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((1, 2 * cfg.n_audio_ctx, cfg.n_mels)) * 0.3,
+                      jnp.float32)
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=True, max_new_tokens=16)
+
+    for transform in (lambda p: p, quantize_decoder):
+        base = transform(params)
+        fused = fuse_qkv(base)
+        # fused tree really dropped the separate projections
+        assert "wqkv" in jax.tree.leaves(
+            {"k": list(fused["decoder"]["blocks"]["attn"].keys())}, is_leaf=lambda x: isinstance(x, list)
+        )[0]
+        xa = W.encode(base, cfg, mel)
+        xa_f = W.encode(fused, cfg, mel)
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xa_f), atol=1e-5)
+        ref = D.greedy_decode(base, cfg, xa, opts)
+        got = D.greedy_decode(fused, cfg, xa_f, opts)
+        n = int(ref.lengths[0])
+        assert int(got.lengths[0]) == n
+        np.testing.assert_array_equal(got.tokens[0][:n], ref.tokens[0][:n])
+        np.testing.assert_allclose(got.xattn, ref.xattn, atol=1e-4)
+
+
+def test_upload_planner_grow_shift_full(asr):
+    """The per-tick upload plan must pick grow (append), shift (front trim,
+    device-side), or full — and the device buffer must equal the s16-quantized
+    audio regardless of which path ran."""
+    from realtime_whisper_asr_tpu import asr as A
+
+    rng = np.random.default_rng(7)
+    a = (rng.standard_normal(16000) * 0.2).astype(np.float32)
+    b = (rng.standard_normal(8000) * 0.2).astype(np.float32)
+    c = (rng.standard_normal(4000) * 0.2).astype(np.float32)
+
+    def expected(audio):
+        q = np.clip(np.round(audio * 32768.0), -32768, 32767) / 32768.0
+        return q.astype(np.float32)
+
+    key = "planner-test"
+    asr.set_active_stream(key)
+    aux = np.zeros(A.D.AUX_LEN, np.float32)
+
+    plan = asr._plan_upload(key, a)
+    assert plan["kind"] == "full"
+    asr._sync_audio_and_aux(a, aux)
+    buf = np.asarray(asr._buffers[key][0])
+    np.testing.assert_array_equal(buf[: len(a)], expected(a))
+    assert (buf[len(a) :] == 0).all()
+
+    ab = np.concatenate([a, b])
+    assert asr._plan_upload(key, ab)["kind"] == "grow"
+    asr._sync_audio_and_aux(ab, aux)
+    buf = np.asarray(asr._buffers[key][0])
+    np.testing.assert_array_equal(buf[: len(ab)], expected(ab))
+
+    k = 6000
+    trimmed = np.concatenate([ab[k:], c])
+    assert asr._plan_upload(key, trimmed)["kind"] == "shift"
+    asr._sync_audio_and_aux(trimmed, aux)
+    buf = np.asarray(asr._buffers[key][0])
+    np.testing.assert_array_equal(buf[: len(trimmed)], expected(trimmed))
+    assert (buf[len(trimmed) :] == 0).all()
+
+    # unrelated audio: back to full
+    d = (rng.standard_normal(12000) * 0.2).astype(np.float32)
+    assert asr._plan_upload(key, d)["kind"] == "full"
+    asr.drop_stream(key)
+
+
+def test_shift_detection_on_periodic_audio(asr):
+    """Periodic audio has many signature matches; any verified shift is
+    content-correct, and unverifiable audio must fall back to full."""
+    key = "periodic-test"
+    asr.set_active_stream(key)
+    from realtime_whisper_asr_tpu import asr as A
+
+    aux = np.zeros(A.D.AUX_LEN, np.float32)
+    tone = np.tile(np.sin(np.linspace(0, 2 * np.pi, 160, endpoint=False)), 200).astype(
+        np.float32
+    )
+    asr._sync_audio_and_aux(tone, aux)
+    trimmed = tone[4800:]  # exact period multiple: many candidates, all correct
+    plan = asr._plan_upload(key, trimmed)
+    assert plan["kind"] in ("shift", "grow", "full")
+    asr._sync_audio_and_aux(trimmed, aux)
+    buf = np.asarray(asr._buffers[key][0])
+    q = np.clip(np.round(trimmed * 32768.0), -32768, 32767) / 32768.0
+    np.testing.assert_array_equal(buf[: len(trimmed)], q.astype(np.float32))
+    assert (buf[len(trimmed) : len(tone)] == 0).all()
+    asr.drop_stream(key)

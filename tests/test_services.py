@@ -349,6 +349,6 @@ def test_convert_checkpoint_tool(tmp_path):
 
     asr = TPUWhisperASR(checkpoint_dir=dst, dtype=jnp.float32)
     assert asr.cfg.n_audio_state == 64
-    # quantized decoder leaves present
-    leaf = asr.params["decoder"]["blocks"]["attn"]["wq"]
+    # quantized decoder leaves present (ASR fuses qkv at init: quant.fuse_qkv)
+    leaf = asr.params["decoder"]["blocks"]["attn"]["wqkv"]
     assert isinstance(leaf, dict) and leaf["q"].dtype == jnp.int8
