@@ -105,6 +105,10 @@ def run_scenario(n: int) -> int:
                 overrides={"audio_deduplication.enable": True}, task="translate"),
         5: dict(model="large-v3", language="en",
                 overrides={"vocal_separation.enable": True, "vocal_separation.method": "neural",
+                           # the 40 KB mask net runs in ~ms on host BLAS; on this
+                           # tunneled rig the per-chunk device round-trip (~60 ms)
+                           # would otherwise dominate the separation cost
+                           "vocal_separation.use_device": False,
                            "audio_deduplication.enable": False}),
     }
     s = setups[n]

@@ -63,9 +63,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
     },
     "vocal_separation": {
         "enable": False,
-        "method": "filter",  # filter | demucs | none
+        "method": "filter",  # filter | neural | demucs | none
         "low_hz": 85.0,
         "high_hz": 3400.0,
+        # filter/neural: run the separation network on the accelerator (True)
+        # or on host BLAS (False — wins on tunneled backends where every
+        # device round-trip pays ~30 ms)
+        "use_device": True,
     },
     "speech_rate_adaptive": {
         "enable": True,

@@ -83,20 +83,78 @@ def separate_vocals(params: dict, audio: jnp.ndarray) -> jnp.ndarray:
     return _istft(spec * mask.astype(spec.dtype), window, audio.shape[0])
 
 
+def separate_vocals_np(params: dict, audio: np.ndarray) -> np.ndarray:
+    """Host (numpy/BLAS) mirror of separate_vocals — bit-for-bit the same
+    network. The weights are ~40 KB, so a 1 s chunk costs a few ms of im2col
+    matmuls on the host; on backends where every device round-trip pays tens
+    of ms of tunnel latency (this rig: ~28 ms each way), the host path beats
+    shipping the audio to the chip and back per chunk. Selected by
+    ``NeuralSeparator(use_device=False)`` / config ``vocal_separation.use_device``.
+    """
+    x = np.asarray(audio, np.float32)
+    window = np.hanning(N_FFT).astype(np.float32)
+    pad = N_FFT // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(xp) - N_FFT) // HOP
+    idx = np.arange(n_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
+    spec = np.fft.rfft(xp[idx] * window, axis=-1)  # (T, F)
+    h = np.log1p(np.abs(spec)).astype(np.float32)[:, :, None]  # (T, F, 1)
+
+    def conv3x3(h, w, b, relu):
+        # 9 shifted (T*F, Cin)@(Cin, Cout) matmuls — no im2col copy, BLAS does
+        # the work (the copies dominated an im2col formulation 5x over)
+        t, f, cin = h.shape
+        cout = w.shape[-1]
+        hp = np.pad(h, ((1, 1), (1, 1), (0, 0)))
+        y = np.broadcast_to(np.asarray(b, np.float32), (t, f, cout)).copy()
+        flat = y.reshape(t * f, cout)
+        for di in range(3):
+            for dj in range(3):
+                sl = np.ascontiguousarray(hp[di : di + t, dj : dj + f]).reshape(t * f, cin)
+                flat += sl @ np.asarray(w[di, dj], np.float32)
+        return np.maximum(y, 0.0) if relu else y
+
+    p = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    for i in range(len(_CH)):
+        h = conv3x3(h, p[f"enc{i}_w"], p[f"enc{i}_b"], relu=True)
+    h = conv3x3(h, p["out_w"], np.zeros(1, np.float32), relu=False)
+    mask = 1.0 / (1.0 + np.exp(-(h[:, :, 0] + p["out_b"][0])))  # (T, F)
+
+    frames = np.fft.irfft(spec * mask, N_FFT, axis=-1).astype(np.float32) * window
+    # overlap-add without np.add.at (scalar scatter, ~40 ms for 66k adds):
+    # HOP divides N_FFT, so frame i covers grid rows i..i+R-1 of a (row=HOP)
+    # layout — R strided vector adds do the whole accumulation
+    R = N_FFT // HOP
+    grid = np.zeros((n_frames + R, HOP), np.float32)
+    accg = np.zeros((n_frames + R, HOP), np.float32)
+    w2 = (window * window).reshape(R, HOP)
+    for p in range(R):
+        grid[p : p + n_frames] += frames[:, p * HOP : (p + 1) * HOP]
+        accg[p : p + n_frames] += w2[p]
+    out = grid.reshape(-1) / np.maximum(accg.reshape(-1), 1e-6)
+    return out[pad : pad + len(x)]
+
+
 class NeuralSeparator:
     """pipeline.separation-compatible vocal separator (method name: neural)."""
 
     name = "neural"
 
-    def __init__(self, params: dict | None = None, seed: int = 0):
+    def __init__(self, params: dict | None = None, seed: int = 0,
+                 use_device: bool = True):
         self.trained = False
         if params is None and os.path.exists(_PACKAGED_WEIGHTS):
             data = np.load(_PACKAGED_WEIGHTS)
-            params = {k: jnp.asarray(data[k]) for k in data.files}
+            # host numpy until the device path actually needs them: the host
+            # path must never touch the accelerator (a jnp.asarray here would
+            # round-trip the tunnel, incl. its 150-300 s first-transfer setup)
+            params = {k: np.asarray(data[k]) for k in data.files}
             self.trained = True
         self.params = params if params is not None else init_separator_params(
             jax.random.PRNGKey(seed)
         )
+        self._params_dev = None  # device copy, created on first device use
+        self.use_device = use_device
         self.stats = {"processed": 0, "errors": 0}
         self._buckets = [16384, 65536, 262144, 524288]
 
@@ -107,10 +165,14 @@ class NeuralSeparator:
             n = len(x)
             if n < N_FFT:
                 return audio
+            if not self.use_device:
+                return separate_vocals_np(self.params, x)
             nb = next((b for b in self._buckets if n <= b), self._buckets[-1])
             padded = np.zeros(nb, np.float32)
             padded[:n] = x[:nb]
-            out = np.asarray(separate_vocals(self.params, jnp.asarray(padded)))
+            if self._params_dev is None:
+                self._params_dev = {k: jnp.asarray(v) for k, v in self.params.items()}
+            out = np.asarray(separate_vocals(self._params_dev, jnp.asarray(padded)))
             return out[:n]
         except Exception:
             self.stats["errors"] += 1

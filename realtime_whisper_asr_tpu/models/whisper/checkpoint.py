@@ -52,3 +52,81 @@ def load_checkpoint(path: str, dtype=None) -> tuple[WhisperConfig, Params]:
 
 def is_native_checkpoint(path: str) -> bool:
     return os.path.exists(os.path.join(path, _CONFIG_FILE))
+
+
+# ---------------------------------------------------------------------------
+# sharded checkpoints (multi-chip training runs)
+# ---------------------------------------------------------------------------
+
+
+def load_checkpoint_sharded(path: str, mesh, dtype=None):
+    """Restore params directly into the mesh's tensor-parallel layout.
+
+    Orbax restores each shard to its owning device (no single-host gather —
+    the property that matters when params exceed one host's memory on real
+    multi-host meshes). Shapes/dtypes come from the checkpoint metadata;
+    placements from parallel.sharding.whisper_param_shardings.
+    """
+    import orbax.checkpoint as ocp
+
+    from realtime_whisper_asr_tpu.parallel.sharding import whisper_param_shardings
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, _CONFIG_FILE)) as f:
+        cfg = WhisperConfig(**json.load(f))
+    ckptr = ocp.StandardCheckpointer()
+    item = os.path.join(path, _PARAMS_DIR)
+    meta = ckptr.metadata(item).item_metadata.tree  # plain dict of ArrayMetadata
+    shardings = whisper_param_shardings(mesh)
+    abstract = jax.tree.map(
+        lambda m, s: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=s),
+        meta, shardings,
+    )
+    params = ckptr.restore(item, abstract)
+    if dtype is not None:
+        params = jax.tree.map(
+            lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype.kind == "f" else x,
+            params,
+        )
+    return cfg, params
+
+
+def save_train_state(path: str, state) -> None:
+    """Persist a train/TrainState (params + optimizer moments + step) —
+    sharded arrays are written shard-by-shard by orbax."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_train_state(path: str, template_state):
+    """Resume a training run: restore into the exact array layouts of a
+    freshly-built template (make_train_state under the same mesh), so every
+    leaf — including Adam moments — lands on its owning devices.
+
+    Leaves the template left uncommitted (optax counters are plain scalars on
+    the default device) restore REPLICATED over the template's mesh — a
+    committed single-device scalar would make the jitted step reject the
+    state as device-incompatible.
+    """
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ckptr = ocp.StandardCheckpointer()
+    mesh = next(
+        (x.sharding.mesh for x in jax.tree.leaves(template_state)
+         if isinstance(getattr(x, "sharding", None), NamedSharding)),
+        None,
+    )
+
+    def _abstract(x):
+        if not hasattr(x, "sharding"):
+            return x
+        sh = x.sharding
+        if not isinstance(sh, NamedSharding) and mesh is not None:
+            sh = NamedSharding(mesh, PartitionSpec(*([None] * x.ndim)))
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+    return ckptr.restore(os.path.abspath(path), jax.tree.map(_abstract, template_state))

@@ -143,7 +143,7 @@ def create_separator(method: Optional[str], **kw) -> Optional[VocalSeparator]:
         weights = kw.get("weights")
         if weights:
             return NeuralSeparator.load_npz(weights)
-        return NeuralSeparator(**_pick(kw, ("params", "seed")))
+        return NeuralSeparator(**_pick(kw, ("params", "seed", "use_device")))
     if method == "demucs":
         sep = DemucsSeparator(**_pick(kw, ("model_name", "device")))
         if not sep.stats["available"]:

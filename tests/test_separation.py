@@ -62,3 +62,29 @@ def test_factory_returns_trained_neural():
 
     sep = create_separator("neural", low_hz=85.0, high_hz=3400.0)
     assert sep.name == "neural" and sep.trained
+
+
+def test_host_path_matches_device_path():
+    """separate_vocals_np (host BLAS) must mirror the JAX network exactly —
+    same weights, same output within float tolerance."""
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.models.separation_nn import (
+        NeuralSeparator,
+        separate_vocals,
+        separate_vocals_np,
+    )
+    import jax.numpy as jnp
+
+    sep = NeuralSeparator()  # packaged trained weights
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16384) * 0.2).astype(np.float32)
+    dev = np.asarray(separate_vocals(sep.params, jnp.asarray(audio)))
+    host = separate_vocals_np(sep.params, audio)
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(host, dev, atol=2e-4)
+
+    # the separator object with use_device=False returns the host result
+    sep_host = NeuralSeparator(use_device=False)
+    out = sep_host.separate(audio)
+    np.testing.assert_allclose(out, host, atol=1e-6)

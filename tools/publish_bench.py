@@ -1,0 +1,88 @@
+"""Collect a bench sweep into committed, machine-readable artifacts.
+
+Usage:
+    python tools/publish_bench.py SWEEP_DIR [--round N]
+
+Reads the one-line JSON outputs bench.py wrote under SWEEP_DIR
+(headline.json, headline_phases.json, scenario1..5.json, streams{2,4,8}.json;
+missing files are skipped with a warning), then writes:
+
+- BENCH_SCENARIOS_r{N}.json — every result, keyed by run name;
+- BASELINE.json — fills the ``published`` block with the headline + scenario
+  numbers (VERDICT round-1 missing item 5: quantitative results must live in
+  committed artifacts, not README prose).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+RUNS = (
+    "headline", "headline_phases",
+    "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
+    "streams2", "streams4", "streams8",
+)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sweep_dir")
+    ap.add_argument("--round", type=int, default=2)
+    ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    args = ap.parse_args(argv)
+
+    results: dict[str, dict] = {}
+    for run in RUNS:
+        path = os.path.join(args.sweep_dir, f"{run}.json")
+        if not os.path.exists(path):
+            print(f"warning: {path} missing; skipped", file=sys.stderr)
+            continue
+        with open(path) as f:
+            text = f.read().strip()
+        if not text:
+            print(f"warning: {path} empty; skipped", file=sys.stderr)
+            continue
+        results[run] = json.loads(text.splitlines()[-1])
+
+    out_path = os.path.join(args.repo, f"BENCH_SCENARIOS_r{args.round:02d}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out_path} ({len(results)} runs)")
+
+    baseline_path = os.path.join(args.repo, "BASELINE.json")
+    with open(baseline_path) as f:
+        baseline = json.load(f)
+    pub: dict = {"hardware": "1x TPU v5e via tunneled axon backend", "round": args.round}
+    h = results.get("headline")
+    if h:
+        pub["large_v3_streaming_rtf"] = h.get("rtf")
+        pub["large_v3_p50_chunk_to_text_ms"] = h.get("value")
+        pub["quantization"] = h.get("quantization")
+    hp = results.get("headline_phases")
+    if hp:
+        pub["large_v3_compute_rtf"] = hp.get("compute_rtf")
+        pub["large_v3_transfer_rtf"] = hp.get("transfer_rtf")
+        pub["large_v3_sync_rtf_rig_tax"] = hp.get("sync_rtf")
+        pub["sync_floor_ms"] = hp.get("sync_floor_ms")
+        pub["decode_ms_per_token"] = hp.get("decode_ms_per_token")
+    for i in range(1, 6):
+        s = results.get(f"scenario{i}")
+        if s:
+            pub[f"scenario{i}"] = {"metric": s.get("metric"), "rtf": s.get("value"),
+                                   "p50_ms": s.get("p50_ms")}
+    for n in (2, 4, 8):
+        s = results.get(f"streams{n}")
+        if s:
+            pub[f"aggregate_rtf_{n}_streams"] = s.get("value")
+    baseline["published"] = pub
+    with open(baseline_path, "w") as f:
+        json.dump(baseline, f, indent=2)
+    print(f"updated {baseline_path} published block")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
