@@ -105,6 +105,9 @@ def run_scenario(n: int) -> int:
                 overrides={"audio_deduplication.enable": True}, task="translate"),
         5: dict(model="large-v3", language="en",
                 overrides={"vocal_separation.enable": True, "vocal_separation.method": "neural",
+                           # large models run the SimulStreaming-style mode (what
+                           # the wizard recommends for large-v3; matches headline)
+                           "streaming.prefix_policy": "last",
                            # the 40 KB mask net runs in ~ms on host BLAS; on this
                            # tunneled rig the per-chunk device round-trip (~60 ms)
                            # would otherwise dominate the separation cost

@@ -414,7 +414,11 @@ class TPUWhisperASR:
     # --------------------------------------------------------------- protocol
 
     def transcribe(
-        self, audio: np.ndarray, init_prompt: str = "", prefix_ids: Optional[list[int]] = None
+        self,
+        audio: np.ndarray,
+        init_prompt: str = "",
+        prefix_ids: Optional[list[int]] = None,
+        draft_ids: Optional[list[int]] = None,
     ) -> TranscriptionResult:
         """Transcribe up to 30 s of 16 kHz float32 mono audio into segments.
 
@@ -422,11 +426,13 @@ class TPUWhisperASR:
         trims at 15 s by default); longer input is windowed sequentially.
         ``prefix_ids`` (stable tokens from the previous tick, incl. timestamp
         tokens) are force-decoded in one prefill pass so only the new tail
-        costs autoregressive steps.
+        costs autoregressive steps; ``draft_ids`` (the previous hypothesis's
+        tail beyond that prefix) are verified in the same pass and accepted
+        wholesale where the model agrees (lossless self-speculative decode).
         """
         audio = np.asarray(audio, np.float32)
         if len(audio) <= WINDOW_SAMPLES:
-            return self._transcribe_window(audio, init_prompt, 0.0, prefix_ids)
+            return self._transcribe_window(audio, init_prompt, 0.0, prefix_ids, draft_ids)
         segments: list[Segment] = []
         offset = 0
         while offset < len(audio):
@@ -474,9 +480,19 @@ class TPUWhisperASR:
             self.set_active_stream(it["key"])
             return [
                 self.transcribe(
-                    it["audio"], it.get("init_prompt") or "", it.get("prefix_ids")
+                    it["audio"], it.get("init_prompt") or "", it.get("prefix_ids"),
+                    it.get("draft_ids"),
                 )
             ]
+        return self.transcribe_batch_finalize(self.transcribe_batch_dispatch(items))
+
+    def transcribe_batch_dispatch(self, items: list[dict]) -> dict:
+        """Non-blocking half of transcribe_batch: plan + upload + encode +
+        enqueue the decode loop, returning a handle. JAX dispatch is async, so
+        the scheduler can prepare the NEXT group's tick (host planning, upload)
+        while this group's decode runs on the chip; the handle's result
+        transfer happens in ``transcribe_batch_finalize``. At B=1 this hits the
+        exact traces of the single-stream path (no trace multiplication)."""
         n_real = len(items)
         padded = list(items)
         while padded and (len(padded) & (len(padded) - 1)):
@@ -488,6 +504,7 @@ class TPUWhisperASR:
             requests.append({
                 "prompt_tokens": self.tokenizer.encode(prompt) if prompt else None,
                 "prefix_tokens": it.get("prefix_ids"),
+                "draft_tokens": it.get("draft_ids"),
                 "seed": self._sample_seed,
             })
             audios.append(np.asarray(it["audio"], np.float32))
@@ -505,12 +522,20 @@ class TPUWhisperASR:
         if pt is not None:
             jax.block_until_ready(xa)
             pt.lap("encode")
-        results = D.greedy_decode_batch(
+        handle = D.greedy_decode_batch_dispatch(
             self.params, self.cfg, xa, opts, requests,
             extra_suppress=self._extra_suppress,
             alignment_heads=self.alignment_heads,
             aux_device=aux_dev, phase_timer=pt, planned=planned,
         )
+        return {"handle": handle, "items": items, "requests": requests,
+                "n_real": n_real}
+
+    def transcribe_batch_finalize(self, st: dict) -> list[TranscriptionResult]:
+        """Blocking half of transcribe_batch: collect + parse the dispatched
+        group's results (one device→host transfer)."""
+        items, requests, n_real = st["items"], st["requests"], st["n_real"]
+        results = D.greedy_decode_batch_finalize(st["handle"])
         out: list[TranscriptionResult] = []
         for it, res, req in zip(items[:n_real], results[:n_real], requests[:n_real]):
             n_frames = min(len(it["audio"]) // (2 * 160), self.cfg.n_audio_ctx)
@@ -521,6 +546,7 @@ class TPUWhisperASR:
             out.append(TranscriptionResult(segs, tokens=ids))
             self.counters["ticks"] += 1
             self.counters["new_tokens"] += int(res.lengths[0]) - len(req["prefix_tokens"] or [])
+        pt = self.phase_timer
         if pt is not None:
             pt.lap("host_parse")
         return out
@@ -531,10 +557,13 @@ class TPUWhisperASR:
         init_prompt: str,
         time_offset: float,
         prefix_ids: Optional[list[int]] = None,
+        draft_ids: Optional[list[int]] = None,
     ) -> TranscriptionResult:
         t0 = time.perf_counter()
         opts = self._make_opts()
         prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
+        if opts.beam_size > 1:
+            draft_ids = None  # beam path has no speculative fast path
         # host-side token planning, then ONE bundled upload (audio suffix + aux)
         init, sot_index, n_prefix = D.build_initial_tokens(
             self.cfg, opts, prompt_ids, prefix_ids
@@ -544,6 +573,7 @@ class TPUWhisperASR:
         aux_np = D.pack_aux(
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
             seed=self._sample_seed, max_new_cap=max_new_cap,
+            draft=np.asarray(draft_ids or [], np.int32),
         )
         pt = self.phase_timer
         if pt is not None:
@@ -567,6 +597,7 @@ class TPUWhisperASR:
             prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
             extra_suppress=self._extra_suppress, aux_device=aux_dev,
             alignment_heads=self.alignment_heads,
+            **({"draft_tokens": draft_ids} if opts.beam_size == 1 else {}),
             **({"phase_timer": pt} if (pt is not None and opts.beam_size == 1) else {}),
         )
         self.counters["ticks"] += 1

@@ -170,13 +170,18 @@ def plan_decode_budget(
 
 
 # aux transfer bundle layout:
-#   [tokens_f32(AUX_TOK) | n_prefix | sot_index | last_ts | sampling_seed | max_new_cap]
+#   [tokens_f32(AUX_TOK) | n_prefix | sot_index | last_ts | sampling_seed |
+#    max_new_cap | n_draft | draft_f32(DRAFT_MAX)]
 # — one host→device upload carries the initial tokens AND the dynamic scalars
 # (each separate upload costs ~30 ms of tunnel latency on this backend).
 # max_new_cap enforces max_total_tokens exactly even though the static loop
-# bound is bucket-quantized.
+# bound is bucket-quantized. The draft section carries the self-speculative
+# candidate tokens (the previous hypothesis's tail beyond the forced prefix):
+# the prefill span verifies them all at once and the autoregressive loop only
+# runs past the accepted point (see _greedy_loop).
 AUX_TOK = 384
-AUX_LEN = AUX_TOK + 5
+DRAFT_MAX = 16
+AUX_LEN = AUX_TOK + 6 + DRAFT_MAX
 
 
 def pack_aux(
@@ -186,6 +191,7 @@ def pack_aux(
     last_ts: int,
     seed: int = 0,
     max_new_cap: int = 10**6,
+    draft: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     aux = np.zeros(AUX_LEN, np.float32)
     aux[: len(init)] = init.astype(np.float32)
@@ -194,6 +200,10 @@ def pack_aux(
     aux[AUX_TOK + 2] = last_ts
     aux[AUX_TOK + 3] = seed
     aux[AUX_TOK + 4] = max_new_cap
+    if draft is not None and len(draft):
+        d = np.asarray(draft, np.float32)[:DRAFT_MAX]
+        aux[AUX_TOK + 5] = len(d)
+        aux[AUX_TOK + 6 : AUX_TOK + 6 + len(d)] = d
     return aux
 
 
@@ -215,7 +225,9 @@ def _amask_dev(cfg: WhisperConfig, heads_key: Optional[bytes]):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "opts", "prompt_len", "capture_xattn", "max_new", "cache_len"),
+    static_argnames=(
+        "cfg", "opts", "prompt_len", "capture_xattn", "max_new", "cache_len", "draft_max"
+    ),
 )
 def _greedy_loop(
     params,
@@ -229,12 +241,25 @@ def _greedy_loop(
     capture_xattn: bool,
     max_new: int,
     cache_len: int,
+    draft_max: int = 0,
 ):
     # NOTE: prefix/prompt boundaries, initial-rule gating, sampling seeds, and
     # generation caps are all TRACED per row (unpacked from aux) so hypothesis
     # growth never retraces and rows of a batched multi-stream decode can be
     # at entirely different streaming states; only the bucketed prefill
-    # length, window bucket, and loop bound are static.
+    # length, window bucket, loop bound, and draft bucket are static.
+    #
+    # Self-speculative decode (draft_max > 0): the prefill span is
+    # init || draft, where draft is the previous tick's hypothesis tail
+    # beyond the forced prefix. One span pass yields the model's choice at
+    # every draft position under the SAME logit rules as the loop, so the
+    # longest agreeing draft prefix (+1 bonus token from the first divergent
+    # position) is accepted wholesale and the autoregressive loop starts past
+    # it. Lossless: token-for-token identical to the plain loop, because the
+    # verifier IS the loop's own selection function (at a draft position the
+    # hypothetical history equals init||draft[:i], so last/prev/last_ts are
+    # computable vectorially). Sequential steps per tick drop from
+    # ~new_tokens to ~(new_tokens - accepted).
     b = xa.shape[0]
     p = prompt_len
     initial_tokens = aux[:, :p].astype(jnp.int32)  # (B, p)
@@ -246,22 +271,41 @@ def _greedy_loop(
     total = jnp.minimum(
         jnp.int32(p + max_new), jnp.int32(p) + aux[:, AUX_TOK + 4].astype(jnp.int32)
     )  # (B,)
+    n_draft_arr = aux[:, AUX_TOK + 5].astype(jnp.int32)  # (B,)
+    draft_tok = aux[:, AUX_TOK + 6 : AUX_TOK + 6 + draft_max].astype(jnp.int32)
+    # pad rows beyond each row's draft with EOT (never matches a real choice,
+    # and keeps the span's token ids in-vocab for the embedding lookup)
+    if draft_max:
+        dmask = jnp.arange(draft_max)[None, :] < n_draft_arr[:, None]
+        draft_tok = jnp.where(dmask, draft_tok, cfg.eot)
     ts0 = cfg.timestamp_begin
     vocab_ids = jnp.arange(cfg.n_vocab)
     audio_ctx = xa.shape[1]
 
     cache = M.init_cache(params, cfg, xa, text_ctx=cache_len)
     amask = alignment_mask if capture_xattn else None
+    span_tokens = (
+        jnp.concatenate([initial_tokens, draft_tok], axis=1) if draft_max else initial_tokens
+    )
     pre_logits, cache, pre_xattn = M.decode_span(
-        params, cfg, initial_tokens, jnp.int32(0), cache, alignment_mask=amask
+        params, cfg, span_tokens, jnp.int32(0), cache, alignment_mask=amask
     )
     sot_logits = jnp.take_along_axis(pre_logits, sot_index_arr[:, None, None], axis=1)[:, 0]
     no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)[:, cfg.no_speech]
 
     tokens0 = jnp.concatenate(
-        [initial_tokens, jnp.full((b, max_new), cfg.eot, jnp.int32)], axis=1
+        [initial_tokens, draft_tok,
+         jnp.full((b, max_new - draft_max), cfg.eot, jnp.int32)], axis=1
     )
     xattn0 = jnp.zeros((b, max_new if capture_xattn else 1, audio_ctx), jnp.float32)
+    if capture_xattn and draft_max:
+        # accepted draft tokens' cross-attention rows come from the prefill
+        # span (each token's row = its own query pass); slots past acceptance
+        # are overwritten by the loop as it re-decodes those positions
+        slots = min(draft_max, max_new - 1)
+        xattn0 = xattn0.at[:, 1 : slots + 1].set(
+            pre_xattn[:, p : p + slots].astype(jnp.float32)
+        )
     max_initial_index = round(opts.max_initial_timestamp / 0.02)
 
     def select_next(logits, tokens, pos, last_ts):
@@ -348,18 +392,59 @@ def _greedy_loop(
         tokens, pos, finished, cache, sum_lp, last_ts, xattn = state
         return (~jnp.all(finished)) & (pos < jnp.max(total))
 
-    # seed the FIRST sampled token from the prefill's last logits — its row
-    # already predicts position p, so the loop's first decode_step (which used
-    # to recompute it) is saved; the loop starts at p+1.
-    nxt0, lp0 = select_next(pre_logits[:, -1], tokens0, jnp.int32(p), last_ts_init)
+    # verify + seed from the prefill span's logits. Row p-1+i of pre_logits
+    # predicts the token at position p+i, so ONE vectorized pass of the exact
+    # select_next rules over positions p..p+draft_max yields (a) the model's
+    # choice at every draft slot and (b) the bonus token at the first
+    # divergence. With draft_max == 0 this degenerates to seeding the first
+    # sampled token from the prefill's last row (the loop starts at p+1).
+    if draft_max:
+        dts = jnp.where(draft_tok >= ts0, draft_tok, -1)
+        cm = jax.lax.cummax(dts, axis=1)  # (B, DM) last ts seen through draft[:i+1]
+        lts_all = jnp.concatenate(
+            [last_ts_init[None], jnp.maximum(last_ts_init[None], cm.T)], axis=0
+        )  # (DM+1, B): last_ts BEFORE each position p..p+DM
+    else:
+        lts_all = last_ts_init[None]
+    positions = jnp.int32(p) + jnp.arange(draft_max + 1, dtype=jnp.int32)
+    lg = jnp.moveaxis(pre_logits[:, p - 1 : p + draft_max], 1, 0)  # (DM+1, B, V)
+    choices, lps = jax.vmap(
+        lambda l, q, t: select_next(l, tokens0, q, t)
+    )(lg, positions, lts_all)
+
+    if draft_max:
+        iidx = jnp.arange(draft_max)[:, None]  # (DM, 1)
+        match = (
+            (choices[:draft_max] == draft_tok.T)
+            & (iidx < n_draft_arr[None, :])
+            & ((p + iidx) < total[None, :])
+        )
+        acc_row = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=0), axis=0)  # (B,)
+        # pos is a shared scalar, so accept the min across rows; rows that
+        # accepted more simply re-derive identical tokens in the loop. Keep
+        # one slot free for the bonus token.
+        n_acc = jnp.minimum(jnp.min(acc_row), jnp.int32(max_new - 1))
+    else:
+        n_acc = jnp.int32(0)
+    nxt0 = jax.lax.dynamic_index_in_dim(choices, n_acc, axis=0, keepdims=False)
+    lp0 = jax.lax.dynamic_index_in_dim(lps, n_acc, axis=0, keepdims=False)
+    lts0 = jax.lax.dynamic_index_in_dim(lts_all, n_acc, axis=0, keepdims=False)
+    sum_lp_acc = (
+        jnp.sum(
+            jnp.where(jnp.arange(draft_max)[:, None] < n_acc, lps[:draft_max], 0.0),
+            axis=0,
+        )
+        if draft_max
+        else jnp.zeros((b,), jnp.float32)
+    )
     tokens_seeded, finished0, sum_lp0, last_ts0 = advance(
-        tokens0, jnp.int32(p), jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
-        last_ts_init, nxt0, lp0,
+        tokens0, jnp.int32(p) + n_acc, jnp.zeros((b,), bool), sum_lp_acc,
+        lts0, nxt0, lp0,
     )
 
     state = (
         tokens_seeded,
-        jnp.int32(p + 1),
+        jnp.int32(p + 1) + n_acc,
         finished0,
         cache,
         sum_lp0,
@@ -381,9 +466,10 @@ def _greedy_loop(
         no_speech_prob[:, None],
     ]
     if capture_xattn:
-        # sampled rows then the whole prefill block (host slices prefix rows)
+        # sampled rows then the init prefill block (host slices prefix rows;
+        # draft span rows were already folded into xattn0's slots)
         xa_all = jnp.concatenate(
-            [xattn.reshape(b, -1), pre_xattn.reshape(b, -1)], axis=1
+            [xattn.reshape(b, -1), pre_xattn[:, :p].reshape(b, -1)], axis=1
         )
         q = jnp.clip(jnp.round(xa_all * 255.0), 0, 255).astype(jnp.uint8)
         packed_xa = jax.lax.bitcast_convert_type(q.reshape(b, -1, 4), jnp.float32)
@@ -404,13 +490,17 @@ def greedy_decode(
     seed: int = 0,
     phase_timer=None,
     bucket: Optional[int] = None,
+    draft_tokens: Optional[list[int]] = None,
 ) -> DecodeResult:
     """Host wrapper: builds initial tokens/masks, runs the jitted loop.
 
     Returns tokens = prefix + sampled (xattn rows aligned), so callers parse
     one transcript regardless of how much was forced. ``phase_timer`` (a
     utils.profiling.PhaseTimer) splits decode compute from the device→host
-    result transfer for auditable breakdowns.
+    result transfer for auditable breakdowns. ``draft_tokens`` (the previous
+    hypothesis's tail beyond the forced prefix) enables the lossless
+    self-speculative fast path; callers passing a prepacked ``aux_device``
+    must pass the same draft here so the static draft bucket matches.
     """
     init, sot_index, n_prefix = build_initial_tokens(
         cfg, opts, prompt_tokens, prefix_tokens, bucket=bucket
@@ -420,6 +510,7 @@ def greedy_decode(
     p = int(init.shape[0])
     max_new, max_new_cap = plan_decode_budget(cfg, opts, p, n_prefix)
     cache_len = min(cfg.n_text_ctx, _round_up(p + max_new, 128))
+    draft_max = DRAFT_MAX if draft_tokens else 0
 
     sup = _sup_mask_dev(cfg, tuple(extra_suppress))
     capture = opts.word_timestamps
@@ -433,7 +524,7 @@ def greedy_decode(
         ts_in_prefix = [int(t) for t in prefix_arr if t >= cfg.timestamp_begin]
         aux_np = pack_aux(
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
-            seed=seed, max_new_cap=max_new_cap,
+            seed=seed, max_new_cap=max_new_cap, draft=np.asarray(draft_tokens or [], np.int32),
         )
         aux_device = jnp.asarray(aux_np)
     if aux_device.ndim == 1:
@@ -453,6 +544,7 @@ def greedy_decode(
         capture_xattn=capture,
         max_new=max_new,
         cache_len=cache_len,
+        draft_max=draft_max,
     )
     if phase_timer is not None:
         packed.block_until_ready()
@@ -499,7 +591,7 @@ def greedy_decode(
     )
 
 
-def greedy_decode_batch(
+def greedy_decode_batch_dispatch(
     params,
     cfg: WhisperConfig,
     xa: jnp.ndarray,  # (B, audio_ctx, d) — one encoded window per stream
@@ -510,18 +602,15 @@ def greedy_decode_batch(
     aux_device: Optional[jnp.ndarray] = None,
     phase_timer=None,
     planned=None,  # optional (rows, p, max_new, cap) from plan_batch_aux
-) -> list[DecodeResult]:
-    """Batched multi-stream greedy decode: one jitted loop over B streams.
+) -> dict:
+    """Dispatch half of the batched decode: enqueue the jitted loop and return
+    a handle WITHOUT blocking on the device→host result transfer.
 
-    Each request is ``{"prompt_tokens": ..., "prefix_tokens": ..., "seed": ...}``
-    and may be at a completely different streaming state — per-row prefix
-    lengths, initial-rule gating, caps, and seeds ride in the (B, AUX_LEN) aux
-    bundle. All rows share one prefill bucket (the max across rows; bucket
-    padding is semantically inert, build_initial_tokens). The capacity lever:
-    incremental decode at batch 1 is weight-bandwidth-bound, so B streams cost
-    barely more than one (the full decoder streams from HBM once per step
-    either way). Callers group rows by window bucket; ``plan_batch_aux``
-    exposes the planning half for one-upload bundling.
+    JAX dispatch is asynchronous, so the caller can plan + upload the next
+    group's tick while this group's loop runs on the chip; the result transfer
+    (~30 ms of tunnel latency on this backend) overlaps the next group's device
+    work instead of serializing the scheduler. Pass the handle to
+    ``greedy_decode_batch_finalize`` to collect results.
     """
     b = xa.shape[0]
     assert len(requests) == b, (len(requests), b)
@@ -531,6 +620,9 @@ def greedy_decode_batch(
     if aux_device is None:
         aux_device = jnp.asarray(np.stack([row["aux"] for row in init_rows]))
     cache_len = min(cfg.n_text_ctx, _round_up(p + max_new, 128))
+    # one shared static draft bucket per batch: on when ANY row carries a
+    # draft (rows without one verify zero tokens and are unaffected)
+    draft_max = DRAFT_MAX if any(row["aux"][AUX_TOK + 5] > 0 for row in init_rows) else 0
     sup = _sup_mask_dev(cfg, tuple(extra_suppress))
     capture = opts.word_timestamps
     heads_key = (
@@ -543,12 +635,27 @@ def greedy_decode_batch(
     packed = _greedy_loop(
         params, cfg, opts, xa, aux_device, sup, amask,
         prompt_len=p, capture_xattn=capture, max_new=max_new, cache_len=cache_len,
+        draft_max=draft_max,
     )
+    return {
+        "packed": packed, "cfg": cfg, "b": b, "p": p, "max_new": max_new,
+        "capture": capture, "init_rows": init_rows, "audio_ctx": int(xa.shape[1]),
+        "phase_timer": phase_timer,
+    }
+
+
+def greedy_decode_batch_finalize(handle: dict) -> list[DecodeResult]:
+    """Blocking half: download the packed result blob and parse per-row
+    DecodeResults (see greedy_decode_batch_dispatch)."""
+    cfg = handle["cfg"]
+    b, p, max_new = handle["b"], handle["p"], handle["max_new"]
+    capture, init_rows = handle["capture"], handle["init_rows"]
+    audio_ctx = handle["audio_ctx"]
+    phase_timer = handle["phase_timer"]
     if phase_timer is not None:
-        packed.block_until_ready()
+        handle["packed"].block_until_ready()
         phase_timer.lap("decode")
-    audio_ctx = int(xa.shape[1])
-    flat = np.asarray(packed)
+    flat = np.asarray(handle["packed"])
     if phase_timer is not None:
         phase_timer.lap("download")
     row = flat.reshape(b, -1)
@@ -590,6 +697,32 @@ def greedy_decode_batch(
     return results
 
 
+def greedy_decode_batch(
+    params,
+    cfg: WhisperConfig,
+    xa: jnp.ndarray,
+    opts: DecodeOptions,
+    requests: list[dict],
+    **kw,
+) -> list[DecodeResult]:
+    """Batched multi-stream greedy decode: one jitted loop over B streams.
+
+    Each request is ``{"prompt_tokens": ..., "prefix_tokens": ..., "seed": ...}``
+    and may be at a completely different streaming state — per-row prefix
+    lengths, initial-rule gating, caps, and seeds ride in the (B, AUX_LEN) aux
+    bundle. All rows share one prefill bucket (the max across rows; bucket
+    padding is semantically inert, build_initial_tokens). The capacity lever:
+    incremental decode at batch 1 is weight-bandwidth-bound, so B streams cost
+    barely more than one (the full decoder streams from HBM once per step
+    either way). Callers group rows by window bucket; ``plan_batch_aux``
+    exposes the planning half for one-upload bundling, and the
+    dispatch/finalize halves let a scheduler overlap groups.
+    """
+    return greedy_decode_batch_finalize(
+        greedy_decode_batch_dispatch(params, cfg, xa, opts, requests, **kw)
+    )
+
+
 def plan_batch_aux(
     cfg: WhisperConfig, opts: DecodeOptions, requests: list[dict]
 ) -> tuple[list[dict], int, int, int]:
@@ -617,6 +750,7 @@ def plan_batch_aux(
         aux = pack_aux(
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
             seed=int(r.get("seed", 0)), max_new_cap=cap,
+            draft=np.asarray(r.get("draft_tokens") or [], np.int32),
         )
         rows.append({
             "aux": aux,

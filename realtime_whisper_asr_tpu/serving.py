@@ -66,6 +66,7 @@ class _Stream:
         self.consecutive_sheds = 0
         self.audio_since_tick = 0.0  # seconds drained but not yet transcribed
         self.language: Optional[str] = None
+        self.inflight = False  # a dispatched tick awaits finalize
 
 
 class StreamServer:
@@ -107,6 +108,13 @@ class StreamServer:
         self._rr: deque[int] = deque()  # round-robin order
         self._lock = threading.Lock()  # guards queues/results/rr/stream maps
         self._asr_lock = threading.Lock()  # serializes shared-ASR access
+        #: dispatched-but-not-finalized tick groups (guarded by _asr_lock):
+        #: step() dispatches this round's groups BEFORE finalizing last
+        #: round's, so group N+1's upload/encode/decode queue behind group N's
+        #: decode on the device and N's result transfer (~30 ms of tunnel
+        #: latency here) overlaps N+1's device work instead of serializing
+        #: the scheduler.
+        self._inflight: list[dict] = []
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -167,6 +175,9 @@ class StreamServer:
             if stream_id in self._rr:
                 self._rr.remove(stream_id)
         with self._asr_lock:
+            # a dispatched tick may still be in flight for this (or any)
+            # stream — settle it before the final flush
+            self._flush_inflight_locked()
             self._drain_into_processor(s)
             self._activate(s)
             # run a final transcription tick over whatever audio remains —
@@ -222,8 +233,9 @@ class StreamServer:
             with self._lock:
                 s = self.streams.get(sid)
                 # readiness = pending audio OR audio already drained into the
-                # processor by a shed tick that still awaits transcription
-                if s is None or s.closed or (
+                # processor by a shed tick that still awaits transcription;
+                # a stream with a dispatched tick in flight is not re-ticked
+                if s is None or s.closed or s.inflight or (
                     s.buffered_samples < 1 and s.audio_since_tick <= 0
                 ):
                     continue
@@ -250,6 +262,13 @@ class StreamServer:
         s.audio_since_tick = 0.0
         self._emit(s, beg, end, text)
 
+    def _reset_group(self, group: list[_Stream]) -> None:
+        for s in group:
+            s.inflight = False
+            inner = getattr(s.processor, "online", s.processor)
+            inner.init(offset=inner.buffer_time_offset
+                       + len(inner.audio_buffer) / SR)
+
     def _tick_batch(self, group: list[_Stream]) -> None:
         """ONE batched transcribe across same-language streams: the decode
         loop is weight-bandwidth-bound at batch 1, so B streams share one
@@ -265,12 +284,47 @@ class StreamServer:
             results = self.asr.transcribe_batch(reqs)
         except Exception:
             logger.exception("batched transcribe failed; resetting group")
-            for s in group:
-                inner = getattr(s.processor, "online", s.processor)
-                inner.init(offset=inner.buffer_time_offset
-                           + len(inner.audio_buffer) / SR)
+            self._reset_group(group)
             return
-        dt = self.clock() - t0
+        self._apply_batch(group, results, self.clock() - t0)
+
+    def _dispatch_batch(self, group: list[_Stream]) -> Optional[dict]:
+        """Pipelined first half of _tick_batch: plan + upload + encode +
+        enqueue the decode, without blocking on results. Returns an in-flight
+        record for _finalize_batch, or None if dispatch failed."""
+        self._activate(group[0])
+        reqs = []
+        for s in group:
+            r = s.processor.prepare_request()
+            r["key"] = s.sid
+            reqs.append(r)
+        t0 = self.clock()
+        try:
+            st = self.asr.transcribe_batch_dispatch(reqs)
+        except Exception:
+            logger.exception("batched dispatch failed; resetting group")
+            self._reset_group(group)
+            return None
+        for s in group:
+            s.inflight = True
+        return {"group": group, "state": st, "t0": t0}
+
+    def _finalize_batch(self, pending: dict) -> None:
+        group = pending["group"]
+        try:
+            results = self.asr.transcribe_batch_finalize(pending["state"])
+        except Exception:
+            logger.exception("batched finalize failed; resetting group")
+            self._reset_group(group)
+            return
+        for s in group:
+            s.inflight = False
+        self._apply_batch(group, results, self.clock() - pending["t0"])
+
+    def _apply_batch(self, group: list[_Stream], results, dt: float) -> None:
+        # dt spans dispatch→finalize; under pipelining it includes overlap
+        # with neighboring groups, so the per-stream share is a conservative
+        # (over-)estimate for the load-shedding monitor
         share = dt / max(len(group), 1)
         for s, res in zip(group, results):
             beg, end, text = s.processor.apply_result(res, dt)
@@ -282,12 +336,20 @@ class StreamServer:
     def step(self) -> bool:
         """Run one scheduling round: drain + shed-check the ready streams,
         batch the same-language regular ticks into one transcribe, run the
-        rest (utterance finals, odd languages) individually."""
+        rest (utterance finals, odd languages) individually.
+
+        Pipelining: this round's batch groups are DISPATCHED (upload + encode
+        + decode enqueued, no blocking), then LAST round's in-flight groups
+        are finalized — so each group's result transfer overlaps the next
+        group's device work. Results for a group surface one ``step()`` later;
+        callers drive ``step()`` in a loop (serve_forever / ``while step()``),
+        so the added latency is one scheduling iteration, not one tick."""
         candidates = self._collect_ready()
-        if not candidates:
-            return False
-        did_work = False
         with self._asr_lock:
+            if not candidates and not self._inflight:
+                return False
+            did_work = False
+            pipelined = hasattr(self.asr, "transcribe_batch_dispatch")
             batchable: list[_Stream] = []
             singles: list[_Stream] = []
             for s in candidates:
@@ -321,12 +383,18 @@ class StreamServer:
                 else:
                     singles.append(s)
             # group batchable streams by language (DecodeOptions are shared
-            # across a batch); stragglers run individually
+            # across a batch); stragglers run individually (un-pipelined mode)
+            new_inflight: list[dict] = []
             while batchable:
                 lang = batchable[0].language
                 group = [s for s in batchable if s.language == lang]
                 batchable = [s for s in batchable if s.language != lang]
-                if len(group) == 1:
+                if pipelined:
+                    pending = self._dispatch_batch(group)
+                    if pending is not None:
+                        new_inflight.append(pending)
+                    did_work = True
+                elif len(group) == 1:
                     singles.extend(group)
                 else:
                     self._tick_batch(group)
@@ -334,7 +402,19 @@ class StreamServer:
             for s in singles:
                 self._tick_single(s)
                 did_work = True
+            # finalize LAST round's dispatches (their transfers overlapped
+            # this round's dispatch + singles work)
+            for pending in self._inflight:
+                self._finalize_batch(pending)
+                did_work = True
+            self._inflight = new_inflight
         return did_work
+
+    def _flush_inflight_locked(self) -> None:
+        """Finalize every in-flight group now (callers hold _asr_lock)."""
+        for pending in self._inflight:
+            self._finalize_batch(pending)
+        self._inflight = []
 
     def serve_forever(self, idle_sleep: float = 0.01) -> None:
         while not self._stop.is_set():
@@ -352,6 +432,8 @@ class StreamServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+        with self._asr_lock:
+            self._flush_inflight_locked()
 
     def get_stats(self) -> dict:
         with self._lock:

@@ -155,6 +155,7 @@ class OnlineASRProcessor:
             res = self.asr.transcribe(
                 req["audio"], init_prompt=req["init_prompt"],
                 **({"prefix_ids": req["prefix_ids"]} if req.get("prefix_ids") else {}),
+                **({"draft_ids": req["draft_ids"]} if req.get("draft_ids") else {}),
             )
         except Exception:
             # reference behavior: reset streaming state and continue
@@ -179,6 +180,13 @@ class OnlineASRProcessor:
             prefix = self._stable_prefix()
             if prefix:
                 req["prefix_ids"] = prefix
+            # the last hypothesis's continuation beyond the forced prefix is
+            # the self-speculative draft: the backend verifies it in the
+            # prefill pass and only decodes genuinely new tokens step-by-step
+            # (losslessly — rejected drafts cost nothing but the verify)
+            draft = self._draft_tail(len(prefix) if prefix else 0)
+            if draft:
+                req["draft_ids"] = draft
         return req
 
     def apply_result(self, res, proc_delay_s: float = 0.0):
@@ -324,6 +332,15 @@ class OnlineASRProcessor:
                 break
             n += 1
         return a[: max(0, n - self.prefix_safety_tokens)]
+
+    def _draft_tail(self, n_prefix: int) -> list[int]:
+        """Last hypothesis's tokens beyond the forced prefix — the
+        self-speculative draft. Capped at the backend's draft bucket (the
+        backend truncates anyway; keep the request small)."""
+        if not self._token_history:
+            return []
+        tail = self._token_history[-1][n_prefix:]
+        return tail[:16]
 
     # ----------------------------------------------------------------- helpers
 

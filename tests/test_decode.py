@@ -455,3 +455,79 @@ def test_shift_detection_on_periodic_audio(asr):
     np.testing.assert_array_equal(buf[: len(trimmed)], q.astype(np.float32))
     assert (buf[len(trimmed) : len(tone)] == 0).all()
     asr.drop_stream(key)
+
+
+def test_speculative_draft_is_lossless(asr):
+    """Self-speculative decode (draft tokens verified in the prefill span)
+    must be token-for-token identical to the plain loop — for a true-tail
+    draft, a garbage draft, and a full-hypothesis draft — because the
+    verifier IS select_next itself (decode.py _greedy_loop)."""
+    cfg = asr.cfg
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=True, max_new_tokens=24)
+    xa = asr._encode_window(_audio(seed=11))
+
+    base = D.greedy_decode(asr.params, cfg, xa, opts)
+    ids0 = base.tokens[0][: base.lengths[0]].tolist()
+    pfx = ids0[:3]
+
+    ref = D.greedy_decode(asr.params, cfg, xa, opts, prefix_tokens=pfx)
+    ref_ids = ref.tokens[0][: ref.lengths[0]].tolist()
+
+    for draft in (ref_ids[3:12], [5, 7, 11, 13], ref_ids[3:4]):
+        got = D.greedy_decode(
+            asr.params, cfg, xa, opts, prefix_tokens=pfx, draft_tokens=draft
+        )
+        ids = got.tokens[0][: got.lengths[0]].tolist()
+        assert ids == ref_ids, (draft, ref_ids, ids)
+        # word-timestamp capture parity: accepted draft rows come from the
+        # prefill block and must match the loop's own capture exactly
+        np.testing.assert_allclose(
+            got.xattn[0][: len(ids)], ref.xattn[0][: len(ref_ids)], atol=2.5 / 255
+        )
+        assert abs(float(got.avg_logprob[0]) - float(ref.avg_logprob[0])) < 1e-3
+
+    # no prefix at all: draft = the whole previous hypothesis (agree2's first
+    # incremental tick) must also reproduce the baseline
+    got = D.greedy_decode(asr.params, cfg, xa, opts, draft_tokens=ids0[:16])
+    assert got.tokens[0][: got.lengths[0]].tolist() == ids0
+
+
+def test_speculative_draft_batched_mixed_rows(asr):
+    """Batched decode with drafts on some rows only: every row must match the
+    same-bucket no-draft batch (rows without draft verify zero tokens)."""
+    cfg = asr.cfg
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=True, max_new_tokens=16)
+    xa1 = asr._encode_window(_audio(seed=0))
+    ref0 = D.greedy_decode(asr.params, cfg, xa1, opts)
+    stable = ref0.tokens[0][:4].tolist()
+    tail = ref0.tokens[0][4:10].tolist()
+    xab = jnp.concatenate([xa1, asr._encode_window(_audio(seed=1))], axis=0)
+
+    reqs_nodraft = [
+        {"prompt_tokens": None, "prefix_tokens": stable, "seed": 0},
+        {"prompt_tokens": None, "prefix_tokens": None, "seed": 0},
+    ]
+    reqs_draft = [dict(reqs_nodraft[0], draft_tokens=tail), dict(reqs_nodraft[1])]
+    ref = D.greedy_decode_batch(asr.params, cfg, xab, opts, reqs_nodraft)
+    got = D.greedy_decode_batch(asr.params, cfg, xab, opts, reqs_draft)
+    for i in range(2):
+        li, lr = int(got[i].lengths[0]), int(ref[i].lengths[0])
+        assert li == lr
+        np.testing.assert_array_equal(got[i].tokens[0][:li], ref[i].tokens[0][:lr])
+
+
+def test_online_processor_emits_draft(asr):
+    """prepare_request carries the previous hypothesis tail as draft_ids under
+    both prefix policies (the self-speculative streaming contract)."""
+    from realtime_whisper_asr_tpu.streaming import OnlineASRProcessor
+
+    for policy in ("agree2", "last"):
+        online = OnlineASRProcessor(asr, prefix_policy=policy)
+        online.insert_audio_chunk(_audio(seconds=2.0, seed=3))
+        online.process_iter()
+        online.insert_audio_chunk(_audio(seconds=1.0, seed=4))
+        req = online.prepare_request()
+        assert req.get("draft_ids"), (policy, req.keys())
+        hist = online._token_history[-1]
+        n_pfx = len(req.get("prefix_ids") or [])
+        assert req["draft_ids"] == hist[n_pfx:][:16]

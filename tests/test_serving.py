@@ -292,3 +292,82 @@ def test_batching_respects_language_groups():
         while server.step():
             pass
     assert all(n == 1 for n in asr.batch_sizes), asr.batch_sizes
+
+
+class PipelinedFakeASR(BatchingFakeASR):
+    """Fake backend with the dispatch/finalize API: records event order to
+    prove the scheduler overlaps (dispatch N+1 lands before finalize N)."""
+
+    def __init__(self, words_by_stream):
+        super().__init__(words_by_stream)
+        self.events = []
+
+    def transcribe_batch_dispatch(self, items):
+        self.events.append(("dispatch", tuple(it["key"] for it in items)))
+        return {"items": items}
+
+    def transcribe_batch_finalize(self, st):
+        items = st["items"]
+        self.events.append(("finalize", tuple(it["key"] for it in items)))
+        return self.transcribe_batch(items)
+
+
+def test_pipelined_outputs_match_sequential_serving():
+    """The pipelined (dispatch/finalize) scheduler must commit the same text
+    as the sequential one — results just surface one step() later."""
+    words_a = [(0.5, 0.9, " alpha1"), (1.2, 1.6, " alpha2"), (2.2, 2.6, " alpha3")]
+    words_b = [(0.5, 0.9, " beta1"), (1.2, 1.6, " beta2"), (2.2, 2.6, " beta3")]
+    pipe_outs, (a1, b1) = _run_two_streams(PipelinedFakeASR({1: words_a, 2: words_b}))
+    seq_outs, (a2, b2) = _run_two_streams(PerStreamFakeASR({1: words_a, 2: words_b}))
+    assert "".join(r.text for r in pipe_outs[a1]) == "".join(r.text for r in seq_outs[a2])
+    assert "".join(r.text for r in pipe_outs[b1]) == "".join(r.text for r in seq_outs[b2])
+
+
+def test_pipelined_dispatch_overlaps_finalize():
+    """Overlap property: with two language groups in one scheduling round,
+    BOTH dispatches land before either finalize — group 2's upload/encode/
+    decode are enqueued while group 1's results are still in flight. (One
+    group alone stays serial by design: a stream never has two ticks in
+    flight, since apply_result(N) must precede prepare_request(N+1).)"""
+    words = {1: make_words(6), 2: make_words(6)}
+    asr = PipelinedFakeASR(words)
+    server = StreamServer(asr, use_vad=False, online_chunk_size=0.5)
+    a = server.create_stream(language="en")
+    b = server.create_stream(language="zh")
+    for t in (0.0, 1.0, 2.0, 3.0):
+        server.feed(a, timecoded_audio(t, t + 1.0))
+        server.feed(b, timecoded_audio(t, t + 1.0))
+        while server.step():
+            pass
+    overlapped = False
+    open_groups = 0
+    for ev, keys in asr.events:
+        if ev == "dispatch":
+            open_groups += 1
+            if open_groups >= 2:
+                overlapped = True
+        else:
+            open_groups -= 1
+    assert overlapped, asr.events
+    # drain: close must settle any in-flight tick before the final flush
+    server.close_stream(a)
+    server.close_stream(b)
+    assert sum(1 for e in asr.events if e[0] == "dispatch") == sum(
+        1 for e in asr.events if e[0] == "finalize"
+    )
+
+
+def test_pipelined_no_double_tick_while_inflight():
+    """A stream with a dispatched tick in flight is not re-ticked until the
+    finalize lands (no concurrent mutation of one stream's processor)."""
+    asr = PipelinedFakeASR({1: make_words(6)})
+    server = StreamServer(asr, use_vad=False, online_chunk_size=0.5)
+    a = server.create_stream()
+    server.feed(a, timecoded_audio(0.0, 1.0))
+    server.step()  # dispatches tick 1
+    server.feed(a, timecoded_audio(1.0, 2.0))
+    server.step()  # must finalize tick 1; dispatch tick 2 only after
+    for (ev1, k1), (ev2, k2) in zip(asr.events, asr.events[1:]):
+        if ev1 == "dispatch" and k1 == (1,):
+            assert not (ev2 == "dispatch" and k2 == (1,))
+    server.close_stream(a)
