@@ -356,7 +356,8 @@ def main() -> int:
     new_tokens = asr.counters["new_tokens"]
     dec_bytes, dec_count = _tree_bytes_count(asr.params["decoder"])
     emb = asr.params["decoder"]["tok_emb"]
-    logits_flops = 2 * emb.size  # tied output head
+    emb_size = emb["q"].size if isinstance(emb, dict) else emb.size
+    logits_flops = 2 * emb_size  # tied output head
     flops_per_token = 2 * dec_count + logits_flops
     if profile_phases and asr.phase_timer is not None:
         from realtime_whisper_asr_tpu.utils.profiling import measure_sync_floor

@@ -71,6 +71,31 @@ def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
     return y
 
 
+def _emb_rows(emb, tokens):
+    """Token-embedding gather; ``emb`` dense (V,d) or int8 dict
+    {"q": int8 (V,d), "s": f32 (V,)} (per-vocab-row scales)."""
+    if isinstance(emb, dict):
+        return emb["q"][tokens].astype(jnp.float32) * emb["s"][tokens][..., None]
+    return emb[tokens]
+
+
+def _logits_head(x: jnp.ndarray, emb) -> jnp.ndarray:
+    """x @ tok_emb.T -> f32 logits (tied output head). The int8 path halves
+    the head's HBM read (133→67 MB/step at large-v3) with the same dynamic
+    activation quantization as _linear; per-vocab-row weight scales keep the
+    relative logit error ~0.4%, far under softmax decision margins."""
+    if isinstance(emb, dict):
+        x32 = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, emb["q"], (((xq.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * sx * emb["s"].astype(jnp.float32)
+    return jnp.dot(x, emb.astype(x.dtype).T, preferred_element_type=jnp.float32)
+
+
 def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
     b, t, d = x.shape
     return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
@@ -317,7 +342,7 @@ def decode_step(
     DTW word timestamps, or None if alignment_mask is None.
     """
     dec = params["decoder"]
-    x = dec["tok_emb"][tokens] + dec["pos_emb"][pos]
+    x = _emb_rows(dec["tok_emb"], tokens) + dec["pos_emb"][pos]
     x = x[:, None, :].astype(cache.self_k.dtype)  # (B,1,d)
     n_head = cfg.n_text_head
     text_ctx = cache.self_k.shape[3]
@@ -348,9 +373,7 @@ def decode_step(
     xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v, align)
     x, (new_k, new_v, xattn_layers) = jax.lax.scan(body, x, xs)
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
-    logits = jnp.dot(
-        x[:, 0, :], dec["tok_emb"].astype(x.dtype).T, preferred_element_type=jnp.float32
-    )
+    logits = _logits_head(x[:, 0, :], dec["tok_emb"])
     new_cache = DecoderCache(
         self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
     )
@@ -379,7 +402,7 @@ def decode_span(
     b, s = tokens.shape
     n_head = cfg.n_text_head
     pos = pos0 + jnp.arange(s)
-    x = (dec["tok_emb"][tokens] + dec["pos_emb"][pos]).astype(cache.self_k.dtype)
+    x = (_emb_rows(dec["tok_emb"], tokens) + dec["pos_emb"][pos]).astype(cache.self_k.dtype)
     # query q (local index) may attend to cache key j iff j <= pos0 + q
     j = jnp.arange(cache.self_k.shape[3])[None, :]
     qpos = pos[:, None]
@@ -409,7 +432,7 @@ def decode_span(
     xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v, align)
     x, (new_k, new_v, xattn_layers) = jax.lax.scan(body, x, xs)
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
-    logits = jnp.dot(x, dec["tok_emb"].astype(x.dtype).T, preferred_element_type=jnp.float32)
+    logits = _logits_head(x, dec["tok_emb"])
     new_cache = DecoderCache(
         self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
     )
@@ -426,7 +449,7 @@ def decode_full(
     """
     dec = params["decoder"]
     b, t = tokens.shape
-    x = dec["tok_emb"][tokens] + dec["pos_emb"][:t]
+    x = _emb_rows(dec["tok_emb"], tokens) + dec["pos_emb"][:t]
     x = x.astype(xa.dtype)
     n_head = cfg.n_text_head
     causal = jnp.triu(jnp.full((t, t), -1e9, jnp.float32), k=1)[None, None]
@@ -445,4 +468,4 @@ def decode_full(
 
     x, _ = jax.lax.scan(body, x, dec["blocks"])
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
-    return jnp.dot(x, dec["tok_emb"].astype(x.dtype).T, preferred_element_type=jnp.float32)
+    return _logits_head(x, dec["tok_emb"])

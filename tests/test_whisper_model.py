@@ -128,3 +128,31 @@ def test_int8_decoder_quantization_parity(hf_and_jax):
     assert rel < 0.05, f"relative logits error {rel}"
     # argmax agreement on the strongest positions
     assert (dense.argmax(-1) == quant.argmax(-1)).mean() > 0.8
+
+
+def test_int8_all_and_logits_head_parity(hf_and_jax):
+    """int8-all (encoder + decoder + tied logits head): logits track dense
+    within combined activation+weight quantization tolerance, and the head's
+    own error stays small (per-vocab-row scales)."""
+    from realtime_whisper_asr_tpu.models.whisper.quant import (
+        quantize_all,
+        quantize_logits_head,
+    )
+
+    _, cfg, params = hf_and_jax
+    mel = _mel(seed=10)
+    xa = W.encode(params, cfg, jnp.asarray(mel))
+    tokens = np.array([[cfg.sot, cfg.lang_token("en"), cfg.transcribe, 400, 500]], np.int32)
+    dense = np.asarray(W.decode_full(params, cfg, jnp.asarray(tokens), xa))
+    denom = np.maximum(np.abs(dense).max(), 1.0)
+
+    # logits head alone (dense blocks): tight bound
+    lh = np.asarray(W.decode_full(quantize_logits_head(params), cfg, jnp.asarray(tokens), xa))
+    assert np.abs(lh - dense).max() / denom < 0.03
+
+    # full int8-all end to end through the quantized encoder as well
+    qall = quantize_all(params)
+    xa_q = W.encode(qall, cfg, jnp.asarray(mel))
+    quant = np.asarray(W.decode_full(qall, cfg, jnp.asarray(tokens), xa_q))
+    assert np.abs(quant - dense).max() / denom < 0.12
+    assert (dense.argmax(-1) == quant.argmax(-1)).mean() > 0.6
