@@ -293,6 +293,24 @@ class StreamingApp:
                 max_audio_s=ld.get("max_audio_s", 8.0),
             )
 
+        di = cfg.get("diarization", {"enable": False})
+        self.diarizer = None
+        if di.get("enable") and cfg["vad"]["enable"]:
+            from realtime_whisper_asr_tpu.models.speaker import (
+                SpeakerTracker,
+                SpeakerTurnController,
+            )
+
+            self.diarizer = SpeakerTurnController(
+                SpeakerTracker(
+                    threshold=di.get("threshold"),
+                    max_speakers=di.get("max_speakers", 8),
+                ),
+                min_audio_s=di.get("min_audio_s", 0.6),
+                max_audio_s=di.get("max_audio_s", 10.0),
+            )
+        self._label_results = bool(di.get("label_results", True))
+
         perf = cfg["performance"]
         self.monitor = (
             PerformanceMonitor(hard_ratio=perf.get("hard_ratio", 0.4),
@@ -332,13 +350,22 @@ class StreamingApp:
                 stats.dedup_skipped += 1
                 return None
         self.processor.insert_audio_chunk(chunk)
-        if self.auto_language is not None:
+        if self.auto_language is not None or self.diarizer is not None:
             status = getattr(self.processor, "status", None)
-            self.auto_language.observe_chunk(chunk, voiced=(status == "voice"))
+            voiced = status == "voice"
+            if self.auto_language is not None:
+                self.auto_language.observe_chunk(chunk, voiced=voiced)
+            if self.diarizer is not None:
+                self.diarizer.observe_chunk(chunk, voiced=voiced)
             if self._prev_vac_status == "voice" and status == "nonvoice":
-                lang = self.auto_language.on_utterance_end()
-                if lang is not None:
-                    self._pending_lang_switch = lang
+                if self.auto_language is not None:
+                    lang = self.auto_language.on_utterance_end()
+                    if lang is not None:
+                        self._pending_lang_switch = lang
+                if self.diarizer is not None:
+                    ev = self.diarizer.on_utterance_end()
+                    if ev is not None and ev[1]:
+                        self.output.print(f"🗣 speaker {self.diarizer.current_label}")
             self._prev_vac_status = status
         # non-VAC mode throttles full re-transcriptions to min_chunk_seconds
         # (reference chunk_duration gating, 一键…py:1679-1876); VAC gates itself
@@ -365,7 +392,13 @@ class StreamingApp:
                     self.log_manager.log_skip(text, reason)
                 return None
         stats.results += 1
-        self.output.print(f"💬 {text}")
+        label = (
+            f"[{self.diarizer.current_label}] "
+            if self.diarizer is not None and self._label_results
+            and self.diarizer.current_label
+            else ""
+        )
+        self.output.print(f"💬 {label}{text}")
         if self.log_manager:
             self.log_manager.log_recognition(beg, end, text, latency_ms=proc_s * 1e3,
                                              language=self.language or "", model="")

@@ -33,6 +33,8 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--quantization", default=None, choices=["int8", "none"])
     p.add_argument("--prefix-policy", default=None, choices=["agree2", "last"],
                    help="incremental decode mode (last = SimulStreaming-style)")
+    p.add_argument("--diarize", action="store_true",
+                   help="speaker-turn tracking at utterance boundaries ([S<n>] labels)")
 
 
 def _build_config(args) -> ConfigManager:
@@ -49,6 +51,8 @@ def _build_config(args) -> ConfigManager:
         cm.set("model.quantization", None if args.quantization == "none" else args.quantization)
     if getattr(args, "prefix_policy", None):
         cm.set("streaming.prefix_policy", args.prefix_policy)
+    if getattr(args, "diarize", False):
+        cm.set("diarization.enable", True)
     return cm
 
 

@@ -101,6 +101,17 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "min_audio_s": 1.0,  # skip detection on very short utterances
         "max_audio_s": 8.0,  # detect on at most the last N seconds
     },
+    "diarization": {
+        # streaming speaker-turn hooks: embed each finished utterance (VAC
+        # voice→nonvoice boundary) and track speakers online; framework
+        # extension beyond the reference (docs/ROADMAP.md)
+        "enable": False,
+        "threshold": None,  # None = the trained EER threshold shipped with the weights
+        "max_speakers": 8,
+        "min_audio_s": 0.6,  # skip embedding on very short utterances
+        "max_audio_s": 10.0,
+        "label_results": True,  # prefix recognized text with [S<n>]
+    },
     "logging": {
         "enable": False,
         "dir": "logs",
@@ -160,6 +171,8 @@ _VALIDATION: dict[str, tuple[float, float]] = {
     "translation.interval_s": (1.0, 120.0),
     "language_detection.min_prob": (0.0, 1.0),
     "language_detection.consecutive": (1, 10),
+    "diarization.max_speakers": (1, 64),
+    "diarization.min_audio_s": (0.1, 10.0),
     "model.beam_size": (1, 10),
 }
 

@@ -1,0 +1,237 @@
+"""Speaker embeddings + online speaker tracking (streaming diarization hooks).
+
+The reference has no diarization; this is a framework extension the serving
+stack makes natural: at every VAC utterance boundary (voice→nonvoice — the
+same hook auto-language uses, app.py), the finished utterance is embedded and
+assigned to a speaker by an online tracker, emitting speaker-turn events.
+
+Design (mirrors the other trained-on-device-synthetics models in this repo,
+models/vad/silero_like.py and models/separation_nn.py):
+
+- **Features** (host, numpy): 512-pt Hann STFT (hop 256) → 64-bin mel → log →
+  utterance-level stats pooling (per-band mean ‖ std ‖ mean |Δt|) = 192-d.
+  Pure numpy — embedding runs at utterance ends, off the per-tick device path
+  (a device round-trip costs ~30 ms on the tunneled rig, CLAUDE.md).
+- **Embedder**: 3-layer MLP (192→128→128→64) + L2 norm, trained with NT-Xent
+  on synthetic speakers (tools/train_speaker.py; a "speaker" = fixed formant
+  anatomy + pitch register, utterances vary phrase/noise). Packaged weights
+  under ``weights/speaker_nn.npz`` load by default.
+- **SpeakerTracker**: online centroid clustering over cosine similarity —
+  assign to the nearest centroid above ``threshold`` (EMA-update it), else
+  open a new speaker up to ``max_speakers`` (then best-effort nearest). The
+  trained threshold ships with the weights (calibrated at the same-vs-diff
+  equal-error point on held-out synthetic speakers).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+SR = 16000
+FRAME = 512
+HOP = 256
+N_MELS = 64
+FEAT_DIM = 3 * N_MELS
+EMB_DIM = 64
+
+_PACKAGED_WEIGHTS = os.path.join(os.path.dirname(__file__), "weights", "speaker_nn.npz")
+
+
+def _mel_matrix() -> np.ndarray:
+    from realtime_whisper_asr_tpu.ops.mel import mel_filterbank
+
+    return mel_filterbank(N_MELS, FRAME).astype(np.float32)  # (N_MELS, 257)
+
+
+def utterance_features(audio: np.ndarray) -> np.ndarray:
+    """(n,) float32 audio → (FEAT_DIM,) pooled log-mel statistics.
+
+    Stats pooling (mean ‖ std ‖ mean |Δt|) is the classic x-vector front
+    half: it removes duration while keeping the spectral envelope (formant
+    anatomy) and its dynamics (speaking style) that separate speakers.
+    """
+    audio = np.asarray(audio, np.float32)
+    if len(audio) < FRAME:
+        audio = np.pad(audio, (0, FRAME - len(audio)))
+    n_frames = 1 + (len(audio) - FRAME) // HOP
+    idx = np.arange(FRAME)[None, :] + HOP * np.arange(n_frames)[:, None]
+    frames = audio[idx] * np.hanning(FRAME).astype(np.float32)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (T, 257)
+    mel = np.log10(np.maximum(spec @ _mel_matrix().T, 1e-10))  # (T, N_MELS)
+    # drop near-silent frames so pauses inside the utterance don't wash the
+    # stats out (frame energy proxy: mean log-mel)
+    energy = mel.mean(axis=1)
+    keep = energy > (energy.max() - 3.0)
+    if keep.sum() >= 4:
+        mel = mel[keep]
+    mu = mel.mean(axis=0)
+    sd = mel.std(axis=0)
+    dt = np.abs(np.diff(mel, axis=0)).mean(axis=0) if len(mel) > 1 else np.zeros(N_MELS)
+    return np.concatenate([mu, sd, dt]).astype(np.float32)
+
+
+def init_speaker_params(seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+
+    def glorot(shape):
+        s = np.sqrt(6.0 / (shape[0] + shape[1]))
+        return rng.uniform(-s, s, shape).astype(np.float32)
+
+    return {
+        "w1": glorot((FEAT_DIM, 128)), "b1": np.zeros(128, np.float32),
+        "w2": glorot((128, 128)), "b2": np.zeros(128, np.float32),
+        "w3": glorot((128, EMB_DIM)), "b3": np.zeros(EMB_DIM, np.float32),
+        # feature normalization (set from the training corpus)
+        "f_mu": np.zeros(FEAT_DIM, np.float32),
+        "f_sd": np.ones(FEAT_DIM, np.float32),
+        # calibrated same-speaker cosine threshold (EER point)
+        "threshold": np.float32(0.5),
+    }
+
+
+def embed(params: dict, feats: np.ndarray) -> np.ndarray:
+    """(..., FEAT_DIM) → L2-normalized (..., EMB_DIM). Pure numpy forward."""
+    x = (feats - params["f_mu"]) / params["f_sd"]
+    h = np.maximum(x @ params["w1"] + params["b1"], 0.0)
+    h = np.maximum(h @ params["w2"] + params["b2"], 0.0)
+    e = h @ params["w3"] + params["b3"]
+    return e / np.maximum(np.linalg.norm(e, axis=-1, keepdims=True), 1e-9)
+
+
+class SpeakerEmbedder:
+    """Utterance → embedding; loads packaged trained weights by default."""
+
+    def __init__(self, params: Optional[dict] = None, seed: int = 0):
+        self.trained = False
+        if params is not None:
+            self.params = params
+            self.trained = bool(params.get("_trained", True))
+        elif os.path.exists(_PACKAGED_WEIGHTS):
+            self.params = dict(np.load(_PACKAGED_WEIGHTS))
+            self.trained = True
+        else:
+            self.params = init_speaker_params(seed)
+            logger.warning("no packaged speaker weights; random-init embedder")
+
+    @property
+    def threshold(self) -> float:
+        return float(self.params.get("threshold", 0.5))
+
+    def __call__(self, audio: np.ndarray) -> np.ndarray:
+        return embed(self.params, utterance_features(audio))
+
+    def save_npz(self, path: str) -> None:
+        np.savez(path, **{k: v for k, v in self.params.items() if not k.startswith("_")})
+
+    @classmethod
+    def load_npz(cls, path: str) -> "SpeakerEmbedder":
+        return cls(params=dict(np.load(path)))
+
+
+class SpeakerTracker:
+    """Online speaker assignment over utterance embeddings.
+
+    ``assign(embedding)`` → (speaker_id, is_turn): nearest centroid above the
+    threshold wins (and is EMA-updated toward the new sample); otherwise a new
+    speaker opens, up to ``max_speakers`` (beyond that, nearest wins
+    best-effort). ``is_turn`` marks a change from the previous utterance's
+    speaker — the diarization event the app/server surfaces.
+    """
+
+    def __init__(self, threshold: Optional[float] = None, max_speakers: int = 8,
+                 ema: float = 0.15, embedder: Optional[SpeakerEmbedder] = None):
+        self.embedder = embedder or SpeakerEmbedder()
+        self.threshold = self.embedder.threshold if threshold is None else threshold
+        self.max_speakers = max_speakers
+        self.ema = ema
+        self.centroids: list[np.ndarray] = []
+        self.counts: list[int] = []
+        self.current: Optional[int] = None
+        self.turns = 0
+
+    def reset(self) -> None:
+        self.centroids, self.counts, self.current, self.turns = [], [], None, 0
+
+    def assign_embedding(self, e: np.ndarray) -> tuple[int, bool]:
+        if not self.centroids:
+            self.centroids.append(e.copy())
+            self.counts.append(1)
+            self.current = 0
+            return 0, False  # first speaker is not a "turn"
+        sims = np.array([float(np.dot(e, c) / max(np.linalg.norm(c), 1e-9))
+                         for c in self.centroids])
+        best = int(np.argmax(sims))
+        if sims[best] >= self.threshold or len(self.centroids) >= self.max_speakers:
+            c = self.centroids[best]
+            c = (1 - self.ema) * c + self.ema * e
+            self.centroids[best] = c / max(np.linalg.norm(c), 1e-9)
+            self.counts[best] += 1
+            sid = best
+        else:
+            self.centroids.append(e.copy())
+            self.counts.append(1)
+            sid = len(self.centroids) - 1
+        is_turn = sid != self.current
+        if is_turn:
+            self.turns += 1
+        self.current = sid
+        return sid, is_turn
+
+    def assign(self, audio: np.ndarray) -> tuple[int, bool]:
+        return self.assign_embedding(self.embedder(audio))
+
+    def get_stats(self) -> dict:
+        return {"speakers": len(self.centroids), "turns": self.turns,
+                "current": self.current, "counts": list(self.counts)}
+
+
+class SpeakerTurnController:
+    """Streaming diarization hooks: embed each finished utterance at the VAC
+    voice→nonvoice boundary (the same hook auto-language uses, app.py) and
+    assign it to a speaker with the online tracker. Speaker turns surface as
+    events and subsequent results carry the current [S<n>] label (attribution
+    trails by design: a result's speaker is known once its utterance ends).
+
+    Used by both the session app (app.py) and the multi-stream server
+    (serving.py, one tracker per stream over a shared embedder). Framework
+    extension beyond the reference (docs/ROADMAP.md #7)."""
+
+    def __init__(self, tracker: SpeakerTracker, min_audio_s: float = 0.6,
+                 max_audio_s: float = 10.0):
+        self.tracker = tracker
+        self.min_samples = int(min_audio_s * SR)
+        self.max_samples = int(max_audio_s * SR)
+        self._ring = np.zeros(0, np.float32)
+        self._utterance_samples = 0
+        self.current_label: Optional[str] = None
+        self.utterances = 0
+
+    def observe_chunk(self, chunk: np.ndarray, voiced: bool) -> None:
+        if voiced:
+            self._ring = np.append(self._ring, chunk)[-self.max_samples :]
+            self._utterance_samples += len(chunk)
+
+    def on_utterance_end(self) -> Optional[tuple[int, bool]]:
+        """(speaker_id, is_turn) for the finished utterance, or None if it was
+        too short to embed reliably."""
+        audio, self._ring = self._ring, np.zeros(0, np.float32)
+        n, self._utterance_samples = self._utterance_samples, 0
+        if min(len(audio), n) < self.min_samples:
+            return None
+        try:
+            sid, turn = self.tracker.assign(audio)
+        except Exception:
+            logger.exception("speaker assignment failed; keeping %s", self.current_label)
+            return None
+        self.utterances += 1
+        self.current_label = f"S{sid + 1}"
+        return sid, turn
+
+    def get_stats(self) -> dict:
+        return {"utterances": self.utterances, **self.tracker.get_stats()}

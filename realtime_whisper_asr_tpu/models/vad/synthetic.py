@@ -116,3 +116,62 @@ def synth_example(
     frames = n // FRAME
     labels = activity[: frames * FRAME].reshape(frames, FRAME).mean(-1)
     return audio, (labels > 0.5).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# speaker-conditioned synthesis (diarization training, models/speaker.py)
+# ---------------------------------------------------------------------------
+
+
+def sample_speaker(rng: np.random.Generator) -> dict:
+    """A synthetic speaker identity: fixed vocal anatomy (formant positions /
+    bandwidths, pitch register, spectral tilt); utterances then vary phrase,
+    pitch contour, and noise while these stay put — the invariances a speaker
+    embedding must learn."""
+    return {
+        "f0_base": float(rng.uniform(90, 250)),
+        "f0_range": float(rng.uniform(10, 40)),
+        "formants": rng.uniform([350, 1100, 2200], [900, 2000, 3100]).astype(np.float64),
+        "formant_bw": float(rng.uniform(180, 380)),
+        "tilt": float(rng.uniform(0.3, 0.9)),  # harmonic rolloff exponent
+        "breath": float(rng.uniform(0.0, 0.08)),  # aspiration noise level
+    }
+
+
+def synth_speaker_utterance(
+    rng: np.random.Generator, spk: dict, seconds: float = 2.0, snr_db: float | None = None
+) -> np.ndarray:
+    """One utterance by ``spk``: speaker-fixed anatomy, utterance-random
+    phrase/contour (and optional additive noise at ``snr_db``)."""
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    f0 = np.empty(n, np.float32)
+    f = spk["f0_base"] + rng.uniform(-0.3, 0.3) * spk["f0_range"]
+    lo, hi = spk["f0_base"] - spk["f0_range"], spk["f0_base"] + spk["f0_range"]
+    step = rng.normal(0, 2.0, size=n // 160 + 1)
+    for i in range(0, n, 160):
+        f = float(np.clip(f + step[i // 160] * 2.5, lo, hi))
+        f0[i : i + 160] = f
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    sig = np.zeros(n, np.float32)
+    for h in range(1, 30):
+        freq = h * f0
+        amp = sum(
+            np.exp(-0.5 * ((freq - fc) / spk["formant_bw"]) ** 2) for fc in spk["formants"]
+        )
+        amp = (amp + 0.05) / h ** spk["tilt"]
+        sig += (amp * np.sin(h * phase)).astype(np.float32)
+    if spk["breath"] > 0:
+        sig += spk["breath"] * rng.standard_normal(n).astype(np.float32)
+    env = _syllable_envelope(rng, n)
+    # ensure the utterance actually contains voiced content
+    if env.max() <= 0:
+        env[:] = 0.7
+    sig *= env
+    if snr_db is not None:
+        noise = synth_nonspeech(rng, seconds)[:n]
+        sp = np.sqrt(np.mean(sig**2) + 1e-9)
+        np_ = np.sqrt(np.mean(noise**2) + 1e-9)
+        sig = sig + noise * (sp / np_) * 10 ** (-snr_db / 20)
+    peak = np.abs(sig).max() + 1e-9
+    return (sig / peak * rng.uniform(0.3, 1.0)).astype(np.float32)

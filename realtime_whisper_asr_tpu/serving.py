@@ -49,6 +49,10 @@ class StreamResult:
     begin: float
     end: float
     text: str
+    #: current speaker label ("S1", ...) when the server runs with
+    #: diarize=True; attribution trails by one utterance (a result's speaker
+    #: is known once its utterance ends at the VAD boundary)
+    speaker: Optional[str] = None
 
 
 class _Stream:
@@ -67,6 +71,8 @@ class _Stream:
         self.audio_since_tick = 0.0  # seconds drained but not yet transcribed
         self.language: Optional[str] = None
         self.inflight = False  # a dispatched tick awaits finalize
+        self.diarizer = None  # per-stream SpeakerTurnController when diarize=True
+        self._prev_vac_status: Optional[str] = None
 
 
 class StreamServer:
@@ -81,6 +87,7 @@ class StreamServer:
         use_vad: bool = True,
         max_consecutive_sheds: int = 3,
         max_batch: int = 8,
+        diarize: bool = False,
         clock: Callable[[], float] = time.monotonic,
     ):
         self.max_batch = max_batch
@@ -102,6 +109,12 @@ class StreamServer:
             # the repo); energy heuristic as the weight-free fallback
             vad_factory = SileroLikeVAD if SileroLikeVAD().trained else EnergyVAD
         self.vad_factory = vad_factory
+        # one shared (stateless) speaker embedder; per-stream trackers
+        self._speaker_embedder = None
+        if diarize and use_vad:
+            from realtime_whisper_asr_tpu.models.speaker import SpeakerEmbedder
+
+            self._speaker_embedder = SpeakerEmbedder()
         self.streams: dict[int, _Stream] = {}
         self.monitor = PerformanceMonitor()
         self._ids = itertools.count(1)
@@ -139,6 +152,15 @@ class StreamServer:
         sid = next(self._ids)
         stream = _Stream(sid, processor, SkipDetector(clock=self.clock), self.clock)
         stream.language = language
+        if self._speaker_embedder is not None:
+            from realtime_whisper_asr_tpu.models.speaker import (
+                SpeakerTracker,
+                SpeakerTurnController,
+            )
+
+            stream.diarizer = SpeakerTurnController(
+                SpeakerTracker(embedder=self._speaker_embedder)
+            )
         with self._lock:
             self.streams[sid] = stream
             self._rr.append(sid)
@@ -214,6 +236,12 @@ class StreamServer:
                 s.buffered_samples -= len(chunk)
             s.audio_since_tick += len(chunk) / SR
             s.processor.insert_audio_chunk(chunk)
+            if s.diarizer is not None:
+                status = getattr(s.processor, "status", None)
+                s.diarizer.observe_chunk(chunk, voiced=(status == "voice"))
+                if s._prev_vac_status == "voice" and status == "nonvoice":
+                    s.diarizer.on_utterance_end()
+                s._prev_vac_status = status
 
     def _emit(self, s: _Stream, beg, end, text) -> None:
         if not text:
@@ -221,8 +249,9 @@ class StreamServer:
         skip, _ = s.skip_detector.should_skip(text, self.clock())
         if skip:
             return
+        speaker = s.diarizer.current_label if s.diarizer is not None else None
         with self._lock:
-            s.results.append(StreamResult(s.sid, beg, end, text))
+            s.results.append(StreamResult(s.sid, beg, end, text, speaker=speaker))
 
     def _collect_ready(self) -> list[_Stream]:
         """Pick up to max_batch ready streams in round-robin order."""

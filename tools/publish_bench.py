@@ -22,6 +22,7 @@ import sys
 
 RUNS = (
     "headline", "headline_phases",
+    "headline_int8all", "headline_2s_int8all", "headline_turbo",
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
     "streams2", "streams4", "streams8",
 )
@@ -68,6 +69,13 @@ def main(argv=None) -> int:
         pub["large_v3_sync_rtf_rig_tax"] = hp.get("sync_rtf")
         pub["sync_floor_ms"] = hp.get("sync_floor_ms")
         pub["decode_ms_per_token"] = hp.get("decode_ms_per_token")
+    h2 = results.get("headline_2s_int8all")
+    if h2:
+        pub["large_v3_rtf_2s_chunks_int8all"] = h2.get("rtf")
+        pub["large_v3_p50_ms_2s_chunks_int8all"] = h2.get("value")
+    ht = results.get("headline_turbo")
+    if ht:
+        pub["large_v3_turbo_streaming_rtf"] = ht.get("rtf")
     for i in range(1, 6):
         s = results.get(f"scenario{i}")
         if s:
