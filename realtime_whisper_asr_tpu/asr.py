@@ -156,12 +156,19 @@ class TPUWhisperASR:
             from realtime_whisper_asr_tpu.models.whisper.quant import quantize_decoder
 
             self.params = quantize_decoder(self.params)
-        elif quantization == "int8-all":
+        elif quantization in ("int8-all", "int8-kv"):
             from realtime_whisper_asr_tpu.models.whisper.quant import quantize_all
 
             self.params = quantize_all(self.params)
         elif quantization not in (None, "", "none"):
             raise ValueError(f"unknown quantization {quantization!r}")
+        #: "int8-kv" additionally stores decode KV caches as int8 rows +
+        #: per-row scales. Measured on v5e at batch 1 this LOSES: the per-step
+        #: dynamic quantization (VPU) costs more than the halved KV HBM read
+        #: saves (decode 1.73 → 2.49 ms/token), so it is a separate opt-in —
+        #: the KV read scales with batch while weights don't, so it can win
+        #: at high serving batch sizes.
+        self._kv_quant = quantization == "int8-kv"
         # inference-time QKV fusion: one matmul instead of three per layer on
         # the latency-bound batch-1 decode step (training/sharding keep the
         # canonical unfused layout; see parallel/sharding.py)
@@ -527,6 +534,7 @@ class TPUWhisperASR:
             extra_suppress=self._extra_suppress,
             alignment_heads=self.alignment_heads,
             aux_device=aux_dev, phase_timer=pt, planned=planned,
+            kv_quant=self._kv_quant,
         )
         return {"handle": handle, "items": items, "requests": requests,
                 "n_real": n_real}
@@ -580,7 +588,10 @@ class TPUWhisperASR:
             pt.mark()
         aux_dev = self._sync_audio_and_aux(audio, aux_np)
         if pt is not None:
-            jax.block_until_ready(aux_dev)
+            # ONE representative block: the ring write consumes the same
+            # uploaded blob as aux, so it covers the whole upload chain —
+            # blocking each array separately would bill one extra ~30 ms
+            # round-trip to "upload" on this backend
             jax.block_until_ready(self._buffers[self._active_stream][0])
             pt.lap("upload")
         xa = self._encode_from_buf(len(audio))
@@ -597,7 +608,8 @@ class TPUWhisperASR:
             prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
             extra_suppress=self._extra_suppress, aux_device=aux_dev,
             alignment_heads=self.alignment_heads,
-            **({"draft_tokens": draft_ids} if opts.beam_size == 1 else {}),
+            **({"draft_tokens": draft_ids, "kv_quant": self._kv_quant}
+               if opts.beam_size == 1 else {}),
             **({"phase_timer": pt} if (pt is not None and opts.beam_size == 1) else {}),
         )
         self.counters["ticks"] += 1
@@ -711,7 +723,7 @@ class TPUWhisperASR:
                 self.params, self.cfg, xa, retry_opts,
                 prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
                 extra_suppress=self._extra_suppress, seed=self._sample_seed,
-                alignment_heads=self.alignment_heads,
+                alignment_heads=self.alignment_heads, kv_quant=self._kv_quant,
             )
             if not bad(retry):
                 return retry

@@ -226,7 +226,8 @@ def _amask_dev(cfg: WhisperConfig, heads_key: Optional[bytes]):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "opts", "prompt_len", "capture_xattn", "max_new", "cache_len", "draft_max"
+        "cfg", "opts", "prompt_len", "capture_xattn", "max_new", "cache_len", "draft_max",
+        "kv_quant",
     ),
 )
 def _greedy_loop(
@@ -242,6 +243,7 @@ def _greedy_loop(
     max_new: int,
     cache_len: int,
     draft_max: int = 0,
+    kv_quant: bool = False,
 ):
     # NOTE: prefix/prompt boundaries, initial-rule gating, sampling seeds, and
     # generation caps are all TRACED per row (unpacked from aux) so hypothesis
@@ -282,7 +284,7 @@ def _greedy_loop(
     vocab_ids = jnp.arange(cfg.n_vocab)
     audio_ctx = xa.shape[1]
 
-    cache = M.init_cache(params, cfg, xa, text_ctx=cache_len)
+    cache = M.init_cache(params, cfg, xa, text_ctx=cache_len, kv_quant=kv_quant)
     amask = alignment_mask if capture_xattn else None
     span_tokens = (
         jnp.concatenate([initial_tokens, draft_tok], axis=1) if draft_max else initial_tokens
@@ -491,6 +493,7 @@ def greedy_decode(
     phase_timer=None,
     bucket: Optional[int] = None,
     draft_tokens: Optional[list[int]] = None,
+    kv_quant: bool = False,
 ) -> DecodeResult:
     """Host wrapper: builds initial tokens/masks, runs the jitted loop.
 
@@ -545,6 +548,7 @@ def greedy_decode(
         max_new=max_new,
         cache_len=cache_len,
         draft_max=draft_max,
+        kv_quant=kv_quant,
     )
     if phase_timer is not None:
         packed.block_until_ready()
@@ -602,6 +606,7 @@ def greedy_decode_batch_dispatch(
     aux_device: Optional[jnp.ndarray] = None,
     phase_timer=None,
     planned=None,  # optional (rows, p, max_new, cap) from plan_batch_aux
+    kv_quant: bool = False,
 ) -> dict:
     """Dispatch half of the batched decode: enqueue the jitted loop and return
     a handle WITHOUT blocking on the device→host result transfer.
@@ -635,7 +640,7 @@ def greedy_decode_batch_dispatch(
     packed = _greedy_loop(
         params, cfg, opts, xa, aux_device, sup, amask,
         prompt_len=p, capture_xattn=capture, max_new=max_new, cache_len=cache_len,
-        draft_max=draft_max,
+        draft_max=draft_max, kv_quant=kv_quant,
     )
     return {
         "packed": packed, "cfg": cfg, "b": b, "p": p, "max_new": max_new,

@@ -124,6 +124,54 @@ def _attend(
     return (out, w) if return_weights else (out, None)
 
 
+def _quantize_kv_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., T, Dh) → (int8 rows, f32 per-row scales (..., T, 1))."""
+    x32 = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+_BHQD_BHKD = (((3,), (3,)), ((0, 1), (0, 1)))  # contract Dh, batch (B,H)
+_BHQK_BHKD = (((3,), (2,)), ((0, 1), (0, 1)))  # contract Tk, batch (B,H)
+
+
+def _attend_q8(
+    q: jnp.ndarray,  # (B,H,Tq,Dh) compute dtype
+    k8: jnp.ndarray,  # (B,H,Tk,Dh) int8
+    v8: jnp.ndarray,  # (B,H,Tk,Dh) int8
+    ks: jnp.ndarray,  # (B,H,Tk,1) f32 per-row key scales
+    vs: jnp.ndarray,  # (B,H,Tk,1) f32 per-row value scales
+    mask: Optional[jnp.ndarray] = None,
+    return_weights: bool = False,
+    out_dtype=jnp.bfloat16,
+):
+    """Attention against int8-quantized KV rows — halves the per-step KV HBM
+    read (the decode step is bandwidth-bound; the cross-KV block alone is
+    ~260 MB/step at large-v3's 16 s window). Both MXU dots run native
+    int8×int8 with dynamically quantized left operands (same recipe as
+    _linear — a dequantize-then-dot formulation materializes the converted
+    matrix and loses the bandwidth win). Per-row scales factor out of the
+    contractions exactly; softmax stays f32."""
+    scale = q.shape[-1] ** -0.5
+    sq = jnp.maximum(
+        jnp.max(jnp.abs(q.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0, 1e-12
+    )
+    q8 = jnp.clip(jnp.round(q.astype(jnp.float32) / sq), -127, 127).astype(jnp.int8)
+    scores = jax.lax.dot_general(q8, k8, _BHQD_BHKD, preferred_element_type=jnp.int32)
+    scores = scores.astype(jnp.float32) * sq * jnp.swapaxes(ks, -1, -2) * scale
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1)  # (B,H,Tq,Tk) f32
+    # fold the per-row value scales into the probabilities, then one int8 dot
+    wv = w * jnp.swapaxes(vs, -1, -2)
+    sw = jnp.maximum(jnp.max(wv, axis=-1, keepdims=True) / 127.0, 1e-12)
+    w8 = jnp.clip(jnp.round(wv / sw), -127, 127).astype(jnp.int8)
+    out = jax.lax.dot_general(w8, v8, _BHQK_BHKD, preferred_element_type=jnp.int32)
+    out = (out.astype(jnp.float32) * sw).astype(out_dtype)
+    return (out, w) if return_weights else (out, None)
+
+
 def _self_qkv(attn: Params, h: jnp.ndarray, n_head: int):
     """Self-attention projections; uses the fused wqkv weight when present
     (quant.fuse_qkv) — one matmul instead of three on the latency-bound
@@ -288,16 +336,32 @@ class DecoderCache:
     self_k/self_v: (L, B, H, text_ctx, Dh) — attention layout, written at a
     dynamic position along axis 3 (no per-step transposes on the hot path).
     cross_k/cross_v: (L, B, H, audio_ctx, Dh) — precomputed per window.
+
+    int8 KV mode (``init_cache(..., kv_quant=True)``): the k/v arrays hold
+    int8 rows and the *_s fields hold f32 per-row scales (..., T, 1) — halves
+    the dominant HBM read of the bandwidth-bound decode step (_attend_q8).
+    In bf16 mode the scale fields are None.
     """
 
     self_k: jnp.ndarray
     self_v: jnp.ndarray
     cross_k: jnp.ndarray
     cross_v: jnp.ndarray
+    self_ks: Optional[jnp.ndarray] = None
+    self_vs: Optional[jnp.ndarray] = None
+    cross_ks: Optional[jnp.ndarray] = None
+    cross_vs: Optional[jnp.ndarray] = None
+
+    @property
+    def kv_quant(self) -> bool:
+        return self.self_ks is not None
 
 
 jax.tree_util.register_dataclass(
-    DecoderCache, data_fields=["self_k", "self_v", "cross_k", "cross_v"], meta_fields=[]
+    DecoderCache,
+    data_fields=["self_k", "self_v", "cross_k", "cross_v",
+                 "self_ks", "self_vs", "cross_ks", "cross_vs"],
+    meta_fields=[],
 )
 
 
@@ -316,16 +380,31 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, xa: jnp.ndarray):
 
 
 def init_cache(
-    params: Params, cfg: WhisperConfig, xa: jnp.ndarray, text_ctx: Optional[int] = None
+    params: Params,
+    cfg: WhisperConfig,
+    xa: jnp.ndarray,
+    text_ctx: Optional[int] = None,
+    kv_quant: bool = False,
 ) -> DecoderCache:
     """text_ctx trims the self-attention cache below cfg.n_text_ctx when the
     caller knows its decode budget (prefill + max_new) — less HBM traffic per
-    step."""
+    step. ``kv_quant`` stores both caches as int8 rows + f32 per-row scales
+    (the aggressive int8-all mode; see _attend_q8)."""
     b = xa.shape[0]
     h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
     ck, cv = precompute_cross_kv(params, cfg, xa)
-    zeros = jnp.zeros((cfg.n_text_layer, b, h, text_ctx or cfg.n_text_ctx, dh), xa.dtype)
-    return DecoderCache(self_k=zeros, self_v=zeros, cross_k=ck, cross_v=cv)
+    tc = text_ctx or cfg.n_text_ctx
+    if not kv_quant:
+        zeros = jnp.zeros((cfg.n_text_layer, b, h, tc, dh), xa.dtype)
+        return DecoderCache(self_k=zeros, self_v=zeros, cross_k=ck, cross_v=cv)
+    ck8, cks = _quantize_kv_rows(ck)
+    cv8, cvs = _quantize_kv_rows(cv)
+    z8 = jnp.zeros((cfg.n_text_layer, b, h, tc, dh), jnp.int8)
+    zs = jnp.full((cfg.n_text_layer, b, h, tc, 1), 1e-12, jnp.float32)
+    return DecoderCache(
+        self_k=z8, self_v=z8, cross_k=ck8, cross_v=cv8,
+        self_ks=zs, self_vs=zs, cross_ks=cks, cross_vs=cvs,
+    )
 
 
 def decode_step(
@@ -342,8 +421,10 @@ def decode_step(
     DTW word timestamps, or None if alignment_mask is None.
     """
     dec = params["decoder"]
+    kvq = cache.kv_quant
+    dtype = jnp.bfloat16 if kvq else cache.self_k.dtype
     x = _emb_rows(dec["tok_emb"], tokens) + dec["pos_emb"][pos]
-    x = x[:, None, :].astype(cache.self_k.dtype)  # (B,1,d)
+    x = x[:, None, :].astype(dtype)  # (B,1,d)
     n_head = cfg.n_text_head
     text_ctx = cache.self_k.shape[3]
     t_mask = (jnp.arange(text_ctx) > pos)[None, None, None, :] * jnp.float32(-1e9)
@@ -352,31 +433,58 @@ def decode_step(
     align = alignment_mask if capture else jnp.zeros((cfg.n_text_layer, n_head), jnp.float32)
 
     def body(h, xs):
-        blk, kc, vc, ck, cv, am = xs
+        if kvq:
+            blk, kc, vc, ck, cv, kcs, vcs, cks, cvs, am = xs
+        else:
+            blk, kc, vc, ck, cv, am = xs
         # self-attention with cache write at pos
         hn = layer_norm(h, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
         q, k, v = _self_qkv(blk["attn"], hn, n_head)  # each (B,H,1,Dh)
-        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=2)
-        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=2)
-        o, _ = _attend(q, kc, vc, t_mask)
+        if kvq:
+            k8, ksc = _quantize_kv_rows(k)
+            v8, vsc = _quantize_kv_rows(v)
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, k8, pos, axis=2)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, v8, pos, axis=2)
+            kcs = jax.lax.dynamic_update_slice_in_dim(kcs, ksc, pos, axis=2)
+            vcs = jax.lax.dynamic_update_slice_in_dim(vcs, vsc, pos, axis=2)
+            o, _ = _attend_q8(q, kc, vc, kcs, vcs, t_mask, out_dtype=dtype)
+        else:
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=2)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=2)
+            o, _ = _attend(q, kc, vc, t_mask)
         h = h + _linear(_merge_heads(o), blk["attn"]["wo"], blk["attn"]["bo"])
         # cross-attention against precomputed K/V
         hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
         q = _split_heads(_linear(hn, blk["cross"]["wq"], blk["cross"]["bq"]), n_head)
-        o, w = _attend(q, ck, cv, None, return_weights=True)
+        if kvq:
+            o, w = _attend_q8(q, ck, cv, cks, cvs, None, return_weights=True, out_dtype=dtype)
+        else:
+            o, w = _attend(q, ck, cv, None, return_weights=True)
         h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
         h = _mlp_block(blk, h)
         # w: (B, H, 1, T_audio); weighted head average for alignment
         xattn_l = jnp.einsum("bhqt,h->bt", w[:, :, :, :], am)
+        if kvq:
+            return h, (kc, vc, kcs, vcs, xattn_l)
         return h, (kc, vc, xattn_l)
 
-    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v, align)
-    x, (new_k, new_v, xattn_layers) = jax.lax.scan(body, x, xs)
+    if kvq:
+        xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v,
+              cache.self_ks, cache.self_vs, cache.cross_ks, cache.cross_vs, align)
+        x, (new_k, new_v, new_ks, new_vs, xattn_layers) = jax.lax.scan(body, x, xs)
+        new_cache = DecoderCache(
+            self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v,
+            self_ks=new_ks, self_vs=new_vs,
+            cross_ks=cache.cross_ks, cross_vs=cache.cross_vs,
+        )
+    else:
+        xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v, align)
+        x, (new_k, new_v, xattn_layers) = jax.lax.scan(body, x, xs)
+        new_cache = DecoderCache(
+            self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
+        )
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     logits = _logits_head(x[:, 0, :], dec["tok_emb"])
-    new_cache = DecoderCache(
-        self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
-    )
     xattn = jnp.sum(xattn_layers, axis=0) if capture else None  # (B, n_audio_ctx)
     return logits, new_cache, xattn
 
@@ -401,8 +509,10 @@ def decode_span(
     dec = params["decoder"]
     b, s = tokens.shape
     n_head = cfg.n_text_head
+    kvq = cache.kv_quant
+    dtype = jnp.bfloat16 if kvq else cache.self_k.dtype
     pos = pos0 + jnp.arange(s)
-    x = (_emb_rows(dec["tok_emb"], tokens) + dec["pos_emb"][pos]).astype(cache.self_k.dtype)
+    x = (_emb_rows(dec["tok_emb"], tokens) + dec["pos_emb"][pos]).astype(dtype)
     # query q (local index) may attend to cache key j iff j <= pos0 + q
     j = jnp.arange(cache.self_k.shape[3])[None, :]
     qpos = pos[:, None]
@@ -412,30 +522,58 @@ def decode_span(
     align = alignment_mask if capture else jnp.zeros((cfg.n_text_layer, n_head), jnp.float32)
 
     def body(h, xs):
-        blk, kc, vc, ck, cv, am = xs
+        if kvq:
+            blk, kc, vc, ck, cv, kcs, vcs, cks, cvs, am = xs
+        else:
+            blk, kc, vc, ck, cv, am = xs
         hn = layer_norm(h, blk["attn_ln"]["g"], blk["attn_ln"]["b"])
         q, k, v = _self_qkv(blk["attn"], hn, n_head)  # each (B,H,S,Dh)
-        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos0, axis=2)
-        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos0, axis=2)
-        o, _ = _attend(q, kc, vc, mask)
+        if kvq:
+            k8, ksc = _quantize_kv_rows(k)
+            v8, vsc = _quantize_kv_rows(v)
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, k8, pos0, axis=2)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, v8, pos0, axis=2)
+            kcs = jax.lax.dynamic_update_slice_in_dim(kcs, ksc, pos0, axis=2)
+            vcs = jax.lax.dynamic_update_slice_in_dim(vcs, vsc, pos0, axis=2)
+            o, _ = _attend_q8(q, kc, vc, kcs, vcs, mask, out_dtype=dtype)
+        else:
+            kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos0, axis=2)
+            vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos0, axis=2)
+            o, _ = _attend(q, kc, vc, mask)
         h = h + _linear(_merge_heads(o), blk["attn"]["wo"], blk["attn"]["bo"])
         hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
         q = _split_heads(_linear(hn, blk["cross"]["wq"], blk["cross"]["bq"]), n_head)
-        o, w = _attend(q, ck, cv, None, return_weights=capture)
+        if kvq:
+            o, w = _attend_q8(q, ck, cv, cks, cvs, None, return_weights=capture,
+                              out_dtype=dtype)
+        else:
+            o, w = _attend(q, ck, cv, None, return_weights=capture)
         h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
         h = _mlp_block(blk, h)
         xattn_l = (
             jnp.einsum("bhst,h->bst", w, am) if capture else jnp.zeros((b, s, 1), jnp.float32)
         )
+        if kvq:
+            return h, (kc, vc, kcs, vcs, xattn_l)
         return h, (kc, vc, xattn_l)
 
-    xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v, align)
-    x, (new_k, new_v, xattn_layers) = jax.lax.scan(body, x, xs)
+    if kvq:
+        xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v,
+              cache.self_ks, cache.self_vs, cache.cross_ks, cache.cross_vs, align)
+        x, (new_k, new_v, new_ks, new_vs, xattn_layers) = jax.lax.scan(body, x, xs)
+        new_cache = DecoderCache(
+            self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v,
+            self_ks=new_ks, self_vs=new_vs,
+            cross_ks=cache.cross_ks, cross_vs=cache.cross_vs,
+        )
+    else:
+        xs = (dec["blocks"], cache.self_k, cache.self_v, cache.cross_k, cache.cross_v, align)
+        x, (new_k, new_v, xattn_layers) = jax.lax.scan(body, x, xs)
+        new_cache = DecoderCache(
+            self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
+        )
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     logits = _logits_head(x, dec["tok_emb"])
-    new_cache = DecoderCache(
-        self_k=new_k, self_v=new_v, cross_k=cache.cross_k, cross_v=cache.cross_v
-    )
     xattn = jnp.sum(xattn_layers, axis=0) if capture else None  # (B, S, audio_ctx)
     return logits, new_cache, xattn
 

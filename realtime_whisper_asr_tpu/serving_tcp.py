@@ -73,7 +73,11 @@ class _Handler(socketserver.BaseRequestHandler):
     @staticmethod
     def _emit(sock, results):
         for r in results:
-            line = f"{int(r.begin * 1000)} {int(r.end * 1000)} {r.text.strip()}\n"
+            # whisper_streaming wire format is fixed; diarization (when the
+            # underlying StreamServer runs diarize=True) rides as a [S<n>]
+            # text prefix so existing clients keep parsing
+            spk = f"[{r.speaker}] " if getattr(r, "speaker", None) else ""
+            line = f"{int(r.begin * 1000)} {int(r.end * 1000)} {spk}{r.text.strip()}\n"
             try:
                 sock.sendall(line.encode("utf-8"))
             except (ConnectionError, OSError):
@@ -117,6 +121,8 @@ def main(argv=None) -> int:  # pragma: no cover - thin CLI
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--quantization", default="int8", choices=["int8", "none"])
     p.add_argument("--prefix-policy", default="last", choices=["agree2", "last"])
+    p.add_argument("--diarize", action="store_true",
+                   help="per-stream speaker-turn tracking (labels in results)")
     args = p.parse_args(argv)
 
     enable_persistent_compile_cache()
@@ -127,7 +133,7 @@ def main(argv=None) -> int:  # pragma: no cover - thin CLI
     )
     server = TCPTranscriptionServer(
         (args.host, args.port),
-        StreamServer(asr, prefix_policy=args.prefix_policy),
+        StreamServer(asr, prefix_policy=args.prefix_policy, diarize=args.diarize),
         language=args.language,
     )
     print(f"listening on {args.host}:{args.port} (model={args.model})")

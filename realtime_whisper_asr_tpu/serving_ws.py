@@ -228,6 +228,8 @@ class _WSHandler(socketserver.BaseRequestHandler):
         for r in results:
             obj = {"begin_ms": int(r.begin * 1000), "end_ms": int(r.end * 1000),
                    "text": r.text.strip(), "final": final_flag}
+            if getattr(r, "speaker", None):
+                obj["speaker"] = r.speaker
             try:
                 sock.sendall(encode_frame(OP_TEXT, json.dumps(obj).encode("utf-8")))
             except (ConnectionError, OSError):
@@ -271,6 +273,8 @@ def main(argv=None) -> int:  # pragma: no cover - thin CLI
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--quantization", default="int8", choices=["int8", "none"])
     p.add_argument("--prefix-policy", default="last", choices=["agree2", "last"])
+    p.add_argument("--diarize", action="store_true",
+                   help="per-stream speaker-turn tracking (labels in results)")
     args = p.parse_args(argv)
 
     enable_persistent_compile_cache()
@@ -281,7 +285,7 @@ def main(argv=None) -> int:  # pragma: no cover - thin CLI
     )
     server = WSTranscriptionServer(
         (args.host, args.port),
-        StreamServer(asr, prefix_policy=args.prefix_policy),
+        StreamServer(asr, prefix_policy=args.prefix_policy, diarize=args.diarize),
         language=args.language,
     )
     print(f"ws listening on {args.host}:{args.port} (model={args.model})")

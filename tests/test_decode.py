@@ -531,3 +531,37 @@ def test_online_processor_emits_draft(asr):
         hist = online._token_history[-1]
         n_pfx = len(req.get("prefix_ids") or [])
         assert req["draft_ids"] == hist[n_pfx:][:16]
+
+
+def test_int8_kv_cache_decode(asr):
+    """int8 KV caches (int8-all mode): decode obeys the timestamp grammar,
+    forced prefixes survive verbatim, the self-speculative draft stays
+    lossless WITHIN the mode, and DTW xattn stays close to the bf16-KV path
+    (the quantization halves the bandwidth-bound step's dominant HBM read)."""
+    cfg = asr.cfg
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=True, max_new_tokens=16)
+    xa = asr._encode_window(_audio(seed=29))
+
+    ref = D.greedy_decode(asr.params, cfg, xa, opts, kv_quant=False)
+    got = D.greedy_decode(asr.params, cfg, xa, opts, kv_quant=True)
+    ids = got.tokens[0][: got.lengths[0]].tolist()
+    ts0, last = cfg.timestamp_begin, -1
+    for t in ids:
+        if t >= ts0:
+            assert t >= last
+            last = t
+    # xattn capture parity across cache modes (softmax weights, f32 capture)
+    n = min(int(ref.lengths[0]), int(got.lengths[0]))
+    np.testing.assert_allclose(
+        got.xattn[0][:n], ref.xattn[0][:n], atol=0.05
+    )
+
+    pfx = ids[:4]
+    a = D.greedy_decode(asr.params, cfg, xa, opts, prefix_tokens=pfx, kv_quant=True)
+    ids_a = a.tokens[0][: a.lengths[0]].tolist()
+    assert ids_a[:4] == pfx
+    b = D.greedy_decode(
+        asr.params, cfg, xa, opts, prefix_tokens=pfx,
+        draft_tokens=ids_a[4:12], kv_quant=True,
+    )
+    assert b.tokens[0][: b.lengths[0]].tolist() == ids_a

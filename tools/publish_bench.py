@@ -23,6 +23,7 @@ import sys
 RUNS = (
     "headline", "headline_phases",
     "headline_int8all", "headline_2s_int8all", "headline_turbo",
+    "headline_phases_int8all",
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
     "streams2", "streams4", "streams8",
 )
@@ -69,6 +70,10 @@ def main(argv=None) -> int:
         pub["large_v3_sync_rtf_rig_tax"] = hp.get("sync_rtf")
         pub["sync_floor_ms"] = hp.get("sync_floor_ms")
         pub["decode_ms_per_token"] = hp.get("decode_ms_per_token")
+    hpa = results.get("headline_phases_int8all")
+    if hpa:
+        pub["large_v3_compute_rtf_int8all"] = hpa.get("compute_rtf")
+        pub["large_v3_transfer_rtf_corrected"] = hpa.get("transfer_rtf")
     h2 = results.get("headline_2s_int8all")
     if h2:
         pub["large_v3_rtf_2s_chunks_int8all"] = h2.get("rtf")
