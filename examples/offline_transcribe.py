@@ -4,6 +4,11 @@
     python examples/offline_transcribe.py audio.wav --model tiny --language en
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax.numpy as jnp

@@ -4,6 +4,11 @@ config #2 shape: 1 s chunks + VAD (VAC mode)).
     python examples/streaming_from_wav.py audio.wav --model base --language en
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 from realtime_whisper_asr_tpu.app import StreamingApp

@@ -565,3 +565,36 @@ def test_int8_kv_cache_decode(asr):
         draft_tokens=ids_a[4:12], kv_quant=True,
     )
     assert b.tokens[0][: b.lengths[0]].tolist() == ids_a
+
+
+def test_speculative_draft_fuzz(asr):
+    """Fuzz the lossless property: random prefixes and random draft contents
+    (true tails, corrupted tails, random ids, wrong lengths) must never change
+    the decoded tokens relative to the same-prefix no-draft decode."""
+    cfg = asr.cfg
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=False, max_new_tokens=16)
+    rng = np.random.default_rng(31)
+    for seed in range(4):
+        xa = asr._encode_window(_audio(seconds=3.0, seed=40 + seed))
+        base = D.greedy_decode(asr.params, cfg, xa, opts)
+        ids0 = base.tokens[0][: base.lengths[0]].tolist()
+        n_pfx = int(rng.integers(0, max(len(ids0) - 2, 1)))
+        pfx = ids0[:n_pfx] or None
+        ref = D.greedy_decode(asr.params, cfg, xa, opts, prefix_tokens=pfx)
+        ref_ids = ref.tokens[0][: ref.lengths[0]].tolist()
+        true_tail = ref_ids[n_pfx:]
+        drafts = [
+            true_tail[: int(rng.integers(1, max(len(true_tail), 2)))],
+            [int(x) for x in rng.integers(0, cfg.eot, size=6)],
+            (true_tail[:3] + [int(rng.integers(0, cfg.eot))] + true_tail[4:10]),
+        ]
+        for draft in drafts:
+            if not draft:
+                continue
+            got = D.greedy_decode(
+                asr.params, cfg, xa, opts, prefix_tokens=pfx, draft_tokens=draft
+            )
+            assert got.tokens[0][: got.lengths[0]].tolist() == ref_ids, (
+                seed, n_pfx, draft[:6], ref_ids,
+                got.tokens[0][: got.lengths[0]].tolist(),
+            )

@@ -23,9 +23,9 @@ import sys
 RUNS = (
     "headline", "headline_phases",
     "headline_int8all", "headline_2s_int8all", "headline_turbo",
-    "headline_phases_int8all",
+    "headline_phases_int8all", "headline_60s",
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
-    "streams2", "streams4", "streams8",
+    "streams2", "streams4", "streams8", "streams16",
 )
 
 
@@ -86,7 +86,10 @@ def main(argv=None) -> int:
         if s:
             pub[f"scenario{i}"] = {"metric": s.get("metric"), "rtf": s.get("value"),
                                    "p50_ms": s.get("p50_ms")}
-    for n in (2, 4, 8):
+    h60 = results.get("headline_60s")
+    if h60:
+        pub["large_v3_streaming_rtf_60s_run"] = h60.get("rtf")
+    for n in (2, 4, 8, 16):
         s = results.get(f"streams{n}")
         if s:
             pub[f"aggregate_rtf_{n}_streams"] = s.get("value")
