@@ -371,3 +371,39 @@ def test_pipelined_no_double_tick_while_inflight():
         if ev1 == "dispatch" and k1 == (1,):
             assert not (ev2 == "dispatch" and k2 == (1,))
     server.close_stream(a)
+
+
+def test_concurrent_churn_pipelined_backend():
+    """Same churn stress against the PIPELINED backend: close_stream must
+    settle in-flight dispatches (taken out under _asr_lock) while serve_forever
+    keeps dispatching/finalizing on its own thread — no crashes, no leaks, and
+    every dispatch is eventually finalized."""
+    import threading
+
+    words = {i: make_words(4) for i in range(1, 60)}
+    asr = PipelinedFakeASR(words)
+    server = StreamServer(asr, use_vad=False)
+    errors = []
+
+    def churn():
+        try:
+            for _ in range(12):
+                sid = server.create_stream()
+                server.feed(sid, timecoded_audio(0.0, 1.0))
+                server.feed(sid, timecoded_audio(1.0, 2.0))
+                server.close_stream(sid)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    server.start()
+    threads = [threading.Thread(target=churn) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    server.stop()
+    assert not errors
+    assert server.get_stats()["total_streams"] == 0
+    n_d = sum(1 for e in asr.events if e[0] == "dispatch")
+    n_f = sum(1 for e in asr.events if e[0] == "finalize")
+    assert n_d == n_f, (n_d, n_f)
