@@ -15,8 +15,10 @@ reference 一键实时识别麦克风.py:282) — values > 1 are that many times
 
 Env knobs: BENCH_MODEL (default large-v3), BENCH_SECONDS (default 24),
 BENCH_CHUNK (s, default 1.0), BENCH_MAX_NEW (default 96), BENCH_QUANT
-(int8|none), BENCH_SCENARIO (1..5 runs a BASELINE.json scenario through the
-full StreamingApp product path instead of the headline loop):
+(int8|int8-all|int8-kv|none), BENCH_PHASES=1 (sync-floor-corrected phase
+split), BENCH_STREAMS=N (multi-stream serving capacity), BENCH_SCENARIO
+(1..5 runs a BASELINE.json scenario through the full StreamingApp product
+path instead of the headline loop):
 
   1 tiny offline transcribe of a 30 s WAV (VAD off, greedy)
   2 base streaming, 1 s chunks + VAD (VAC), English
@@ -421,7 +423,7 @@ def main() -> int:
         "model": model,
         "max_new_tokens": max_new,
         **extras,
-        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); ~60ms/tick is tunneled-transfer latency specific to this rig",
+        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~31 ms per device sync through a tunneled backend (BENCH_PHASES=1 isolates it)",
     }))
     return 0
 
