@@ -202,7 +202,15 @@ def run_multistream(n_streams: int) -> int:
     asr.transcribe_kargs.update(max_new_tokens=max_new, max_total_tokens=max_new)
     server = StreamServer(asr, use_vad=False, online_chunk_size=0.5,
                           prefix_policy="last", max_batch=max(n_streams, 2))
-    sids = [server.create_stream() for _ in range(n_streams)]
+    # BENCH_STREAM_LANGS="en,zh" assigns languages round-robin: different
+    # languages form separate decode groups, so the pipelined scheduler's
+    # dispatch/finalize overlap becomes measurable (same-language streams
+    # batch into ONE group per round, which stays serial by design)
+    langs = [l for l in os.environ.get("BENCH_STREAM_LANGS", "").split(",") if l]
+    sids = [
+        server.create_stream(language=langs[i % len(langs)] if langs else None)
+        for i in range(n_streams)
+    ]
     audio = synthetic_speech(seconds)
     chunk = SR  # 1 s feed cadence
 

@@ -25,7 +25,7 @@ RUNS = (
     "headline_int8all", "headline_2s_int8all", "headline_turbo",
     "headline_phases_int8all", "headline_60s",
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
-    "streams2", "streams4", "streams8", "streams16",
+    "streams2", "streams4", "streams4_mixedlang", "streams8", "streams16",
 )
 
 
@@ -89,6 +89,9 @@ def main(argv=None) -> int:
     h60 = results.get("headline_60s")
     if h60:
         pub["large_v3_streaming_rtf_60s_run"] = h60.get("rtf")
+    sm = results.get("streams4_mixedlang")
+    if sm:
+        pub["aggregate_rtf_4_streams_two_language_groups_pipelined"] = sm.get("value")
     for n in (2, 4, 8, 16):
         s = results.get(f"streams{n}")
         if s:
