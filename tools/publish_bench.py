@@ -23,7 +23,7 @@ import sys
 RUNS = (
     "headline", "headline_phases",
     "headline_int8all", "headline_2s_int8all", "headline_turbo",
-    "headline_phases_int8all", "headline_60s",
+    "headline_phases_int8all", "headline_phases_int8all_run2", "headline_60s",
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
     "streams2", "streams4", "streams4_mixedlang", "streams8", "streams16",
 )
@@ -73,6 +73,10 @@ def main(argv=None) -> int:
     hpa = results.get("headline_phases_int8all")
     if hpa:
         pub["large_v3_compute_rtf_int8all"] = hpa.get("compute_rtf")
+        hpa2 = results.get("headline_phases_int8all_run2")
+        if hpa2:
+            # run-to-run variance on the tunneled chip is ~±20%; publish both
+            pub["large_v3_compute_rtf_int8all_run2"] = hpa2.get("compute_rtf")
         pub["large_v3_transfer_rtf_corrected"] = hpa.get("transfer_rtf")
     h2 = results.get("headline_2s_int8all")
     if h2:
