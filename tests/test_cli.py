@@ -79,3 +79,15 @@ def test_wizard_persists_choices(tmp_path, monkeypatch):
 def test_recommend_config_cpu_fallback():
     assert recommend_config(CPU)["model"] == "tiny"
     assert recommend_config(TPU16)["model"] == "large-v3"
+
+
+def test_diarize_flag_sets_config(tmp_path):
+    import argparse
+
+    from realtime_whisper_asr_tpu.cli import _add_model_args, _build_config
+
+    p = argparse.ArgumentParser()
+    _add_model_args(p)
+    args = p.parse_args(["--diarize", "--config", str(tmp_path / "c.json")])
+    cm = _build_config(args)
+    assert cm.get("diarization.enable") is True
