@@ -95,26 +95,34 @@ def run_scenario(n: int) -> int:
         }))
         return 0
 
-    # synthetic tone-speech is near-stationary, so the audio-dedup gate (tuned
-    # for real speech) is off except in scenario 4 where it IS the feature
+    # Each scenario enables exactly the features its BASELINE.json config
+    # names: synthetic tone-speech is near-stationary and random weights emit
+    # repetitive text, so the audio-dedup gate and the skip detector (both
+    # tuned for real speech) would swallow everything — they stay off except
+    # where they ARE the scenario's feature (4: audio dedup, 3: skip detector)
+    # speech-rate adaptation (default on) reads chars/sec off the emitted
+    # text; random-weight gibberish drives it into silence churn and full
+    # re-decodes, so it too stays off unless the scenario names it
+    base_off = {"audio_deduplication.enable": False, "skip_detector.enable": False,
+                "speech_rate_adaptive.enable": False}
     setups = {
-        2: dict(model="base", language="en",
-                overrides={"audio_deduplication.enable": False}),
+        2: dict(model="base", language="en", overrides=dict(base_off)),
         3: dict(model="small", language="zh",
                 overrides={"skip_detector.enable": True, "streaming.agreement_n": 2,
                            "audio_deduplication.enable": False}),
         4: dict(model="medium", language="en",
-                overrides={"audio_deduplication.enable": True}, task="translate"),
+                overrides=dict(base_off, **{"audio_deduplication.enable": True}),
+                task="translate"),
         5: dict(model="large-v3", language="en",
-                overrides={"vocal_separation.enable": True, "vocal_separation.method": "neural",
+                overrides=dict(base_off, **{
+                           "vocal_separation.enable": True, "vocal_separation.method": "neural",
                            # large models run the SimulStreaming-style mode (what
                            # the wizard recommends for large-v3; matches headline)
                            "streaming.prefix_policy": "last",
                            # the 40 KB mask net runs in ~ms on host BLAS; on this
                            # tunneled rig the per-chunk device round-trip (~60 ms)
                            # would otherwise dominate the separation cost
-                           "vocal_separation.use_device": False,
-                           "audio_deduplication.enable": False}),
+                           "vocal_separation.use_device": False})),
     }
     s = setups[n]
     cm = ConfigManager(autoload=False)
