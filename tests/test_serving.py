@@ -407,3 +407,24 @@ def test_concurrent_churn_pipelined_backend():
     n_d = sum(1 for e in asr.events if e[0] == "dispatch")
     n_f = sum(1 for e in asr.events if e[0] == "finalize")
     assert n_d == n_f, (n_d, n_f)
+
+
+def test_tcp_emit_prefixes_speaker_label():
+    """TCP keeps the whisper_streaming 'beg end text' wire format; speaker
+    labels ride as a [S<n>] text prefix."""
+    from realtime_whisper_asr_tpu.serving import StreamResult
+    from realtime_whisper_asr_tpu.serving_tcp import _Handler
+
+    sent = []
+
+    class Sock:
+        def sendall(self, b):
+            sent.append(bytes(b))
+
+    _Handler._emit(Sock(), [
+        StreamResult(1, 0.5, 1.25, " hello", speaker="S3"),
+        StreamResult(1, 1.25, 2.0, " there"),
+    ])
+    lines = b"".join(sent).decode("utf-8").strip().splitlines()
+    assert lines[0] == "500 1250 [S3] hello"
+    assert lines[1] == "1250 2000 there"

@@ -138,3 +138,33 @@ def test_ws_rejects_non_websocket_request():
     finally:
         srv.shutdown()
         t.join(timeout=5)
+
+
+def test_ws_emit_includes_speaker_field():
+    """WS results carry a 'speaker' key only when diarization labeled them."""
+    import json as _json
+
+    from realtime_whisper_asr_tpu.serving import StreamResult
+    from realtime_whisper_asr_tpu.serving_ws import OP_TEXT, _FrameReader, _WSHandler
+
+    sent = []
+
+    class Sock:
+        def sendall(self, b):
+            sent.append(bytes(b))
+
+    _WSHandler._emit(Sock(), [
+        StreamResult(1, 0.0, 1.0, "hello", speaker="S2"),
+        StreamResult(1, 1.0, 2.0, "world"),
+    ])
+    reader = _FrameReader()
+    reader.push(b"".join(sent))
+    msgs = []
+    while True:
+        m = reader.next_message()
+        if m is None:
+            break
+        msgs.append(m[1])
+    objs = [_json.loads(m) for m in msgs]
+    assert objs[0]["speaker"] == "S2"
+    assert "speaker" not in objs[1]
