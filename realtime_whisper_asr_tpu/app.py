@@ -342,6 +342,8 @@ class StreamingApp:
         if self._pending_lang_switch is not None and self._lang_switch_safe():
             self.change_language(self._pending_lang_switch)
             self._pending_lang_switch = None
+            if self.auto_language is not None:
+                self.auto_language.switches += 1
         if self.separator is not None:
             chunk = self.separator.separate(chunk)
         if self.deduplicator is not None:

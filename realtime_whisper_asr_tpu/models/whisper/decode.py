@@ -595,6 +595,16 @@ def greedy_decode(
     )
 
 
+def batch_draft_bucket(init_rows: list[dict]) -> int:
+    """Static draft bucket for one batched decode: DRAFT_MAX only when EVERY
+    row carries a draft. Acceptance is batch-min (n_acc = min(acc_row) in
+    _greedy_loop), so a single draft-less row (new/reset stream, common in
+    serving groups) would force zero acceptance for the whole group while all
+    rows still pay the +DRAFT_MAX prefill span — strictly worse than no draft
+    for mixed groups."""
+    return DRAFT_MAX if all(row["aux"][AUX_TOK + 5] > 0 for row in init_rows) else 0
+
+
 def greedy_decode_batch_dispatch(
     params,
     cfg: WhisperConfig,
@@ -625,9 +635,7 @@ def greedy_decode_batch_dispatch(
     if aux_device is None:
         aux_device = jnp.asarray(np.stack([row["aux"] for row in init_rows]))
     cache_len = min(cfg.n_text_ctx, _round_up(p + max_new, 128))
-    # one shared static draft bucket per batch: on when ANY row carries a
-    # draft (rows without one verify zero tokens and are unaffected)
-    draft_max = DRAFT_MAX if any(row["aux"][AUX_TOK + 5] > 0 for row in init_rows) else 0
+    draft_max = batch_draft_bucket(init_rows)
     sup = _sup_mask_dev(cfg, tuple(extra_suppress))
     capture = opts.word_timestamps
     heads_key = (

@@ -29,6 +29,7 @@ import socket
 import socketserver
 import struct
 import threading
+from typing import Optional
 
 import numpy as np
 
@@ -140,11 +141,16 @@ class _WSHandler(socketserver.BaseRequestHandler):
     def handle(self):
         server: WSTranscriptionServer = self.server  # type: ignore[assignment]
         sock: socket.socket = self.request
-        if not self._handshake(sock):
+        rest = self._handshake(sock)
+        if rest is None:
             return
         sid = server.stream_server.create_stream(language=server.language)
         logger.info("ws connection %s -> stream %d", self.client_address, sid)
         reader = _FrameReader()
+        if rest:
+            # bytes an eager client pipelined behind its handshake: frames (or
+            # a frame fragment) must seed the parser or it permanently desyncs
+            reader.push(rest)
         pcm = b""
         sock.settimeout(0.2)
         closed = False
@@ -191,20 +197,24 @@ class _WSHandler(socketserver.BaseRequestHandler):
                 pass
             logger.info("ws stream %d closed", sid)
 
-    def _handshake(self, sock: socket.socket) -> bool:
+    def _handshake(self, sock: socket.socket) -> Optional[bytes]:
+        """Perform the HTTP upgrade. Returns any bytes received AFTER the
+        header terminator (an eager client's pipelined first frames) so the
+        caller can seed the frame parser with them, or None on failure."""
         sock.settimeout(5.0)
         data = b""
         try:
             while b"\r\n\r\n" not in data:
                 part = sock.recv(4096)
                 if not part:
-                    return False
+                    return None
                 data += part
                 if len(data) > 65536:
-                    return False
+                    return None
         except (socket.timeout, ConnectionError):
-            return False
-        head = data.split(b"\r\n\r\n", 1)[0].decode("latin1")
+            return None
+        head_raw, rest = data.split(b"\r\n\r\n", 1)
+        head = head_raw.decode("latin1")
         headers = {}
         for line in head.split("\r\n")[1:]:
             if ":" in line:
@@ -213,7 +223,7 @@ class _WSHandler(socketserver.BaseRequestHandler):
         key = headers.get("sec-websocket-key")
         if not key or "websocket" not in headers.get("upgrade", "").lower():
             sock.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
-            return False
+            return None
         resp = (
             "HTTP/1.1 101 Switching Protocols\r\n"
             "Upgrade: websocket\r\n"
@@ -221,7 +231,7 @@ class _WSHandler(socketserver.BaseRequestHandler):
             f"Sec-WebSocket-Accept: {accept_key(key)}\r\n\r\n"
         )
         sock.sendall(resp.encode("latin1"))
-        return True
+        return rest
 
     @staticmethod
     def _emit(sock, results, final_flag: bool = False):

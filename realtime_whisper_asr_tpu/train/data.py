@@ -144,7 +144,14 @@ class DataPipeline:
         padded[: min(len(audio), nb)] = audio[:nb]
         ti, to, m = tokenize_example(self.cfg, self.tokenizer, e.text, e.language, self.task)
         if len(ti) > self.max_text_tokens:
+            # Truncate over-budget examples but keep an EOT target at the cut:
+            # chopping mid-sequence would drop the stop-token supervision and
+            # bias fine-tuning toward non-termination on long utterances.
             ti, to, m = ti[: self.max_text_tokens], to[: self.max_text_tokens], m[: self.max_text_tokens]
+            to = np.asarray(to).copy()
+            m = np.asarray(m).copy()
+            to[-1] = self.cfg.eot
+            m[-1] = 1.0
         return padded, ti, to, m
 
     # --------------------------------------------------------------- batching

@@ -193,6 +193,8 @@ def test_auto_language_switches_after_consecutive_detections():
     online = getattr(app.processor, "online", app.processor)
     assert online.agreement_n == 3
     assert app.auto_language.get_stats()["detections"] >= 2
+    # the applied hot-swap is counted (ADVICE r2: switches was never bumped)
+    assert app.auto_language.get_stats()["switches"] == 1
     # the session still transcribed across the switch
     assert any("three" in l for l in lines)
 

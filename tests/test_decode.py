@@ -516,6 +516,27 @@ def test_speculative_draft_batched_mixed_rows(asr):
         np.testing.assert_array_equal(got[i].tokens[0][:li], ref[i].tokens[0][:lr])
 
 
+def test_batch_draft_bucket_gates_on_all_rows(asr):
+    """Mixed groups (some rows draft-less) must skip the draft bucket
+    entirely: batch-min acceptance would zero the win while every row pays
+    the +DRAFT_MAX prefill span."""
+    cfg = asr.cfg
+    opts = D.DecodeOptions(max_new_tokens=16)
+
+    def rows(drafts):
+        reqs = [
+            {"prompt_tokens": None, "prefix_tokens": None, "seed": 0,
+             "draft_tokens": d or None}
+            for d in drafts
+        ]
+        init_rows, _, _, _ = D.plan_batch_aux(cfg, opts, reqs)
+        return init_rows
+
+    assert D.batch_draft_bucket(rows([[5, 7], [9, 11]])) == D.DRAFT_MAX
+    assert D.batch_draft_bucket(rows([[5, 7], []])) == 0
+    assert D.batch_draft_bucket(rows([[], []])) == 0
+
+
 def test_online_processor_emits_draft(asr):
     """prepare_request carries the previous hypothesis tail as draft_ids under
     both prefix policies (the self-speculative streaming contract)."""

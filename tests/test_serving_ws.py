@@ -124,6 +124,55 @@ def test_ws_server_end_to_end():
         t.join(timeout=5)
 
 
+def test_ws_pipelined_handshake_frames_not_lost():
+    """Bytes an eager client pipelines behind its handshake (even a frame that
+    straddles the first send) must seed the frame parser, not be discarded."""
+    stream_server = StreamServer(PerStreamFakeASR({1: []}), use_vad=False)
+    srv = WSTranscriptionServer(("127.0.0.1", 0), stream_server)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve, daemon=True)
+    t.start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+        key = "dGhlIHNhbXBsZSBub25jZQ=="
+        req = (
+            "GET / HTTP/1.1\r\nHost: localhost\r\nUpgrade: websocket\r\n"
+            "Connection: Upgrade\r\nSec-WebSocket-Key: " + key +
+            "\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+        ping1 = encode_frame(OP_PING, b"early", mask=True)
+        ping2 = encode_frame(OP_PING, b"late", mask=True)
+        # handshake + whole first frame + a SPLIT second frame in one send
+        sock.sendall(req + ping1 + ping2[:3])
+        _t.sleep(0.1)
+        sock.sendall(ping2[3:])
+        sock.settimeout(5)
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += sock.recv(4096)
+        rest = resp.split(b"\r\n\r\n", 1)[1]
+        reader = _FrameReader()
+        reader.push(rest)
+        pongs = []
+        try:
+            while len(pongs) < 2:
+                msg = reader.next_message()
+                if msg is None:
+                    data = sock.recv(4096)
+                    if not data:
+                        break
+                    reader.push(data)
+                    continue
+                if msg[0] == OP_PONG:
+                    pongs.append(msg[1])
+        except socket.timeout:
+            pass
+        assert pongs == [b"early", b"late"], pongs
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
+
+
 def test_ws_rejects_non_websocket_request():
     stream_server = StreamServer(PerStreamFakeASR({1: []}), use_vad=False)
     srv = WSTranscriptionServer(("127.0.0.1", 0), stream_server)

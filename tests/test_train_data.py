@@ -63,6 +63,19 @@ def test_tokenize_example_teacher_forcing(cfg, tok):
     assert (m[: sot_len - 1] == 0).all()
 
 
+def test_truncated_example_keeps_eot_target(tmp_path, cfg, tok):
+    """Over-budget examples are cut to max_text_tokens but must still
+    supervise termination: the last target position becomes EOT with mask 1
+    (a mid-sequence chop would bias fine-tuning toward non-termination)."""
+    long_text = " ".join(f"w{i}" for i in range(200))
+    man = _write_manifest(tmp_path, [(1.0, long_text)])
+    pipe = DataPipeline(man, cfg, tok, batch_size=1, max_text_tokens=32)
+    _, ti, to, m = pipe._load_example(pipe.entries[0])
+    assert len(ti) == len(to) == len(m) == 32
+    assert to[-1] == cfg.eot
+    assert m[-1] == 1.0
+
+
 def test_bucketing_static_shapes(tmp_path, cfg, tok):
     man = _write_manifest(
         tmp_path,
