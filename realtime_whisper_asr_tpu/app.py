@@ -394,12 +394,11 @@ class StreamingApp:
                     self.log_manager.log_skip(text, reason)
                 return None
         stats.results += 1
-        label = (
-            f"[{self.diarizer.current_label}] "
-            if self.diarizer is not None and self._label_results
-            and self.diarizer.current_label
-            else ""
-        )
+        # live_label = provisional classification of the utterance in
+        # progress, so the printed [S<n>] matches THIS result's utterance
+        # instead of trailing one utterance behind
+        live = self.diarizer.live_label() if self.diarizer is not None else None
+        label = f"[{live}] " if self._label_results and live else ""
         self.output.print(f"💬 {label}{text}")
         if self.log_manager:
             self.log_manager.log_recognition(beg, end, text, latency_ms=proc_s * 1e3,

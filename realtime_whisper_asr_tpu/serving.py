@@ -49,9 +49,10 @@ class StreamResult:
     begin: float
     end: float
     text: str
-    #: current speaker label ("S1", ...) when the server runs with
-    #: diarize=True; attribution trails by one utterance (a result's speaker
-    #: is known once its utterance ends at the VAD boundary)
+    #: speaker label ("S1", ...) when the server runs with diarize=True.
+    #: Mid-utterance results carry a provisional classification of the
+    #: utterance in progress (SpeakerTurnController.live_label); utterance
+    #: finals carry the exact assignment made at the VAD boundary.
     speaker: Optional[str] = None
 
 
@@ -249,7 +250,11 @@ class StreamServer:
         skip, _ = s.skip_detector.should_skip(text, self.clock())
         if skip:
             return
-        speaker = s.diarizer.current_label if s.diarizer is not None else None
+        # live_label: provisional classification of the utterance in progress
+        # so results carry their OWN utterance's speaker (not the previous
+        # one); exact at utterance finals (on_utterance_end runs during drain,
+        # before the final text is emitted)
+        speaker = s.diarizer.live_label() if s.diarizer is not None else None
         with self._lock:
             s.results.append(StreamResult(s.sid, beg, end, text, speaker=speaker))
 

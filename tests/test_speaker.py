@@ -164,6 +164,58 @@ def test_app_speaker_turn_hooks(embedder):
     assert any("🗣" in l for l in lines) or st["turns"] >= 1, (lines, st)
 
 
+def test_live_label_attributes_results_to_own_utterance(embedder):
+    """VERDICT r2 #6: feeding two alternating synthetic speakers, every
+    emitted result's speaker label matches ITS utterance (provisional
+    live_label mid-utterance; exact assignment at the VAD boundary) —
+    labels must not trail one utterance behind."""
+    from realtime_whisper_asr_tpu.serving import StreamServer
+    from tests.test_streaming import TimecodedFakeASR, make_words
+
+    rng = np.random.default_rng(31)
+    a, b = sample_speaker(rng), sample_speaker(rng)
+    utt_s, gap_s = 2.0, 1.0
+    gap = (0.002 * rng.standard_normal(int(gap_s * SR))).astype(np.float32)
+    pieces = []
+    for turn in range(4):
+        spk = a if turn % 2 == 0 else b
+        utt = synth_speaker_utterance(rng, spk, seconds=utt_s)
+        pieces += [utt * (0.5 / (np.abs(utt).max() + 1e-6)), gap.copy()]
+    audio = np.concatenate(pieces)
+
+    server = StreamServer(
+        TimecodedFakeASR(make_words(40), unstable_tail=False),
+        use_vad=True, diarize=True, online_chunk_size=0.5,
+        min_silence_duration_ms=300,
+    )
+    sid = server.create_stream()
+    results = []
+    pos, chunk = 0, SR // 2
+    while pos < len(audio):
+        server.feed(sid, audio[pos : pos + chunk])
+        pos += chunk
+        while server.step():
+            pass
+        results.extend(server.poll(sid))
+    results.extend(server.close_stream(sid))
+    labeled = [r for r in results if r.speaker is not None]
+    assert labeled, results
+    period = utt_s + gap_s
+    checked = 0
+    for r in labeled:
+        mid = (r.begin + r.end) / 2
+        utt_idx = int(mid // period)
+        # skip results whose span straddles a boundary (committed tail of the
+        # previous utterance emitted after the next one started)
+        if not (utt_idx * period <= r.begin and r.end <= utt_idx * period + utt_s + 0.3):
+            continue
+        expected = "S1" if utt_idx % 2 == 0 else "S2"
+        assert r.speaker == expected, (r, expected, results)
+        checked += 1
+    # both speakers' utterances must actually be covered by the assertion
+    assert checked >= 3, (checked, results)
+
+
 def test_server_diarization_labels_results(embedder):
     """StreamServer(diarize=True): per-stream speaker trackers label results
     and detect turns across alternating speakers."""
