@@ -155,12 +155,31 @@ class StreamingApp:
         self.cfg = cfg
 
         # --- ASR backend (injectable for tests) ---
+        self.degraded: Optional[str] = None
         if asr is None:
             import jax.numpy as jnp
 
             from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+            from realtime_whisper_asr_tpu.utils.hardware import (
+                degraded_plan,
+                probe_backend,
+            )
 
             m = cfg["model"]
+            # degraded mode: no/busy TPU at startup → fall back to CPU with
+            # re-optimized params + a visible warning (reference GPU→CPU-int8
+            # fallback, 一键…py:1138-1175)
+            hw = probe_backend()
+            if hw["degraded"] and cfg.get("fallback", {}).get("auto_downgrade", True):
+                plan = degraded_plan(m["size"], m.get("quantization"))
+                if plan is not None:
+                    self.degraded = (
+                        f"⚠️ {hw['degraded_reason']}; running on CPU with "
+                        f"model={plan['model']} quantization={plan['quantization']} "
+                        f"({plan['reason']})"
+                    )
+                    logger.warning(self.degraded)
+                    m = dict(m, size=plan["model"], quantization=plan["quantization"])
             asr = TPUWhisperASR(
                 model_size=m["size"],
                 language=language,
@@ -423,6 +442,8 @@ class StreamingApp:
         always flushing the final hypothesis (reference 一键…py:1878-1959).
         """
         stats = SessionStats()
+        if self.degraded:
+            self.output.print(self.degraded)  # visible, not just logged
         protector = None
         if use_protector:
             if callable(stream):  # true factory (e.g. reopens a mic device)

@@ -141,15 +141,18 @@ def cmd_wizard(args) -> int:
     quantization → streaming mode, with choices persisted to the config file
     the way the reference writes back the demucs pick (:824-828)."""
     from realtime_whisper_asr_tpu.utils.hardware import (
-        detect_hardware,
+        probe_backend,
         recommend_config,
         recommend_quantization,
         recommend_separation_config,
     )
 
-    hw = detect_hardware()
+    hw = probe_backend()
     rec = recommend_config(hw)
     print(f"🔍 hardware: {hw['platform']} ({hw.get('device_kind')}) ×{hw['n_devices']}")
+    if hw["degraded"]:
+        print(f"⚠️ {hw['degraded_reason']} — recommending a CPU-appropriate "
+              "setup (reference GPU→CPU fallback)")
     print(f"💡 recommended model: {rec['model']} ({rec['reason']})")
     model = input(f"model [{rec['model']}]: ").strip() or rec["model"]
     lang = input("language (en/zh/... or auto) [en]: ").strip() or "en"

