@@ -206,6 +206,7 @@ def run_multistream(n_streams: int) -> int:
     asr = TPUWhisperASR(
         model_size=model, dtype=jnp.bfloat16, word_timestamps=True,
         quantization=None if quant in ("", "none") else quant,
+        checkpoint_dir=os.environ.get("BENCH_CHECKPOINT") or None,
     )
     asr.transcribe_kargs.update(max_new_tokens=max_new, max_total_tokens=max_new)
     server = StreamServer(asr, use_vad=False, online_chunk_size=0.5,
@@ -302,6 +303,7 @@ def main() -> int:
     asr = TPUWhisperASR(
         model_size=model, dtype=jnp.bfloat16, word_timestamps=True,
         quantization=None if quant in ("", "none") else quant,
+        checkpoint_dir=os.environ.get("BENCH_CHECKPOINT") or None,
     )
     # random weights never sample EOT; cap the TOTAL transcript per window so
     # the incremental path generates a realistic ~handful of new tokens/tick

@@ -28,6 +28,19 @@ def main(argv=None) -> int:
     if args.quantize == "int8":
         params = quantize_decoder(params)
     save_checkpoint(args.dst, params, cfg)
+    # carry the sidecar files the runtime reads from the checkpoint dir:
+    # alignment heads (word timestamps) + tokenizer files (real BPE text) —
+    # without these the converted checkpoint silently degrades to default
+    # heads and the mock tokenizer (found by tools/checkpoint_drill.py)
+    import os
+    import shutil
+
+    for name in ("generation_config.json", "tokenizer.json", "vocab.json",
+                 "merges.txt", "tokenizer_config.json", "special_tokens_map.json",
+                 "added_tokens.json", "normalizer.json"):
+        src_f = os.path.join(args.src, name)
+        if os.path.exists(src_f):
+            shutil.copy2(src_f, os.path.join(args.dst, name))
     print(f"saved {cfg.name} ({args.dtype}, quantize={args.quantize}) -> {args.dst}")
     return 0
 
