@@ -206,7 +206,8 @@ class TPUWhisperASR:
         #: serializes work the async dispatch otherwise overlaps.
         self.phase_timer = None
         #: decode-throughput counters (tokens/s, MFU estimation in bench.py)
-        self.counters = {"new_tokens": 0, "ticks": 0, "encoded_frames": 0}
+        self.counters = {"new_tokens": 0, "ticks": 0, "encoded_frames": 0,
+                         "h2d_transfers": 0, "h2d_bytes": 0}
         try:
             self._extra_suppress = tuple(self.tokenizer.non_speech_ids())
         except AttributeError:
@@ -272,6 +273,11 @@ class TPUWhisperASR:
 
         def _suffix_plan(kind: str, n_keep: int, shift_k: int = 0):
             new = audio[n_keep:]
+            if kind == "grow" and not len(new):
+                # buffer already resident (a prefetch_audio upload landed it):
+                # nothing rides the blob and no device write happens
+                return {"kind": kind, "words": np.zeros(0, np.float32),
+                        "pos": n_keep, "shift_k": 0, "n_new": 0, "mirror": audio}
             cb = next((b for b in self._CHUNK_BUCKETS if len(new) <= b), None)
             # dynamic_update_slice clamps out-of-range starts, which would
             # silently misplace the write — full upload instead
@@ -316,25 +322,54 @@ class TPUWhisperASR:
         plans = [self._plan_upload(k, a) for k, a in zip(keys, audios)]
         blob = np.concatenate([p["words"] for p in plans] + [aux_rows.reshape(-1)])
         up = jnp.asarray(blob)
+        self.counters["h2d_transfers"] += 1
+        self.counters["h2d_bytes"] += blob.nbytes
         off = 0
         for plan, k in zip(plans, keys):
-            words = plan["words"]
-            seg = jax.lax.slice(up, (off,), (off + len(words),))
-            if plan["kind"] == "full":
-                dev_buf = _buf_place(seg, self._CAP)
-            elif plan["kind"] == "shift":
-                dev_buf = _buf_shift_write(
-                    self._buffers[k][0], seg, jnp.int32(plan["shift_k"]),
-                    jnp.int32(plan["pos"]),
-                )
-            else:  # grow
-                dev_buf = self._buffers[k][0]
-                if plan["n_new"]:
-                    dev_buf = _buf_write(dev_buf, seg, jnp.int32(plan["pos"]))
-            self._buffers[k] = (dev_buf, plan["mirror"].copy())
-            off += len(words)
+            off = self._apply_plan(k, plan, up, off)
         aux_dev = jax.lax.slice(up, (off,), (off + aux_rows.size,)).reshape(aux_rows.shape)
         return aux_dev
+
+    def _apply_plan(self, k, plan: dict, up: jnp.ndarray, off: int) -> int:
+        """Apply one _plan_upload plan against the uploaded blob ``up`` at
+        word offset ``off``; returns the next offset."""
+        words = plan["words"]
+        seg = jax.lax.slice(up, (off,), (off + len(words),))
+        if plan["kind"] == "full":
+            dev_buf = _buf_place(seg, self._CAP)
+        elif plan["kind"] == "shift":
+            dev_buf = _buf_shift_write(
+                self._buffers[k][0], seg, jnp.int32(plan["shift_k"]),
+                jnp.int32(plan["pos"]),
+            )
+        else:  # grow
+            dev_buf = self._buffers[k][0]
+            if plan["n_new"]:
+                dev_buf = _buf_write(dev_buf, seg, jnp.int32(plan["pos"]))
+        self._buffers[k] = (dev_buf, plan["mirror"].copy())
+        return off + len(words)
+
+    def prefetch_audio(self, audio: np.ndarray, key=None) -> bool:
+        """Upload a stream's current buffer NOW, off the tick critical path.
+
+        Called at audio-insert time (streaming/online.py) while the pipeline
+        is otherwise idle between ticks: the upload (async dispatch + tunnel
+        transit) overlaps dead time, so the next tick's bundled upload
+        degenerates to the ~1.6 KB aux row (round-2 VERDICT #2a / ROADMAP #2
+        "serving upload prefetch" — worth ~the upload data time per tick).
+        Returns True when an upload was dispatched, False when the buffer was
+        already resident. Safe to call any number of times between ticks; the
+        grow/shift/full planner makes each call incremental."""
+        key = self._active_stream if key is None else key
+        audio = np.asarray(audio, np.float32)
+        plan = self._plan_upload(key, audio)
+        if plan["kind"] == "grow" and plan["n_new"] == 0:
+            return False
+        up = jnp.asarray(plan["words"])
+        self.counters["h2d_transfers"] += 1
+        self.counters["h2d_bytes"] += plan["words"].nbytes
+        self._apply_plan(key, plan, up, 0)
+        return True
 
     def _sync_audio_and_aux(self, audio: np.ndarray, aux_np: np.ndarray):
         """Single-stream tick: one bundled upload (see _sync_many)."""
@@ -367,8 +402,12 @@ class TPUWhisperASR:
         batched encode amortizes weight reads across rows on the MXU).
         """
         nb = max(self._window_bucket(n) for n in n_samples_list)
+        from realtime_whisper_asr_tpu.models.whisper.model import encoder_flops
         from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
 
+        self.counters["encode_flops"] = self.counters.get("encode_flops", 0) + len(
+            keys
+        ) * encoder_flops(self.cfg, nb // (2 * 160))
         mels = []
         for k in keys:
             dev_buf, _ = self._buffers[k]
@@ -529,13 +568,29 @@ class TPUWhisperASR:
         if pt is not None:
             jax.block_until_ready(xa)
             pt.lap("encode")
-        handle = D.greedy_decode_batch_dispatch(
-            self.params, self.cfg, xa, opts, requests,
-            extra_suppress=self._extra_suppress,
-            alignment_heads=self.alignment_heads,
-            aux_device=aux_dev, phase_timer=pt, planned=planned,
-            kv_quant=self._kv_quant,
-        )
+        if opts.beam_size > 1:
+            # batched beam (vmapped per-stream loops) — beam_size is a
+            # first-class serving knob, not a single-stream-only mode
+            from realtime_whisper_asr_tpu.models.whisper.beam import (
+                beam_decode_batch_dispatch,
+            )
+
+            handle = beam_decode_batch_dispatch(
+                self.params, self.cfg, xa, opts, requests,
+                extra_suppress=self._extra_suppress,
+                alignment_heads=self.alignment_heads,
+                aux_device=aux_dev, phase_timer=pt, planned=planned,
+                kv_quant=self._kv_quant,
+            )
+            handle["beam"] = True
+        else:
+            handle = D.greedy_decode_batch_dispatch(
+                self.params, self.cfg, xa, opts, requests,
+                extra_suppress=self._extra_suppress,
+                alignment_heads=self.alignment_heads,
+                aux_device=aux_dev, phase_timer=pt, planned=planned,
+                kv_quant=self._kv_quant,
+            )
         return {"handle": handle, "items": items, "requests": requests,
                 "n_real": n_real}
 
@@ -543,7 +598,14 @@ class TPUWhisperASR:
         """Blocking half of transcribe_batch: collect + parse the dispatched
         group's results (one device→host transfer)."""
         items, requests, n_real = st["items"], st["requests"], st["n_real"]
-        results = D.greedy_decode_batch_finalize(st["handle"])
+        if st["handle"].get("beam"):
+            from realtime_whisper_asr_tpu.models.whisper.beam import (
+                beam_decode_batch_finalize,
+            )
+
+            results = beam_decode_batch_finalize(st["handle"])
+        else:
+            results = D.greedy_decode_batch_finalize(st["handle"])
         out: list[TranscriptionResult] = []
         for it, res, req in zip(items[:n_real], results[:n_real], requests[:n_real]):
             n_frames = min(len(it["audio"]) // (2 * 160), self.cfg.n_audio_ctx)
@@ -608,9 +670,9 @@ class TPUWhisperASR:
             prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
             extra_suppress=self._extra_suppress, aux_device=aux_dev,
             alignment_heads=self.alignment_heads,
-            **({"draft_tokens": draft_ids, "kv_quant": self._kv_quant}
-               if opts.beam_size == 1 else {}),
-            **({"phase_timer": pt} if (pt is not None and opts.beam_size == 1) else {}),
+            kv_quant=self._kv_quant,
+            **({"draft_tokens": draft_ids} if opts.beam_size == 1 else {}),
+            **({"phase_timer": pt} if pt is not None else {}),
         )
         self.counters["ticks"] += 1
         self.counters["new_tokens"] += int(result.lengths[0]) - (len(prefix_ids or []))

@@ -183,6 +183,11 @@ AUX_TOK = 384
 DRAFT_MAX = 16
 AUX_LEN = AUX_TOK + 6 + DRAFT_MAX
 
+#: exact device→host transfer counter (bench reports syncs/tick COUNTED, not
+#: inferred — round-2 VERDICT #2c). Incremented at every blocking download in
+#: this module; host→device uploads are counted in asr.TPUWhisperASR.counters.
+TRANSFER_STATS = {"d2h": 0}
+
 
 def pack_aux(
     init: np.ndarray,
@@ -555,6 +560,7 @@ def greedy_decode(
         phase_timer.lap("decode")
     # single device→host transfer; unpack by the static layout
     audio_ctx = int(xa.shape[1])
+    TRANSFER_STATS["d2h"] += 1
     flat = np.asarray(packed)
     if phase_timer is not None:
         phase_timer.lap("download")
@@ -668,6 +674,7 @@ def greedy_decode_batch_finalize(handle: dict) -> list[DecodeResult]:
     if phase_timer is not None:
         handle["packed"].block_until_ready()
         phase_timer.lap("decode")
+    TRANSFER_STATS["d2h"] += 1
     flat = np.asarray(handle["packed"])
     if phase_timer is not None:
         phase_timer.lap("download")

@@ -294,6 +294,19 @@ def param_count(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
 
+def encoder_flops(cfg: WhisperConfig, n_tokens: int) -> int:
+    """Hand-counted matmul FLOPs for one encode of ``n_tokens`` output tokens
+    (= mel frames / 2). XLA's ``cost_analysis()`` reports the FLOPs of ONE
+    ``lax.scan`` iteration, undercounting the L-layer encoder L-fold — the
+    round-2 '0.5 ms roofline / 2% MFU' claim came from exactly that trap
+    (docs/ROADMAP.md round-3 correction). Use this for MFU estimates."""
+    d, ff, t, L = cfg.n_audio_state, 4 * cfg.n_audio_state, n_tokens, cfg.n_audio_layer
+    per_layer = 4 * 2 * t * d * d + 2 * 2 * t * d * ff + 2 * 2 * t * t * d
+    # conv stem: k=3 convs at 2t (stride 1) and t (stride 2) positions
+    stem = 2 * (2 * t) * 3 * cfg.n_mels * d + 2 * t * 3 * d * d
+    return L * per_layer + stem
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------

@@ -151,6 +151,9 @@ class StreamServer:
         else:
             processor = online
         sid = next(self._ids)
+        # route this processor's upload prefetches to its own device ring
+        # (the shared ASR's "active stream" only tracks the ticking stream)
+        online.stream_key = sid
         stream = _Stream(sid, processor, SkipDetector(clock=self.clock), self.clock)
         stream.language = language
         if self._speaker_embedder is not None:

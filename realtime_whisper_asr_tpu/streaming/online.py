@@ -110,6 +110,11 @@ class OnlineASRProcessor:
         self.prefix_policy = prefix_policy
         self.prefix_safety_tokens = prefix_safety_tokens
         self.clock = clock
+        #: device-buffer key for upload prefetch. None = the ASR's active
+        #: stream (single-session use); the multi-stream server sets each
+        #: processor's sid here so a prefetch never lands in another stream's
+        #: device ring (serving.create_stream).
+        self.stream_key = None
         self.init()
 
     # ---------------------------------------------------------------- protocol
@@ -125,6 +130,16 @@ class OnlineASRProcessor:
 
     def insert_audio_chunk(self, audio: np.ndarray):
         self.audio_buffer = np.append(self.audio_buffer, np.asarray(audio, np.float32))
+        # upload prefetch: land the grown buffer on the device NOW (async,
+        # between ticks) so the next tick's bundled upload is aux-only —
+        # removes the upload transit (~10 ms/tick on a tunneled backend) from
+        # the chunk-to-text critical path (asr.prefetch_audio)
+        prefetch = getattr(self.asr, "prefetch_audio", None)
+        if prefetch is not None:
+            try:
+                prefetch(self.audio_buffer, key=self.stream_key)
+            except Exception:  # never let a prefetch break the insert path
+                logger.exception("audio prefetch failed (tick upload will cover it)")
 
     def prompt(self) -> tuple[str, str]:
         """(prompt, non_prompt): committed text scrolled out of the buffer, cut

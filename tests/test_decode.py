@@ -172,6 +172,78 @@ def test_beam_decode_runs_and_respects_grammar(asr):
     assert res.sum_logprob[0] >= greedy.sum_logprob[0] * 1.2
 
 
+def test_beam_batch_matches_sequential(asr):
+    """Batched beam (vmapped rows) must produce each row's single-stream beam
+    result exactly — beam is a first-class serving mode, not batch-1 only."""
+    from realtime_whisper_asr_tpu.models.whisper.beam import (
+        beam_decode,
+        beam_decode_batch,
+    )
+
+    cfg = asr.cfg
+    opts = D.DecodeOptions(timestamps=True, beam_size=3, max_new_tokens=16,
+                           word_timestamps=True)
+    xa1, xa2 = asr._encode_window(_audio(seed=21)), asr._encode_window(_audio(seed=22))
+    stable = D.greedy_decode(asr.params, cfg, xa1, opts).tokens[0][:3].tolist()
+    reqs = [
+        {"prompt_tokens": None, "prefix_tokens": stable},
+        {"prompt_tokens": None, "prefix_tokens": None},
+    ]
+    xab = jnp.concatenate([xa1, xa2], axis=0)
+    got = beam_decode_batch(asr.params, cfg, xab, opts, reqs)
+    # single-row references at the SAME planned (bucketed) prefill length —
+    # a different prompt bucket legitimately shifts decode positions
+    rows, p, max_new, cap = D.plan_batch_aux(cfg, opts, reqs)
+    for i, xa in enumerate((xa1, xa2)):
+        (ref,) = beam_decode_batch(
+            asr.params, cfg, xa, opts, [reqs[i]],
+            planned=([rows[i]], p, max_new, cap),
+        )
+        li, lr = int(got[i].lengths[0]), int(ref.lengths[0])
+        assert li == lr, (i, got[i].tokens, ref.tokens)
+        np.testing.assert_array_equal(got[i].tokens[0][:li], ref.tokens[0][:lr])
+        assert got[i].xattn is not None
+
+
+def test_beam_with_kv_quant_runs_and_respects_grammar(asr):
+    """VERDICT r2 #5: beam no longer strips kv_quant — int8 KV beams obey the
+    same timestamp grammar and produce a usable result."""
+    from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode
+
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=23))
+    opts = D.DecodeOptions(timestamps=True, beam_size=3, max_new_tokens=16)
+    res = beam_decode(asr.params, cfg, xa, opts, kv_quant=True)
+    ids = res.tokens[0][: res.lengths[0]].tolist()
+    body = ids[:-1] if ids and ids[-1] == cfg.eot else ids
+    assert body
+    ts0 = cfg.timestamp_begin
+    ts = [t for t in body if t >= ts0]
+    assert ts == sorted(ts)
+
+
+def test_beam_reaches_batched_serving_path(asr):
+    """transcribe_batch with beam_size > 1 routes through the batched beam
+    dispatch/finalize — the serving scheduler needs no special casing."""
+    old_beam = asr.beam_size
+    asr.beam_size = 3
+    try:
+        items = [
+            {"key": "b1", "audio": _audio(seconds=2.0, seed=24)},
+            {"key": "b2", "audio": _audio(seconds=2.0, seed=25)},
+        ]
+        st = asr.transcribe_batch_dispatch(items)
+        assert st["handle"].get("beam") is True
+        out = asr.transcribe_batch_finalize(st)
+        assert len(out) == 2
+        for r in out:
+            assert isinstance(r.tokens, list)
+    finally:
+        asr.beam_size = old_beam
+        for k in ("b1", "b2"):
+            asr.drop_stream(k)
+
+
 def test_temperature_sampling_differs_and_is_seeded(asr):
     cfg = asr.cfg
     xa = asr._encode_window(_audio(seed=12))
@@ -432,6 +504,55 @@ def test_upload_planner_grow_shift_full(asr):
     d = (rng.standard_normal(12000) * 0.2).astype(np.float32)
     assert asr._plan_upload(key, d)["kind"] == "full"
     asr.drop_stream(key)
+
+
+def test_prefetch_audio_makes_tick_upload_aux_only(asr):
+    """prefetch_audio lands the buffer off the tick path; the tick's plan then
+    degenerates to an empty-words grow (aux-only blob), the device ring holds
+    the right audio, and transcription is unchanged."""
+    from realtime_whisper_asr_tpu import asr as A
+
+    key = "prefetch-test"
+    asr.set_active_stream(key)
+    audio = _audio(seconds=2.0, seed=11)
+
+    assert asr.prefetch_audio(audio, key=key) is True
+    plan = asr._plan_upload(key, audio)
+    assert plan["kind"] == "grow" and plan["n_new"] == 0 and len(plan["words"]) == 0
+    # re-prefetching the identical buffer is a no-op
+    assert asr.prefetch_audio(audio, key=key) is False
+    # growing the buffer prefetches only the suffix, incrementally
+    longer = np.concatenate([audio, _audio(seconds=1.0, seed=12)])
+    assert asr.prefetch_audio(longer, key=key) is True
+    buf = np.asarray(asr._buffers[key][0])
+    q = np.clip(np.round(longer * 32768.0), -32768, 32767) / 32768.0
+    np.testing.assert_array_equal(buf[: len(longer)], q.astype(np.float32))
+    asr.drop_stream(key)
+
+    # end-to-end: same tokens with and without prefetch
+    ref = asr.transcribe(audio).tokens
+    asr.set_active_stream(key)
+    asr.prefetch_audio(audio, key=key)
+    got = asr.transcribe(audio).tokens
+    asr.drop_stream(key)
+    assert got == ref
+
+
+def test_online_insert_prefetches_to_stream_key(asr):
+    """OnlineASRProcessor.insert_audio_chunk prefetches the growing buffer
+    under ITS stream key — the serving contract that a prefetch never lands in
+    another stream's device ring."""
+    from realtime_whisper_asr_tpu.streaming import OnlineASRProcessor
+
+    online = OnlineASRProcessor(asr)
+    online.stream_key = "sid-42"
+    asr.set_active_stream("sid-other")
+    chunk = _audio(seconds=1.0, seed=13)
+    online.insert_audio_chunk(chunk)
+    assert "sid-42" in asr._buffers
+    assert "sid-other" not in asr._buffers
+    np.testing.assert_array_equal(asr._buffers["sid-42"][1], chunk)
+    asr.drop_stream("sid-42")
 
 
 def test_shift_detection_on_periodic_audio(asr):
