@@ -1,18 +1,26 @@
-"""Beam-search decoding (jitted) + temperature sampling fallback.
+"""Beam-search decoding (jitted, batched) + temperature sampling fallback.
 
 The reference exposes beam_size 1–5 through faster-whisper/CTranslate2
 (`asr_components.py:267-289`, adaptive beam in `speech_rate_audio_processor
 .py:214-218`). TPU-native design:
 
-- the prompt/prefix prefill runs once at batch 1, then the KV cache is TILED
+- the prompt/prefix prefill runs once per stream, then the KV cache is TILED
   across K beams; each step is one batched decode_step over (K,) beams with
   a top-K reselection and a cache gather along the beam axis,
+- B streams batch via ``jax.vmap`` of the per-stream loop — per-stream top-K
+  and termination, one compiled trace shared by every B (B=1 included), the
+  serving path's dispatch/finalize split works unchanged,
+- int8 KV caches (``kv_quant``) supported: scale rows tile/gather alongside,
 - EOT beams freeze (propagate EOT with score unchanged) — standard
   "finished beams ride along" semantics with length-penalized final pick,
-- word timestamps: the winning sequence is re-prefilled ONCE with
+- word timestamps: the winning sequences are re-prefilled ONCE (batched) with
   cross-attention capture (cheaper than capturing per beam per step),
-- temperature sampling reuses the same loop with Gumbel-max selection
-  (whisper's quality-retry ladder lives in asr.py).
+- the whisper quality-retry temperature ladder lives in asr.py and applies
+  after beam exactly as after greedy.
+
+Memory note: the cross-attention KV is tiled per beam (B·K rows). At
+large-v3's 16 s window that is ~65 MB per beam-row — fine for streaming use
+(B ≤ 2–4, K ≤ 5); cap ``max_batch`` accordingly when serving with beam.
 """
 
 from __future__ import annotations
@@ -36,23 +44,34 @@ def _tile_beams(tree, k: int):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "opts", "prompt_len", "apply_initial_rules", "max_new",
-                     "cache_len", "beam_size"),
-)
-def _beam_loop(
+def _gather_beams(cache: M.DecoderCache, parent: jnp.ndarray) -> M.DecoderCache:
+    """Reorder the self-attention cache rows by beam parent (cross is shared)."""
+    kw = dict(
+        self_k=cache.self_k[:, parent],
+        self_v=cache.self_v[:, parent],
+        cross_k=cache.cross_k,
+        cross_v=cache.cross_v,
+    )
+    if cache.kv_quant:
+        kw.update(
+            self_ks=cache.self_ks[:, parent], self_vs=cache.self_vs[:, parent],
+            cross_ks=cache.cross_ks, cross_vs=cache.cross_vs,
+        )
+    return M.DecoderCache(**kw)
+
+
+def _beam_core(
     params,
     cfg: WhisperConfig,
     opts: D.DecodeOptions,
-    xa: jnp.ndarray,  # (1, audio_ctx, d)
+    xa: jnp.ndarray,  # (audio_ctx, d) — ONE stream (vmapped for batches)
     aux: jnp.ndarray,  # (AUX_LEN,)
     sup_mask: jnp.ndarray,
     prompt_len: int,
-    apply_initial_rules: bool,
     max_new: int,
     cache_len: int,
     beam_size: int,
+    kv_quant: bool,
 ):
     k = beam_size
     p = prompt_len
@@ -67,16 +86,11 @@ def _beam_loop(
     last_ts0 = aux[D.AUX_TOK + 2].astype(jnp.int32)
     max_initial_index = round(opts.max_initial_timestamp / 0.02)
 
-    cache1 = M.init_cache(params, cfg, xa, text_ctx=cache_len)
+    cache1 = M.init_cache(params, cfg, xa[None], text_ctx=cache_len, kv_quant=kv_quant)
     pre_logits, cache1, _ = M.decode_span(params, cfg, initial_tokens, jnp.int32(0), cache1)
     sot_logits = jax.lax.dynamic_index_in_dim(pre_logits, sot_index_arr, axis=1, keepdims=False)
     no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)[0, cfg.no_speech]
-    cache = M.DecoderCache(
-        self_k=_tile_beams(cache1.self_k, k),
-        self_v=_tile_beams(cache1.self_v, k),
-        cross_k=_tile_beams(cache1.cross_k, k),
-        cross_v=_tile_beams(cache1.cross_v, k),
-    )
+    cache = _tile_beams(cache1, k)
     tokens0 = jnp.tile(
         jnp.concatenate([initial_tokens, jnp.full((1, max_new), cfg.eot, jnp.int32)], axis=1),
         (k, 1),
@@ -88,8 +102,12 @@ def _beam_loop(
         step = pos - p
         logits = logits + sup_mask[None, :]
         logits = logits.at[:, cfg.no_timestamps].set(-jnp.inf)
-        if opts.suppress_blank and apply_initial_rules:
-            blank = jnp.where(step == 0, -jnp.inf, 0.0)
+        # first-sampled-token rules apply only when no prefix constrains the
+        # continuation — runtime-gated on n_prefix so one trace serves both
+        # (matches greedy's per-row aux gating, decode.py select_next)
+        first_free = (step == 0) & (n_prefix_arr == 0)
+        if opts.suppress_blank:
+            blank = jnp.where(first_free, -jnp.inf, 0.0)
             logits = logits.at[:, opts.blank_id].add(blank)
             logits = logits.at[:, cfg.eot].add(blank)
         if not opts.timestamps:
@@ -106,10 +124,8 @@ def _beam_loop(
         kill |= (last_was_ts & ~prev_was_ts)[:, None] & is_text
         bound = jnp.where(last_was_ts & ~prev_was_ts, last_ts, last_ts + 1)
         kill |= (last_ts >= ts0)[:, None] & is_ts & (vocab_ids[None, :] < bound[:, None])
-        if apply_initial_rules:
-            first = (step == 0) & (n_prefix_arr == 0)
-            kill |= first & (vocab_ids[None, :] < ts0)
-            kill |= first & (vocab_ids[None, :] > ts0 + max_initial_index)
+        kill |= first_free & (vocab_ids[None, :] < ts0)
+        kill |= first_free & (vocab_ids[None, :] > ts0 + max_initial_index)
         logits = jnp.where(kill, -jnp.inf, logits)
         logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ts_lp = jax.nn.logsumexp(jnp.where(is_ts, logprobs, -jnp.inf), axis=-1)
@@ -139,12 +155,7 @@ def _beam_loop(
         tokens = tokens[parent]
         last_ts = last_ts[parent]
         finished = finished[parent]
-        cache = M.DecoderCache(
-            self_k=cache.self_k[:, parent],
-            self_v=cache.self_v[:, parent],
-            cross_k=cache.cross_k,
-            cross_v=cache.cross_v,
-        )
+        cache = _gather_beams(cache, parent)
         tok = jnp.where(finished, cfg.eot, tok)
         tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], pos, axis=1)
         last_ts = jnp.where((tok >= ts0) & ~finished, tok, last_ts)
@@ -180,6 +191,154 @@ def _beam_loop(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "opts", "prompt_len", "max_new", "cache_len",
+                     "beam_size", "kv_quant"),
+)
+def _beam_loop(
+    params,
+    cfg: WhisperConfig,
+    opts: D.DecodeOptions,
+    xab: jnp.ndarray,  # (B, audio_ctx, d)
+    auxb: jnp.ndarray,  # (B, AUX_LEN)
+    sup_mask: jnp.ndarray,
+    prompt_len: int,
+    max_new: int,
+    cache_len: int,
+    beam_size: int,
+    kv_quant: bool,
+):
+    """B independent beam searches in one compiled program (vmapped rows share
+    the step; a finished row's frozen beams ride until the slowest row ends)."""
+    return jax.vmap(
+        lambda xa, aux: _beam_core(
+            params, cfg, opts, xa, aux, sup_mask,
+            prompt_len=prompt_len, max_new=max_new, cache_len=cache_len,
+            beam_size=beam_size, kv_quant=kv_quant,
+        )
+    )(xab, auxb)
+
+
+def _capture_xattn_batch(
+    params, cfg, xa, inits, n_prefixes, seqs, alignment_heads
+) -> list[Optional[np.ndarray]]:
+    """One batched capture pass over the winning sequences (B rows)."""
+    heads_key = (
+        None if alignment_heads is None
+        else np.ascontiguousarray(alignment_heads, np.float32).tobytes()
+    )
+    amask = D._amask_dev(cfg, heads_key)
+    bodies = []
+    for init, n_prefix, seq in zip(inits, n_prefixes, seqs):
+        body = seq[:-1] if (len(seq) and seq[-1] == cfg.eot) else seq
+        bodies.append(np.concatenate([init[: len(init) - n_prefix], body]))
+    pad_to = D._round_up(max(max(len(b) for b in bodies), 8), 64)
+    span = np.full((len(bodies), pad_to), cfg.eot, np.int32)
+    for i, b in enumerate(bodies):
+        span[i, : len(b)] = b
+    cache = M.init_cache(params, cfg, xa, text_ctx=pad_to)
+    _, _, cap = M.decode_span(
+        params, cfg, jnp.asarray(span), jnp.int32(0), cache, alignment_mask=amask
+    )
+    D.TRANSFER_STATS["d2h"] += 1
+    rows = np.asarray(cap.reshape(-1)).reshape(len(bodies), pad_to, xa.shape[1])
+    out = []
+    for i, (init, n_prefix, seq) in enumerate(zip(inits, n_prefixes, seqs)):
+        p0 = len(init) - n_prefix
+        out.append(rows[i : i + 1, p0 : p0 + len(seq)])
+    return out
+
+
+def _parse_beam_rows(
+    cfg, out: np.ndarray, max_new: int, init_rows: list[dict]
+) -> list[D.DecodeResult]:
+    results = []
+    for i, row in enumerate(out):
+        prefix_arr = init_rows[i]["prefix_arr"]
+        sampled = row[:max_new].astype(np.int32)
+        score = float(row[max_new])
+        n_sampled = int(row[max_new + 1])
+        nsp = float(row[max_new + 2])
+        full_tokens = np.concatenate([prefix_arr, sampled])[None]
+        eots = np.nonzero(full_tokens[0] == cfg.eot)[0]
+        length = int(eots[0] + 1) if eots.size else full_tokens.shape[1]
+        results.append(D.DecodeResult(
+            tokens=full_tokens,
+            lengths=np.array([length], np.int64),
+            sum_logprob=np.array([score]),
+            avg_logprob=np.array([score / max(n_sampled, 1)]),
+            no_speech_prob=np.array([nsp]),
+            xattn=None,
+        ))
+    return results
+
+
+def beam_decode_batch_dispatch(
+    params,
+    cfg: WhisperConfig,
+    xa: jnp.ndarray,  # (B, audio_ctx, d)
+    opts: D.DecodeOptions,
+    requests: list[dict],
+    extra_suppress: tuple[int, ...] = (),
+    alignment_heads: Optional[np.ndarray] = None,
+    aux_device: Optional[jnp.ndarray] = None,
+    phase_timer=None,
+    planned=None,
+    kv_quant: bool = False,
+) -> dict:
+    """Non-blocking half of the batched beam decode — the beam analog of
+    decode.greedy_decode_batch_dispatch, so the serving scheduler's pipelined
+    dispatch/finalize path works with beam_size > 1 unchanged."""
+    b = xa.shape[0]
+    assert len(requests) == b, (len(requests), b)
+    init_rows, p, max_new, max_new_cap = (
+        planned if planned is not None else D.plan_batch_aux(cfg, opts, requests)
+    )
+    if aux_device is None:
+        aux_device = jnp.asarray(np.stack([row["aux"] for row in init_rows]))
+    cache_len = min(cfg.n_text_ctx, D._round_up(p + max_new, 128))
+    sup = D._sup_mask_dev(cfg, tuple(extra_suppress))
+    packed = _beam_loop(
+        params, cfg, opts, xa, aux_device, sup,
+        prompt_len=p, max_new=max_new, cache_len=cache_len,
+        beam_size=opts.beam_size, kv_quant=kv_quant,
+    )
+    return {"packed": packed, "cfg": cfg, "b": b, "p": p, "max_new": max_new,
+            "init_rows": init_rows, "xa": xa, "params": params, "opts": opts,
+            "alignment_heads": alignment_heads, "phase_timer": phase_timer}
+
+
+def beam_decode_batch_finalize(handle: dict) -> list[D.DecodeResult]:
+    cfg, max_new = handle["cfg"], handle["max_new"]
+    pt = handle["phase_timer"]
+    if pt is not None:
+        handle["packed"].block_until_ready()
+        pt.lap("decode")
+    D.TRANSFER_STATS["d2h"] += 1
+    out = np.asarray(handle["packed"])
+    if pt is not None:
+        pt.lap("download")
+    results = _parse_beam_rows(cfg, out, max_new, handle["init_rows"])
+    if handle["opts"].word_timestamps:
+        inits = [r["init"] for r in handle["init_rows"]]
+        n_prefixes = [len(r["prefix_arr"]) for r in handle["init_rows"]]
+        seqs = [r.tokens[0][: r.lengths[0]] for r in results]
+        xattns = _capture_xattn_batch(
+            handle["params"], cfg, handle["xa"], inits, n_prefixes, seqs,
+            handle["alignment_heads"],
+        )
+        for r, xat in zip(results, xattns):
+            r.xattn = xat
+    return results
+
+
+def beam_decode_batch(params, cfg, xa, opts, requests, **kw) -> list[D.DecodeResult]:
+    return beam_decode_batch_finalize(
+        beam_decode_batch_dispatch(params, cfg, xa, opts, requests, **kw)
+    )
+
+
 def beam_decode(
     params,
     cfg: WhisperConfig,
@@ -190,9 +349,12 @@ def beam_decode(
     extra_suppress: tuple[int, ...] = (),
     alignment_heads: Optional[np.ndarray] = None,
     aux_device: Optional[jnp.ndarray] = None,
+    kv_quant: bool = False,
+    phase_timer=None,
 ) -> D.DecodeResult:
-    """Beam search with the greedy API shape (batch 1)."""
-    assert xa.shape[0] == 1, "beam decode is batch-1 (streaming/offline windows)"
+    """Beam search with the greedy API shape (batch 1; same compiled trace as
+    the batched path at B=1)."""
+    assert xa.shape[0] == 1, "single-stream API; use beam_decode_batch for B>1"
     init, sot_index, n_prefix = D.build_initial_tokens(cfg, opts, prompt_tokens, prefix_tokens)
     prefix_arr = init[len(init) - n_prefix :] if n_prefix else np.zeros(0, np.int32)
     p = int(init.shape[0])
@@ -207,53 +369,25 @@ def beam_decode(
                        max_new_cap=max_new_cap)
         )
 
-    out = np.asarray(
-        _beam_loop(
-            params, cfg, opts, xa, aux_device, sup,
-            prompt_len=p,
-            apply_initial_rules=(n_prefix == 0),
-            max_new=max_new,
-            cache_len=cache_len,
-            beam_size=opts.beam_size,
-        )
+    packed = _beam_loop(
+        params, cfg, opts, xa, aux_device.reshape(1, -1), sup,
+        prompt_len=p, max_new=max_new, cache_len=cache_len,
+        beam_size=opts.beam_size, kv_quant=kv_quant,
     )
-    sampled = out[:max_new].astype(np.int32)
-    score = float(out[max_new])
-    n_sampled = int(out[max_new + 1])
-    nsp = float(out[max_new + 2])
-
-    full_tokens = np.concatenate([prefix_arr, sampled])[None]
-    eots = np.nonzero(full_tokens[0] == cfg.eot)[0]
-    length = int(eots[0] + 1) if eots.size else full_tokens.shape[1]
-
-    xattn = None
+    if phase_timer is not None:
+        packed.block_until_ready()
+        phase_timer.lap("decode")
+    D.TRANSFER_STATS["d2h"] += 1
+    out = np.asarray(packed)
+    if phase_timer is not None:
+        phase_timer.lap("download")
+    (result,) = _parse_beam_rows(
+        cfg, out, max_new, [{"prefix_arr": prefix_arr, "init": init}]
+    )
     if opts.word_timestamps:
-        # one capture pass over the winning sequence
-        heads_key = (
-            None if alignment_heads is None
-            else np.ascontiguousarray(alignment_heads, np.float32).tobytes()
+        seq = result.tokens[0][: result.lengths[0]]
+        (xattn,) = _capture_xattn_batch(
+            params, cfg, xa, [init], [n_prefix], [seq], alignment_heads
         )
-        amask = D._amask_dev(cfg, heads_key)
-        seq = full_tokens[0][:length]
-        body = seq[:-1] if (len(seq) and seq[-1] == cfg.eot) else seq
-        n_body = len(body)
-        pad_to = D._round_up(max(n_body + p - n_prefix, 8), 64)
-        cache = M.init_cache(params, cfg, xa, text_ctx=pad_to)
-        span = np.full(pad_to, cfg.eot, np.int32)
-        span[: p - n_prefix] = init[: p - n_prefix]
-        span[p - n_prefix : p - n_prefix + n_body] = body
-        _, _, cap = M.decode_span(
-            params, cfg, jnp.asarray(span[None]), jnp.int32(0), cache, alignment_mask=amask
-        )
-        rows = np.asarray(cap.reshape(-1)).reshape(1, pad_to, xa.shape[1])
-        xattn = rows[:, p - n_prefix : p - n_prefix + length]
-
-    lengths = np.array([length], np.int64)
-    return D.DecodeResult(
-        tokens=full_tokens,
-        lengths=lengths,
-        sum_logprob=np.array([score]),
-        avg_logprob=np.array([score / max(n_sampled, 1)]),
-        no_speech_prob=np.array([nsp]),
-        xattn=xattn,
-    )
+        result.xattn = xattn
+    return result
