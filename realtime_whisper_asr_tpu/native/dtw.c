@@ -78,6 +78,83 @@ static int cmp_double(const void *a, const void *b) {
 void rtwa_median_filter(const double *x, int64_t n, int64_t m, int64_t width,
                         double *out) {
     int64_t half = width / 2;
+    /* small widths (the product uses 7): stack window + insertion sort —
+       a qsort(3) call per window costs ~100x the comparisons themselves and
+       made this the hot-parse hog at ~6 ms per 40x800 tick */
+    if (width == 7) {
+        /* the product width: branchless median-of-7 selection network
+           (insertion sort's data-dependent branches mispredict ~50% on
+           attention data and dominated at ~60 ns/window) */
+        for (int64_t i = 0; i < n; i++) {
+            const double *row = x + i * m;
+            double *orow = out + i * m;
+            for (int64_t j = 0; j < m; j++) {
+                int64_t lo = j - 3;
+                double a0, a1, a2, a3, a4, a5, a6;
+                if (lo >= 0 && lo + 7 <= m) {
+                    const double *w0 = row + lo;
+                    a0 = w0[0]; a1 = w0[1]; a2 = w0[2]; a3 = w0[3];
+                    a4 = w0[4]; a5 = w0[5]; a6 = w0[6];
+                } else {
+                    int64_t i0 = lo < 0 ? 0 : lo;
+                    int64_t i6 = lo + 6 >= m ? m - 1 : lo + 6;
+                    a0 = row[i0];
+                    a1 = row[lo + 1 < 0 ? 0 : (lo + 1 >= m ? m - 1 : lo + 1)];
+                    a2 = row[lo + 2 < 0 ? 0 : (lo + 2 >= m ? m - 1 : lo + 2)];
+                    a3 = row[lo + 3 < 0 ? 0 : (lo + 3 >= m ? m - 1 : lo + 3)];
+                    a4 = row[lo + 4 < 0 ? 0 : (lo + 4 >= m ? m - 1 : lo + 4)];
+                    a5 = row[lo + 5 < 0 ? 0 : (lo + 5 >= m ? m - 1 : lo + 5)];
+                    a6 = row[i6];
+                }
+#define CE(p, q) { double lo_ = p < q ? p : q, hi_ = p < q ? q : p; p = lo_; q = hi_; }
+                /* median-of-7 network (13 compare-exchanges) */
+                CE(a0, a5) CE(a0, a3) CE(a1, a6) CE(a2, a4) CE(a0, a1)
+                CE(a3, a5) CE(a2, a6) CE(a2, a3) CE(a3, a6) CE(a4, a5)
+                CE(a1, a4) CE(a1, a3) CE(a3, a4)
+#undef CE
+                orow[j] = a3;
+            }
+        }
+        return;
+    }
+    if (width <= 32) {
+        double win[32];
+        for (int64_t i = 0; i < n; i++) {
+            const double *row = x + i * m;
+            double *orow = out + i * m;
+            for (int64_t j = 0; j < m; j++) {
+                int64_t lo = j - half;
+                if (lo >= 0 && lo + width <= m) {
+                    /* bulk: contiguous window, no clamping */
+                    const double *w0 = row + lo;
+                    for (int64_t k = 0; k < width; k++) {
+                        double v = w0[k];
+                        int64_t q = k;
+                        while (q > 0 && win[q - 1] > v) {
+                            win[q] = win[q - 1];
+                            q--;
+                        }
+                        win[q] = v;
+                    }
+                } else {
+                    for (int64_t k = 0; k < width; k++) {
+                        int64_t idx = lo + k;
+                        if (idx < 0) idx = 0;
+                        if (idx >= m) idx = m - 1;
+                        double v = row[idx];
+                        int64_t q = k;
+                        while (q > 0 && win[q - 1] > v) {
+                            win[q] = win[q - 1];
+                            q--;
+                        }
+                        win[q] = v;
+                    }
+                }
+                orow[j] = win[width / 2];
+            }
+        }
+        return;
+    }
     double *win = (double *)malloc((size_t)width * sizeof(double));
     if (!win) return;
     for (int64_t i = 0; i < n; i++) {
