@@ -64,6 +64,32 @@ def test_factory_returns_trained_neural():
     assert sep.name == "neural" and sep.trained
 
 
+def test_v2_arch_host_matches_device_random_init():
+    """The v2 dilated 2-channel architecture (round-3 separator upgrade) has
+    the same exact host/device mirror contract as v1 — checked on random init
+    so the test is independent of which packaged weights are committed."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_whisper_asr_tpu.models.separation_nn import (
+        arch_of,
+        init_separator_params_v2,
+        separate_vocals,
+        separate_vocals_np,
+    )
+
+    params = init_separator_params_v2(jax.random.PRNGKey(7))
+    dil, in_ch = arch_of(params)
+    assert in_ch == 2 and len(dil) == len(
+        [k for k in params if k.startswith("enc") and k.endswith("_w")]
+    ) + 1
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(16384) * 0.2).astype(np.float32)
+    dev = np.asarray(separate_vocals(params, jnp.asarray(audio)))
+    host = separate_vocals_np(params, audio)
+    np.testing.assert_allclose(host, dev, atol=2e-4)
+
+
 def test_host_path_matches_device_path():
     """separate_vocals_np (host BLAS) must mirror the JAX network exactly —
     same weights, same output within float tolerance."""

@@ -1,22 +1,28 @@
-"""Train the neural vocal separator on synthetic speech+music mixtures.
+"""Train the neural vocal separator on synthetic speech+interference mixtures.
 
 Usage:
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/train_separator.py \
-        [--steps 1200] [--out realtime_whisper_asr_tpu/models/weights/separation_nn.npz]
+        [--steps 2500] [--arch v2] \
+        [--out realtime_whisper_asr_tpu/models/weights/separation_nn.npz]
 
 The reference's neural separation is trained Demucs (`/root/reference/
 vocal_separation.py:47-222`); this image has no network for weights, so the
-compact spectral-mask net (models/separation_nn.py) is trained here on
-generatable mixtures: harmonic+formant speech surrogates (models/vad/
-synthetic.py) over music beds / tones / hum / noise at random SNR. Loss is
-time-domain L1 of the masked reconstruction against clean speech. Reports
-held-out SI-SNR improvement over the unprocessed mixture — the margin
+spectral-mask net (models/separation_nn.py) is trained here on generatable
+mixtures. Round-3 hard corpus (VERDICT r2 #7): reverberant speech (synthetic
+RIRs, RT60 0.1–0.45 s), SNR sweep −10..15 dB, interference drawn from music
+beds / hum / tones / noise (models/vad/synthetic.py) plus percussion and
+DUAL simultaneous sources. The training target is the (reverberant) speech —
+the frontend's job is removing interference for ASR, not dereverberation.
+
+Loss: time-domain L1 + 0.5·log-magnitude spectral L1. Reports held-out
+SI-SNR improvement PER CONDITION — the overall margin
 tests/test_separation.py locks for the packaged weights.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -25,26 +31,86 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+SR = 16000
 CLIP = 16384  # ~1 s @ 16 kHz, the smallest streaming bucket
+CONDITIONS = ("music", "hum", "tone", "noise", "percussion", "dual")
+
+
+def synth_percussion(rng: np.random.Generator, seconds: float) -> np.ndarray:
+    """Kick/hat-style impulse train + noise bursts (a beat the chordal music
+    bed lacks; broadband transients are the hardest masking case)."""
+    n = int(seconds * SR)
+    sig = np.zeros(n, np.float32)
+    period = int(SR * rng.uniform(0.3, 0.6))
+    t_dec = np.exp(-np.arange(2000) / rng.uniform(200, 600))
+    for start in range(rng.integers(0, period), n, period):
+        end = min(start + 2000, n)
+        burst = rng.standard_normal(end - start).astype(np.float32) * t_dec[: end - start]
+        f = rng.uniform(60, 120)
+        thump = np.sin(2 * np.pi * f * np.arange(end - start) / SR) * t_dec[: end - start]
+        sig[start:end] += burst * 0.5 + thump.astype(np.float32)
+    peak = np.abs(sig).max() + 1e-9
+    return sig / peak
+
+
+def make_rir(rng: np.random.Generator, rt60: float) -> np.ndarray:
+    """Exponentially decaying noise RIR (image-method surrogate)."""
+    n = max(int(rt60 * SR), 64)
+    h = rng.standard_normal(n).astype(np.float32)
+    h *= np.exp(-3.0 * np.log(10) * np.arange(n) / n)
+    h[0] = 1.0
+    return h / (np.sqrt(np.sum(h**2)) + 1e-9)
+
+
+def _interference(rng: np.random.Generator, cond: str, seconds: float) -> np.ndarray:
+    from realtime_whisper_asr_tpu.models.vad.synthetic import synth_nonspeech
+
+    if cond == "percussion":
+        return synth_percussion(rng, seconds)
+    if cond == "dual":
+        a = _interference(rng, str(rng.choice(CONDITIONS[:5])), seconds)
+        b = _interference(rng, str(rng.choice(CONDITIONS[:5])), seconds)
+        out = a + b * rng.uniform(0.3, 1.0)
+        return out / (np.abs(out).max() + 1e-9)
+    # map named conditions onto synth_nonspeech kinds by rejection
+    kind_of = {"noise": (0, 1), "hum": (2,), "tone": (3,), "music": (4,)}
+    want = kind_of[cond]
+    for _ in range(64):
+        state = rng.integers(0, 2**31)
+        r2 = np.random.default_rng(state)
+        kind = int(np.random.default_rng(state).integers(0, 5))
+        if kind in want:
+            return synth_nonspeech(r2, seconds)
+    return synth_nonspeech(rng, seconds)
+
+
+def make_example(rng: np.random.Generator, cond: str | None = None,
+                 snr_db: float | None = None, reverb: bool | None = None):
+    """One (mix, target) pair; target = (possibly reverberant) speech."""
+    from realtime_whisper_asr_tpu.models.vad.synthetic import synth_speech
+
+    seconds = CLIP / SR
+    cond = cond or str(np.random.default_rng(rng.integers(2**31)).choice(CONDITIONS))
+    speech, _ = synth_speech(rng, seconds + 0.1)
+    speech = speech[:CLIP]
+    if reverb if reverb is not None else (rng.random() < 0.35):
+        rir = make_rir(rng, rng.uniform(0.1, 0.45))
+        speech = np.convolve(speech, rir)[:CLIP].astype(np.float32)
+        speech /= np.abs(speech).max() + 1e-9
+    noise = _interference(rng, cond, seconds + 0.1)[:CLIP]
+    snr = snr_db if snr_db is not None else rng.uniform(-10.0, 15.0)
+    sp = np.sqrt(np.mean(speech**2) + 1e-9)
+    npow = np.sqrt(np.mean(noise**2) + 1e-9)
+    g = (sp / npow) * 10 ** (-snr / 20)
+    level = rng.uniform(0.1, 0.9)
+    return (speech + g * noise) * level, speech * level, cond
 
 
 def make_batch(rng: np.random.Generator, batch: int):
-    from realtime_whisper_asr_tpu.models.vad.synthetic import synth_nonspeech, synth_speech
-
     mix = np.zeros((batch, CLIP), np.float32)
     clean = np.zeros((batch, CLIP), np.float32)
-    seconds = CLIP / 16000
     for b in range(batch):
-        speech, _ = synth_speech(rng, seconds + 0.1)
-        noise = synth_nonspeech(rng, seconds + 0.1)
-        speech, noise = speech[:CLIP], noise[:CLIP]
-        snr_db = rng.uniform(-5.0, 15.0)
-        sp = np.sqrt(np.mean(speech**2) + 1e-9)
-        npow = np.sqrt(np.mean(noise**2) + 1e-9)
-        g = (sp / npow) * 10 ** (-snr_db / 20)
-        level = rng.uniform(0.1, 0.9)
-        mix[b] = (speech + g * noise) * level
-        clean[b] = speech * level
+        mix[b], clean[b], _ = make_example(rng)
     return mix, clean
 
 
@@ -56,12 +122,30 @@ def si_snr(est: np.ndarray, ref: np.ndarray) -> float:
     return float(10 * np.log10((np.dot(s, s) + 1e-9) / (np.dot(e, e) + 1e-9)))
 
 
+def evaluate(sep, seed: int, per_cond: int = 8) -> dict:
+    """Held-out SI-SNR improvement by condition (and overall)."""
+    out = {}
+    gains_all = []
+    for cond in CONDITIONS:
+        rng = np.random.default_rng((seed, hash(cond) % 2**31))
+        gains = []
+        for _ in range(per_cond):
+            mix, clean, _ = make_example(rng, cond=cond)
+            est = sep.separate(mix)
+            gains.append(si_snr(est, clean) - si_snr(mix, clean))
+        out[cond] = round(float(np.mean(gains)), 2)
+        gains_all += gains
+    out["overall"] = round(float(np.mean(gains_all)), 2)
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--steps", type=int, default=2500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arch", choices=["v1", "v2"], default="v2")
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -77,13 +161,23 @@ def main(argv=None) -> int:
 
     from realtime_whisper_asr_tpu.models import separation_nn as S
 
-    params = S.init_separator_params(jax.random.PRNGKey(args.seed))
-    opt = optax.adam(args.lr)
+    if args.arch == "v2":
+        params = S.init_separator_params_v2(jax.random.PRNGKey(args.seed))
+    else:
+        params = S.init_separator_params(jax.random.PRNGKey(args.seed))
+    dil, _ = S.arch_of(params)
+
+    sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
+    opt = optax.adam(sched)
     opt_state = opt.init(params)
 
     def loss_fn(p, mix, clean):
-        est = jax.vmap(lambda a: S.separate_vocals(p, a))(mix)
-        return jnp.mean(jnp.abs(est - clean))
+        est = jax.vmap(lambda a: S.separate_vocals(p, a, dil=dil))(mix)
+        l_time = jnp.mean(jnp.abs(est - clean))
+        spec_e = jax.vmap(lambda a: S._stft(a)[0])(est)
+        spec_c = jax.vmap(lambda a: S._stft(a)[0])(clean)
+        l_spec = jnp.mean(jnp.abs(jnp.log1p(jnp.abs(spec_e)) - jnp.log1p(jnp.abs(spec_c))))
+        return l_time + 0.5 * l_spec
 
     @jax.jit
     def train_step(p, s, mix, clean):
@@ -104,15 +198,11 @@ def main(argv=None) -> int:
     np.savez(out, **{k: np.asarray(v) for k, v in params.items()})
     print(f"wrote {out}")
 
-    # held-out SI-SNR improvement (fresh seed)
     sep = S.NeuralSeparator.load_npz(out)
-    eval_rng = np.random.default_rng(args.seed + 10_000)
-    gains = []
-    for _ in range(16):
-        mix, clean = make_batch(eval_rng, 1)
-        est = sep.separate(mix[0])
-        gains.append(si_snr(est, clean[0]) - si_snr(mix[0], clean[0]))
-    print(f"held-out SI-SNR improvement: {np.mean(gains):.2f} dB (n=16)")
+    sep.use_device = False
+    report = evaluate(sep, seed=args.seed + 10_000)
+    print("held-out SI-SNR improvement by condition (dB):")
+    print(json.dumps(report, indent=1))
     return 0
 
 
