@@ -412,10 +412,12 @@ def main() -> int:
 
     t_setup0 = time.perf_counter()
     quant = os.environ.get("BENCH_QUANT", "int8")
+    beam = int(os.environ.get("BENCH_BEAM", "1"))  # beam row: BENCH_BEAM=5
     asr = TPUWhisperASR(
         model_size=model, dtype=jnp.bfloat16, word_timestamps=True,
         quantization=None if quant in ("", "none") else quant,
         checkpoint_dir=os.environ.get("BENCH_CHECKPOINT") or None,
+        beam_size=beam,
     )
     # random weights never sample EOT; cap the TOTAL transcript per window so
     # the incremental path generates a realistic ~handful of new tokens/tick
@@ -515,6 +517,7 @@ def main() -> int:
         "wall_seconds": round(wall, 2),
         "model": model,
         "max_new_tokens": max_new,
+        "beam_size": beam,
         **extras,
         "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~31 ms per device sync through a tunneled backend (BENCH_PHASES=1 isolates it)",
     }))

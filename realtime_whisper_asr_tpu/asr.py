@@ -54,12 +54,10 @@ def _samples_to_words(audio: np.ndarray) -> np.ndarray:
     return q.view(np.float32)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
 def _buf_write(buf: jnp.ndarray, words: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dynamic_update_slice(buf, _words_to_samples(words), (pos,))
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
 def _buf_place(words: jnp.ndarray, cap: int) -> jnp.ndarray:
     """Fresh CAP-sized ring from a bucketed payload (full-replace path)."""
     samples = _words_to_samples(words)
@@ -68,7 +66,6 @@ def _buf_place(words: jnp.ndarray, cap: int) -> jnp.ndarray:
     return jnp.concatenate([samples, jnp.zeros(cap - samples.shape[0], jnp.float32)])
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
 def _buf_shift_write(
     buf: jnp.ndarray, words: jnp.ndarray, k: jnp.ndarray, n_remain: jnp.ndarray,
 ) -> jnp.ndarray:
@@ -79,6 +76,37 @@ def _buf_shift_write(
     src = jnp.take(buf, jnp.minimum(idx + k, buf.shape[0] - 1), axis=0)
     shifted = jnp.where(idx < n_remain, src, 0.0)
     return jax.lax.dynamic_update_slice(shifted, _words_to_samples(words), (n_remain,))
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "lens", "cap", "aux_size"))
+def _apply_plans_jit(up, bufs, kinds, lens, cap, aux_size):
+    """Apply every stream's upload plan against the blob in ONE jitted program
+    (ring writes/shifts/replaces + the aux slice). Eagerly these were 2-4
+    dispatches per stream per tick; one program also lets XLA schedule them
+    together. ``kinds``/``lens`` are static (plan shapes are bucketed); the
+    per-row write positions and shift amounts ride as f32 words at the END of
+    the blob itself (exact below 2^23; a separate jnp.asarray would be a
+    second transfer)."""
+    n = len(kinds)
+    meta_off = sum(lens) + aux_size
+    new_bufs = []
+    off = 0
+    for i, (kind, ln) in enumerate(zip(kinds, lens)):
+        seg = jax.lax.slice(up, (off,), (off + ln,))
+        pos = up[meta_off + i].astype(jnp.int32)
+        shift = up[meta_off + n + i].astype(jnp.int32)
+        if kind == "full":
+            nb = _buf_place(seg, cap)
+        elif kind == "shift":
+            nb = _buf_shift_write(bufs[i], seg, shift, pos)
+        elif ln:
+            nb = _buf_write(bufs[i], seg, pos)
+        else:  # grow with nothing new (prefetched): buffer already current
+            nb = bufs[i]
+        new_bufs.append(nb)
+        off += ln
+    aux = jax.lax.slice(up, (off,), (off + aux_size,))
+    return tuple(new_bufs), aux
 
 
 @dataclasses.dataclass
@@ -188,6 +216,22 @@ class TPUWhisperASR:
         self.adaptive_params = None  # optional AdaptiveWhisperParams (pipeline.stretch)
         self._vad_flag = False  # protocol parity; VAD is the VAC processor's job
         self._encode = jax.jit(W.encode, static_argnames=("cfg",))
+
+        # ring-slice + Pallas log-mel + stack + encode as ONE jitted program:
+        # run eagerly these were 4-6 separate dispatches per tick, each paying
+        # host-dispatch latency on a tunneled backend, and XLA couldn't
+        # schedule mel against the encoder prologue
+        def _logmel_encode_impl(params, cfg, bufs, nb):
+            from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
+
+            mels = [
+                log_mel_spectrogram(jax.lax.slice(b, (0,), (nb,)), n_mels=cfg.n_mels)
+                for b in bufs
+            ]
+            mel = jnp.stack(mels).astype(self.params_dtype)
+            return W.encode(params, cfg, mel)
+
+        self._logmel_encode = jax.jit(_logmel_encode_impl, static_argnames=("cfg", "nb"))
         # device-resident rolling audio buffers, one per stream (multi-stream
         # serving shares one model; each stream keeps its own window mirror)
         self._buffers: dict = {}
@@ -320,34 +364,37 @@ class TPUWhisperASR:
         are async dispatches (cheap on this backend).
         """
         plans = [self._plan_upload(k, a) for k, a in zip(keys, audios)]
-        blob = np.concatenate([p["words"] for p in plans] + [aux_rows.reshape(-1)])
+        aux_dev = self._upload_and_apply(keys, plans, aux_rows)
+        return aux_dev.reshape(aux_rows.shape)
+
+    _EMPTY_BUF = None  # cached dummy for rows whose plan ignores the old buf
+
+    def _upload_and_apply(self, keys, plans: list[dict], aux_rows) -> jnp.ndarray:
+        """ONE transfer (plans' words + aux rows) + ONE jitted apply program."""
+        aux_flat = (np.zeros(0, np.float32) if aux_rows is None
+                    else np.ascontiguousarray(aux_rows, np.float32).reshape(-1))
+        meta = np.asarray(
+            [p["pos"] or 0 for p in plans] + [p["shift_k"] for p in plans],
+            np.float32,
+        )
+        blob = np.concatenate([p["words"] for p in plans] + [aux_flat, meta])
         up = jnp.asarray(blob)
         self.counters["h2d_transfers"] += 1
         self.counters["h2d_bytes"] += blob.nbytes
-        off = 0
-        for plan, k in zip(plans, keys):
-            off = self._apply_plan(k, plan, up, off)
-        aux_dev = jax.lax.slice(up, (off,), (off + aux_rows.size,)).reshape(aux_rows.shape)
+        if TPUWhisperASR._EMPTY_BUF is None:
+            TPUWhisperASR._EMPTY_BUF = jnp.zeros(self._CAP, jnp.float32)
+        kinds = tuple(p["kind"] for p in plans)
+        lens = tuple(len(p["words"]) for p in plans)
+        bufs = tuple(
+            self._buffers[k][0] if p["kind"] != "full" else TPUWhisperASR._EMPTY_BUF
+            for k, p in zip(keys, plans)
+        )
+        new_bufs, aux_dev = _apply_plans_jit(
+            up, bufs, kinds=kinds, lens=lens, cap=self._CAP, aux_size=aux_flat.size,
+        )
+        for k, nb, plan in zip(keys, new_bufs, plans):
+            self._buffers[k] = (nb, plan["mirror"].copy())
         return aux_dev
-
-    def _apply_plan(self, k, plan: dict, up: jnp.ndarray, off: int) -> int:
-        """Apply one _plan_upload plan against the uploaded blob ``up`` at
-        word offset ``off``; returns the next offset."""
-        words = plan["words"]
-        seg = jax.lax.slice(up, (off,), (off + len(words),))
-        if plan["kind"] == "full":
-            dev_buf = _buf_place(seg, self._CAP)
-        elif plan["kind"] == "shift":
-            dev_buf = _buf_shift_write(
-                self._buffers[k][0], seg, jnp.int32(plan["shift_k"]),
-                jnp.int32(plan["pos"]),
-            )
-        else:  # grow
-            dev_buf = self._buffers[k][0]
-            if plan["n_new"]:
-                dev_buf = _buf_write(dev_buf, seg, jnp.int32(plan["pos"]))
-        self._buffers[k] = (dev_buf, plan["mirror"].copy())
-        return off + len(words)
 
     def prefetch_audio(self, audio: np.ndarray, key=None) -> bool:
         """Upload a stream's current buffer NOW, off the tick critical path.
@@ -365,10 +412,7 @@ class TPUWhisperASR:
         plan = self._plan_upload(key, audio)
         if plan["kind"] == "grow" and plan["n_new"] == 0:
             return False
-        up = jnp.asarray(plan["words"])
-        self.counters["h2d_transfers"] += 1
-        self.counters["h2d_bytes"] += plan["words"].nbytes
-        self._apply_plan(key, plan, up, 0)
+        self._upload_and_apply([key], [plan], None)
         return True
 
     def _sync_audio_and_aux(self, audio: np.ndarray, aux_np: np.ndarray):
@@ -403,18 +447,12 @@ class TPUWhisperASR:
         """
         nb = max(self._window_bucket(n) for n in n_samples_list)
         from realtime_whisper_asr_tpu.models.whisper.model import encoder_flops
-        from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
 
         self.counters["encode_flops"] = self.counters.get("encode_flops", 0) + len(
             keys
         ) * encoder_flops(self.cfg, nb // (2 * 160))
-        mels = []
-        for k in keys:
-            dev_buf, _ = self._buffers[k]
-            window = jax.lax.slice(dev_buf, (0,), (nb,))
-            mels.append(log_mel_spectrogram(window, n_mels=self.cfg.n_mels))
-        mel = jnp.stack(mels).astype(self.params_dtype)
-        return self._encode(self.params, self.cfg, mel)
+        bufs = tuple(self._buffers[k][0] for k in keys)
+        return self._logmel_encode(self.params, self.cfg, bufs, nb)
 
     def _load_alignment_heads(self, checkpoint_dir) -> Optional[np.ndarray]:
         if not checkpoint_dir:
