@@ -47,7 +47,28 @@ def test_trained_separator_improves_si_snr():
         est = sep.separate(mix)
         gains.append(_si_snr(est, clean) - _si_snr(mix, clean))
     mean_gain = float(np.mean(gains))
-    assert mean_gain > 3.0, f"SI-SNR gain {mean_gain:.2f} dB (gains={gains})"
+    # round-2 locked >3 dB for the v1 net; the v2 dilated net trained on the
+    # hard corpus must hold a much higher floor on this easy mix
+    assert mean_gain > 8.0, f"SI-SNR gain {mean_gain:.2f} dB (gains={gains})"
+
+
+def test_trained_separator_hard_corpus_floor():
+    """VERDICT r2 #7 acceptance: >= +10 dB mean SI-SNR improvement on the
+    HARD held-out corpus (reverb, SNR sweep, percussion, dual sources) —
+    measured +12.3 dB at training time; this locks a safety-margin floor on
+    a fresh evaluation seed."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import train_separator as T
+
+    sep = NeuralSeparator(use_device=False)
+    report = T.evaluate(sep, seed=777, per_cond=4)
+    assert report["overall"] >= 10.0, report
+    # every condition individually separates (no collapsed mode)
+    for cond in T.CONDITIONS:
+        assert report[cond] > 3.0, report
 
 
 def test_separator_passthrough_on_short_input():
