@@ -113,18 +113,23 @@ def run_scenario(n: int) -> int:
         4: dict(model="medium", language="en",
                 overrides=dict(base_off, **{
                     "audio_deduplication.enable": True,
-                    # the wizard's own recommendation for ≥medium models
-                    # (cli.py pp_default): the incremental SimulStreaming-style
-                    # mode — agree2's double re-decode on unstable random-weight
-                    # hypotheses was most of scenario 4's round-2 217 ms p50
-                    "streaming.prefix_policy": "last"}),
+                    # the wizard's own recommendations for ≥medium models
+                    # (cli.py pp_default, hardware.recommend_quantization):
+                    # the incremental SimulStreaming-style mode — agree2's
+                    # double re-decode on unstable random-weight hypotheses
+                    # was most of scenario 4's round-2 217 ms p50 — plus
+                    # int8-all weights (decode is weight-bandwidth-bound)
+                    "streaming.prefix_policy": "last",
+                    "model.quantization": "int8-all"}),
                 task="translate"),
         5: dict(model="large-v3", language="en",
                 overrides=dict(base_off, **{
                            "vocal_separation.enable": True, "vocal_separation.method": "neural",
-                           # large models run the SimulStreaming-style mode (what
-                           # the wizard recommends for large-v3; matches headline)
+                           # large models run the wizard-recommended config:
+                           # SimulStreaming-style mode + int8-all (matches the
+                           # headline and hardware.recommend_quantization)
                            "streaming.prefix_policy": "last",
+                           "model.quantization": "int8-all",
                            # the 40 KB mask net runs in ~ms on host BLAS; on this
                            # tunneled rig the per-chunk device round-trip (~60 ms)
                            # would otherwise dominate the separation cost
@@ -519,7 +524,7 @@ def main() -> int:
         "max_new_tokens": max_new,
         "beam_size": beam,
         **extras,
-        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~31 ms per device sync through a tunneled backend (BENCH_PHASES=1 isolates it)",
+        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download) and BENCH_PHASES=1 publishes the corrected split",
     }))
     return 0
 

@@ -168,7 +168,7 @@ def cmd_wizard(args) -> int:
     q = recommend_quantization(hw, model)
     q_default = q["quantization"] or "none"
     print(f"💡 quantization: {q_default} ({q['reason']})")
-    quant = input(f"quantization (int8/none) [{q_default}]: ").strip() or q_default
+    quant = input(f"quantization (int8-all/int8/none) [{q_default}]: ").strip() or q_default
 
     # large models stream best with the SimulStreaming-style incremental mode
     # (the reference's own advice, 先看这个，cursor不用看/先看这个.txt)

@@ -122,12 +122,18 @@ def recommend_separation_config(hw: dict[str, Any], model: str,
 
 def recommend_quantization(hw: dict[str, Any], model: str) -> dict[str, Any]:
     """Quantization recommendation (reference int8-on-CPU advice,
-    `一键实时识别麦克风.py:300-328`): single-stream decode is weight-bandwidth
-    bound, so int8 halves HBM traffic on medium+ models with negligible
-    streaming-quality cost; small models are latency-bound elsewhere."""
+    `一键实时识别麦克风.py:300-328`). The SHIPPED recommendation for ≥medium
+    models is **int8-all** (decoder + encoder + logits head): decode is
+    weight-bandwidth-bound at batch 1 and the int8 encoder saves ~3 ms/tick;
+    round-3 measured int8-all as the fastest 1 s-cadence large-v3 config
+    (rtf 0.072 vs 0.075 int8 vs slower bf16 — BENCH_SCENARIOS_r03). ``int8``
+    (decoder-only) is the conservative pick when encoder quality deltas are
+    unvalidated against real weights; small models stay bf16."""
     if model in ("medium", "large-v2", "large-v3", "large-v3-turbo"):
-        return {"quantization": "int8",
-                "reason": "decode is HBM-bandwidth-bound at batch 1; int8 weights "
-                          "halve bytes/token on a ≥medium model"}
+        return {"quantization": "int8-all",
+                "reason": "decode is HBM-bandwidth-bound at batch 1 and the int8 "
+                          "encoder saves ~3 ms/tick (fastest measured streaming "
+                          "config; use plain int8 until encoder quality is "
+                          "validated on real weights if conservative)"}
     return {"quantization": None,
             "reason": f"{model} decode is not bandwidth-limited; bf16 keeps full quality"}
