@@ -28,6 +28,7 @@ RUNS = (
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
     "scenario3_phases", "scenario4_phases",
     "streams2", "streams4", "streams4_mixedlang", "streams8", "streams16",
+    "streams16_int8all", "streams16_int8kv",
 )
 
 
