@@ -24,7 +24,7 @@ RUNS = (
     "headline", "headline_phases",
     "headline_int8all", "headline_2s_int8all", "headline_turbo",
     "headline_phases_int8all", "headline_phases_int8all_run2", "headline_60s",
-    "headline_beam5",
+    "headline_beam5", "headline_paced_int8all",
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
     "scenario3_phases", "scenario4_phases",
     "streams2", "streams4", "streams4_mixedlang", "streams8", "streams16",
