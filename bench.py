@@ -143,6 +143,12 @@ def run_scenario(n: int) -> int:
         cm.set(k, v)
     app = StreamingApp(config=cm, language=s["language"], task=s.get("task", "transcribe"))
     app.asr.transcribe_kargs.update(max_new_tokens=96, max_total_tokens=96)
+    # realistic transcript density for the random-weight emulation: real
+    # speech is ~3-4 tokens/s, so a fresh 1-2 s utterance decodes ~a dozen
+    # tokens then stops (EOT with real weights, this cap with random ones) —
+    # without it every VAD utterance restart decoded the full 96-token budget,
+    # which no real transcript of a 1 s window ever reaches
+    app.asr.max_tokens_per_second = float(os.environ.get("BENCH_TOKENS_PER_S", "4"))
     audio = music_backed_speech(seconds) if n == 5 else synthetic_speech(seconds)
 
     stream = SimulatedMicStream(np.concatenate([audio, audio]))  # warm + measure
@@ -425,9 +431,13 @@ def main() -> int:
         beam_size=beam,
     )
     # random weights never sample EOT; cap the TOTAL transcript per window so
-    # the incremental path generates a realistic ~handful of new tokens/tick
+    # the incremental path generates a realistic ~handful of new tokens/tick,
+    # and scale the cap with window length (real speech ~3-4 tokens/s —
+    # BENCH_TOKENS_PER_S, the max_tokens_per_second product guard) so fresh
+    # short windows decode short transcripts like real weights would
     asr.transcribe_kargs["max_new_tokens"] = max_new
     asr.transcribe_kargs["max_total_tokens"] = max_new
+    asr.max_tokens_per_second = float(os.environ.get("BENCH_TOKENS_PER_S", "4"))
     prefix_policy = os.environ.get("BENCH_PREFIX_POLICY", "last")
     online = OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0),
                                 prefix_policy=prefix_policy)

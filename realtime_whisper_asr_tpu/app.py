@@ -191,6 +191,8 @@ class StreamingApp:
             )
             if task == "translate":
                 asr.set_translate_task()
+            if m.get("max_tokens_per_second") is not None:
+                asr.max_tokens_per_second = float(m["max_tokens_per_second"])
         self.asr = asr
 
         # --- streaming processor ---

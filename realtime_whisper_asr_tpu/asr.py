@@ -213,6 +213,14 @@ class TPUWhisperASR:
         self.beam_size = beam_size
         self.word_timestamps = word_timestamps
         self.transcribe_kargs: dict = {}
+        #: anti-hallucination guard: cap the transcript per window at
+        #: ``8 + rate × window_seconds`` tokens. Real speech lands at ~3-4
+        #: tokens/s (whisper's 224-token cap for a 30 s window is ~7.5/s), so
+        #: a degenerate repetition loop on a short window is cut off early
+        #: instead of running to max_new_tokens; None disables. Rides in the
+        #: aux bundle as the exact runtime cap (no retraces beyond the static
+        #: {16,48,96,224} loop buckets).
+        self.max_tokens_per_second: Optional[float] = None
         self.adaptive_params = None  # optional AdaptiveWhisperParams (pipeline.stretch)
         self._vad_flag = False  # protocol parity; VAD is the VAC processor's job
         self._encode = jax.jit(W.encode, static_argnames=("cfg",))
@@ -548,6 +556,15 @@ class TPUWhisperASR:
             **kargs,
         )
 
+    def _apply_token_density(self, opts: D.DecodeOptions, window_samples: int) -> D.DecodeOptions:
+        """Fold the per-second transcript cap into opts.max_total_tokens."""
+        if self.max_tokens_per_second is None:
+            return opts
+        cap = int(8 + self.max_tokens_per_second * window_samples / SAMPLING_RATE)
+        if opts.max_total_tokens is not None:
+            cap = min(cap, opts.max_total_tokens)
+        return dataclasses.replace(opts, max_total_tokens=cap)
+
     def transcribe_batch(self, items: list[dict]) -> list[TranscriptionResult]:
         """Batched multi-stream tick: B streams, ONE upload + ONE batched
         encode + ONE batched decode + ONE download (serving capacity lever —
@@ -582,6 +599,11 @@ class TPUWhisperASR:
         while padded and (len(padded) & (len(padded) - 1)):
             padded.append(padded[-1])
         opts = self._make_opts()
+        # group-level density cap from the longest window (caps are an
+        # anti-degenerate guard, so the loosest row bound is the safe shared one)
+        opts = self._apply_token_density(
+            opts, max(len(np.asarray(it["audio"])) for it in items)
+        )
         keys, audios, requests = [], [], []
         for it in padded:
             prompt = it.get("init_prompt") or ""
@@ -668,7 +690,7 @@ class TPUWhisperASR:
         draft_ids: Optional[list[int]] = None,
     ) -> TranscriptionResult:
         t0 = time.perf_counter()
-        opts = self._make_opts()
+        opts = self._apply_token_density(self._make_opts(), len(audio))
         prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
         if opts.beam_size > 1:
             draft_ids = None  # beam path has no speculative fast path

@@ -27,6 +27,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "quantization": None,  # None | "int8" (decoder weight-only)
         "beam_size": 1,
         "word_timestamps": True,
+        # anti-hallucination guard: cap each window's transcript at
+        # 8 + rate x window_seconds tokens (real speech ~3-4 tokens/s);
+        # None disables. See asr.TPUWhisperASR.max_tokens_per_second.
+        "max_tokens_per_second": None,
     },
     "streaming": {
         "agreement_n": 2,

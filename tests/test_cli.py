@@ -34,8 +34,10 @@ def test_separation_recommendation_tiers():
 
 
 def test_quantization_recommendation():
-    assert recommend_quantization(TPU16, "large-v3")["quantization"] == "int8"
-    assert recommend_quantization(TPU16, "medium")["quantization"] == "int8"
+    # int8-all is the shipped recommendation for >=medium: measured fastest
+    # 1 s-cadence streaming config (BENCH_SCENARIOS_r03, docs/ROADMAP.md)
+    assert recommend_quantization(TPU16, "large-v3")["quantization"] == "int8-all"
+    assert recommend_quantization(TPU16, "medium")["quantization"] == "int8-all"
     assert recommend_quantization(TPU16, "base")["quantization"] is None
     assert recommend_quantization(CPU, "tiny")["quantization"] is None
 

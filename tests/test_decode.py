@@ -288,6 +288,25 @@ def test_combo_int8_prefix_word_timestamps(asr):
     assert ts == sorted(ts)
 
 
+def test_token_density_cap(asr):
+    """max_tokens_per_second caps the per-window transcript at
+    8 + rate x window_seconds (anti-hallucination guard; random weights
+    never emit EOT, so without the cap decode runs to max_new_tokens)."""
+    audio = _audio(seconds=2.0, seed=31)
+    asr.max_tokens_per_second = 4.0
+    asr.transcribe_kargs["max_new_tokens"] = 96
+    try:
+        res = asr.transcribe(audio)
+    finally:
+        asr.max_tokens_per_second = None
+        asr.transcribe_kargs.pop("max_new_tokens", None)
+    # cap = 8 + 4*2 = 16 tokens for the 2 s window
+    assert len(res.tokens) <= 16, len(res.tokens)
+    # disabled -> runs past the density cap
+    res2 = asr.transcribe(audio)
+    assert len(res2.tokens) > 16
+
+
 def test_max_total_tokens_enforced_exactly(asr):
     cfg = asr.cfg
     xa = asr._encode_window(_audio(seed=22))

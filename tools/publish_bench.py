@@ -73,6 +73,28 @@ def main(argv=None) -> int:
         pub["large_v3_sync_rtf_rig_tax"] = hp.get("sync_rtf")
         pub["sync_floor_ms"] = hp.get("sync_floor_ms")
         pub["decode_ms_per_token"] = hp.get("decode_ms_per_token")
+    if h and hp:
+        # pin the headline-vs-target gap to the measured sync floor (VERDICT
+        # r2 #2): at 1 s cadence ticks == audio seconds, so the predicted
+        # end-to-end rtf is compute + transfer + host parse + (blocking
+        # d2h syncs/tick × sync floor). The gap% is how much of the headline
+        # rtf this accounting fails to explain.
+        syncs = h.get("d2h_per_tick", 1.0)
+        floor_s = (hp.get("sync_floor_ms") or 0.0) / 1e3
+        host_s = (hp.get("phases_ms_per_tick", {}).get("host_parse") or 0.0) / 1e3
+        predicted = (
+            (hp.get("compute_rtf") or 0.0) + (hp.get("transfer_rtf") or 0.0)
+            + host_s + syncs * floor_s
+        )
+        rtf = h.get("rtf")
+        pub["sync_accounting"] = {
+            "blocking_d2h_syncs_per_tick_counted": syncs,
+            "sync_floor_ms": hp.get("sync_floor_ms"),
+            "predicted_rtf_compute+transfer+host+syncs": round(predicted, 4),
+            "measured_rtf": rtf,
+            "unexplained_gap_pct": round(100.0 * (rtf - predicted) / rtf, 1)
+            if rtf else None,
+        }
     hpa = results.get("headline_phases_int8all")
     if hpa:
         pub["large_v3_compute_rtf_int8all"] = hpa.get("compute_rtf")
