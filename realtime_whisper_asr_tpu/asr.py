@@ -556,14 +556,15 @@ class TPUWhisperASR:
             **kargs,
         )
 
-    def _apply_token_density(self, opts: D.DecodeOptions, window_samples: int) -> D.DecodeOptions:
-        """Fold the per-second transcript cap into opts.max_total_tokens."""
+    def _density_cap(self, max_new_cap: int, n_prefix: int, window_samples: int) -> int:
+        """Fold the per-second transcript cap into the DYNAMIC max_new_cap that
+        rides in the aux bundle. Deliberately not folded into opts: opts is a
+        static jit argument, so a per-tick max_total_tokens would mint a new
+        trace (and a fresh compile) for every distinct window length."""
         if self.max_tokens_per_second is None:
-            return opts
-        cap = int(8 + self.max_tokens_per_second * window_samples / SAMPLING_RATE)
-        if opts.max_total_tokens is not None:
-            cap = min(cap, opts.max_total_tokens)
-        return dataclasses.replace(opts, max_total_tokens=cap)
+            return max_new_cap
+        total = int(8 + self.max_tokens_per_second * window_samples / SAMPLING_RATE)
+        return max(1, min(max_new_cap, total - n_prefix))
 
     def transcribe_batch(self, items: list[dict]) -> list[TranscriptionResult]:
         """Batched multi-stream tick: B streams, ONE upload + ONE batched
@@ -599,11 +600,6 @@ class TPUWhisperASR:
         while padded and (len(padded) & (len(padded) - 1)):
             padded.append(padded[-1])
         opts = self._make_opts()
-        # group-level density cap from the longest window (caps are an
-        # anti-degenerate guard, so the loosest row bound is the safe shared one)
-        opts = self._apply_token_density(
-            opts, max(len(np.asarray(it["audio"])) for it in items)
-        )
         keys, audios, requests = [], [], []
         for it in padded:
             prompt = it.get("init_prompt") or ""
@@ -616,6 +612,13 @@ class TPUWhisperASR:
             audios.append(np.asarray(it["audio"], np.float32))
             keys.append(it["key"])
         planned = D.plan_batch_aux(self.cfg, opts, requests)
+        if self.max_tokens_per_second is not None:
+            # per-row density cap via the dynamic aux field (see _density_cap)
+            for row, aud in zip(planned[0], audios):
+                row["aux"][D.AUX_TOK + 4] = self._density_cap(
+                    int(row["aux"][D.AUX_TOK + 4]), int(row["aux"][D.AUX_TOK]),
+                    len(aud),
+                )
         aux_rows = np.stack([r["aux"] for r in planned[0]])
         pt = self.phase_timer
         if pt is not None:
@@ -690,7 +693,7 @@ class TPUWhisperASR:
         draft_ids: Optional[list[int]] = None,
     ) -> TranscriptionResult:
         t0 = time.perf_counter()
-        opts = self._apply_token_density(self._make_opts(), len(audio))
+        opts = self._make_opts()
         prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
         if opts.beam_size > 1:
             draft_ids = None  # beam path has no speculative fast path
@@ -700,6 +703,7 @@ class TPUWhisperASR:
         )
         ts_in_prefix = [int(t) for t in init[len(init) - n_prefix :] if t >= self.cfg.timestamp_begin]
         _, max_new_cap = D.plan_decode_budget(self.cfg, opts, int(init.shape[0]), n_prefix)
+        max_new_cap = self._density_cap(max_new_cap, n_prefix, len(audio))
         aux_np = D.pack_aux(
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
             seed=self._sample_seed, max_new_cap=max_new_cap,
