@@ -357,15 +357,20 @@ class StreamingApp:
             and getattr(self.processor, "_pending", None) is None
         )
 
-    def process_chunk(self, chunk: np.ndarray, stats: SessionStats, now: float) -> Optional[str]:
-        """One hot-loop iteration body (reference 一键…py:1444-1677)."""
+    def process_chunk(self, chunk: np.ndarray, stats: SessionStats, now: float,
+                      separated: bool = False) -> Optional[str]:
+        """One hot-loop iteration body (reference 一键…py:1444-1677).
+
+        ``separated=True`` marks a chunk the pipelined session loop already
+        ran through the vocal separator (record_session overlaps the next
+        chunk's separation with this tick's device wait)."""
         stats.chunks += 1
         if self._pending_lang_switch is not None and self._lang_switch_safe():
             self.change_language(self._pending_lang_switch)
             self._pending_lang_switch = None
             if self.auto_language is not None:
                 self.auto_language.switches += 1
-        if self.separator is not None:
+        if self.separator is not None and not separated:
             chunk = self.separator.separate(chunk)
         if self.deduplicator is not None:
             skip, _ = self.deduplicator.should_skip(chunk, now)
@@ -464,21 +469,57 @@ class StreamingApp:
             protector.healthy = True
         n = int(chunk_seconds * SR)
         fed = 0.0
+
+        def _read_and_separate():
+            """Worker body: blocking read + vocal separation. Run one chunk
+            ahead on a worker thread when separation is enabled, so the
+            separator's host convs (tens of ms/chunk on this 1-core host)
+            overlap the previous tick's device wait instead of serializing
+            in front of it (the reference gets the same overlap from its
+            mic-loop/processing thread split, 一键…py:432-509)."""
+            if protector is not None:
+                chunk, recovered = protector.read_audio(n)
+            else:
+                chunk, _ = stream.read(n)
+                recovered = False
+            sep = chunk
+            if self.separator is not None:
+                sep = self.separator.separate(chunk)
+            return chunk, sep, recovered
+
+        executor = None
+        pending = None
+        if self.separator is not None:
+            import concurrent.futures
+
+            executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="read-sep"
+            )
         try:
             while True:
                 if max_seconds is not None and fed >= max_seconds:
                     break
-                if until_exhausted and getattr(stream, "exhausted", False):
+                if pending is None and until_exhausted and getattr(stream, "exhausted", False):
                     break
-                if protector is not None:
-                    chunk, recovered = protector.read_audio(n)
-                    if recovered:
-                        stats.recoveries += 1
-                        stream = protector.stream  # recovery may install a new stream
+                if executor is not None:
+                    fut = pending if pending is not None else executor.submit(_read_and_separate)
+                    pending = None
+                    chunk, sep_chunk, recovered = fut.result()
                 else:
-                    chunk, _ = stream.read(n)
+                    chunk, sep_chunk, recovered = _read_and_separate()
+                if recovered:
+                    stats.recoveries += 1
+                    if protector is not None:
+                        stream = protector.stream  # recovery may install a new stream
                 fed += len(chunk) / SR
-                text = self.process_chunk(chunk, stats, self.clock())
+                # pre-submit the NEXT read+separate before this tick's device
+                # work, unless this session is already at its last chunk
+                if executor is not None and (
+                    (max_seconds is None or fed < max_seconds)
+                    and not (until_exhausted and getattr(stream, "exhausted", False))
+                ):
+                    pending = executor.submit(_read_and_separate)
+                text = self.process_chunk(sep_chunk, stats, self.clock(), separated=True)
                 # idle UI: blinking nonvoice marker + heartbeat (reference
                 # 一键…py:1653-1677) — only on a TTY, throttled
                 if text:
@@ -500,6 +541,8 @@ class StreamingApp:
         except KeyboardInterrupt:
             logger.info("interrupted; flushing")
         finally:
+            if executor is not None:
+                executor.shutdown(wait=False, cancel_futures=True)
             beg, end, text = self.processor.finish()
             if text and validate_timestamps(beg, end, text):
                 skip = False

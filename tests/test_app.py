@@ -46,6 +46,42 @@ def test_session_end_to_end():
     assert stats.duration_s == pytest.approx(7.0, abs=0.3)
 
 
+def test_session_pipelined_separation_preserves_stream():
+    """With separation enabled record_session pipelines read+separate one
+    chunk ahead on a worker thread (overlapping the tick's device wait).
+    Every chunk must still arrive exactly once, in order, already separated
+    when process_chunk sees it — results identical to the serial loop."""
+    words = [(1.2, 1.6, " hello"), (1.7, 2.1, " world"), (4.2, 4.6, " again")]
+    lines = []
+    app = _app(words, [(1.0, 2.5), (4.0, 5.0)], lines)
+
+    class CountingIdentitySeparator:
+        name = "identity"
+
+        def __init__(self):
+            self.chunks = []
+
+        def separate(self, audio):
+            self.chunks.append(np.asarray(audio))
+            return audio
+
+        def get_stats(self):
+            return {"processed": len(self.chunks)}
+
+    sep = CountingIdentitySeparator()
+    app.separator = sep
+    audio = timecoded_audio(0.0, 7.0)
+    stats = app.record_session(SimulatedMicStream(audio), chunk_seconds=0.25)
+    app.shutdown()
+    text = " ".join(lines)
+    assert "hello" in text and "world" in text and "again" in text
+    assert stats.results >= 2
+    # every chunk separated exactly once, in stream order, nothing dropped
+    rebuilt = np.concatenate(sep.chunks)
+    assert len(rebuilt) == len(audio)
+    np.testing.assert_array_equal(rebuilt, audio)
+
+
 def test_session_skip_detector_suppresses_duplicates():
     words = [(1.2, 1.6, " same"), (4.2, 4.6, " same")]
     lines = []
