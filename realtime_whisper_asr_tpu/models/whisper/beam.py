@@ -220,6 +220,24 @@ def _beam_loop(
     )(xab, auxb)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "text_ctx"))
+def _capture_span_jit(params, cfg, xa, span, amask, text_ctx: int):
+    """ONE compiled program for the winning-sequence alignment capture.
+
+    Run eagerly this was ~700 op-by-op dispatches (init_cache cross-KV +
+    32-layer decode_span) — measured at ~700 ms/tick through this backend's
+    per-dispatch tax, which made beam ~10x slower than its compute. The
+    softmax capture ships uint8-quantized (4 per f32 word), quartering the
+    ~1.5 MB/tick download like the greedy path does (decode.py)."""
+    cache = M.init_cache(params, cfg, xa, text_ctx=text_ctx)
+    _, _, cap = M.decode_span(
+        params, cfg, span, jnp.int32(0), cache, alignment_mask=amask
+    )
+    b = xa.shape[0]
+    q = jnp.clip(jnp.round(cap.reshape(b, -1) * 255.0), 0, 255).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(q.reshape(b, -1, 4), jnp.float32)
+
+
 def _capture_xattn_batch(
     params, cfg, xa, inits, n_prefixes, seqs, alignment_heads
 ) -> list[Optional[np.ndarray]]:
@@ -237,12 +255,13 @@ def _capture_xattn_batch(
     span = np.full((len(bodies), pad_to), cfg.eot, np.int32)
     for i, b in enumerate(bodies):
         span[i, : len(b)] = b
-    cache = M.init_cache(params, cfg, xa, text_ctx=pad_to)
-    _, _, cap = M.decode_span(
-        params, cfg, jnp.asarray(span), jnp.int32(0), cache, alignment_mask=amask
+    audio_ctx = int(xa.shape[1])
+    packed = _capture_span_jit(
+        params, cfg, xa, jnp.asarray(span), amask, text_ctx=pad_to
     )
     D.TRANSFER_STATS["d2h"] += 1
-    rows = np.asarray(cap.reshape(-1)).reshape(len(bodies), pad_to, xa.shape[1])
+    q = np.asarray(packed).view(np.uint8)
+    rows = (q.astype(np.float32) / 255.0).reshape(len(bodies), pad_to, audio_ctx)
     out = []
     for i, (init, n_prefix, seq) in enumerate(zip(inits, n_prefixes, seqs)):
         p0 = len(init) - n_prefix
