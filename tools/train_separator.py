@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -127,7 +128,10 @@ def evaluate(sep, seed: int, per_cond: int = 8) -> dict:
     out = {}
     gains_all = []
     for cond in CONDITIONS:
-        rng = np.random.default_rng((seed, hash(cond) % 2**31))
+        # zlib.crc32, NOT hash(): str hashes are salted per process
+        # (PYTHONHASHSEED), which made the held-out corpus — and the locked
+        # SI-SNR floor in tests/test_separation.py — vary run to run
+        rng = np.random.default_rng((seed, zlib.crc32(cond.encode())))
         gains = []
         for _ in range(per_cond):
             mix, clean, _ = make_example(rng, cond=cond)
