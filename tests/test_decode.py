@@ -307,6 +307,32 @@ def test_token_density_cap(asr):
     assert len(res2.tokens) > 16
 
 
+def test_token_density_cap_batched_per_row(asr):
+    """transcribe_batch folds max_tokens_per_second into each ROW's dynamic
+    max_new_cap (aux bundle) — per-row window lengths get per-row caps, and
+    the cap no longer rides static opts (which minted a new XLA program per
+    distinct window length). Random weights never emit EOT, so each row runs
+    exactly to its own cap."""
+    short = _audio(seconds=2.0, seed=31)   # cap = 8 + 4*2 = 16
+    long = _audio(seconds=4.0, seed=32)    # cap = 8 + 4*4 = 24
+    asr.max_tokens_per_second = 4.0
+    asr.transcribe_kargs["max_new_tokens"] = 96
+    try:
+        res = asr.transcribe_batch([
+            {"key": "a", "audio": short},
+            {"key": "b", "audio": long},
+        ])
+    finally:
+        asr.max_tokens_per_second = None
+        asr.transcribe_kargs.pop("max_new_tokens", None)
+    assert len(res) == 2
+    n_short, n_long = len(res[0].tokens), len(res[1].tokens)
+    assert n_short <= 16, n_short
+    assert n_long <= 24, n_long
+    # the longer window's looser cap is actually granted (not the group min)
+    assert n_long > 16, n_long
+
+
 def test_max_total_tokens_enforced_exactly(asr):
     cfg = asr.cfg
     xa = asr._encode_window(_audio(seed=22))
