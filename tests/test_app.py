@@ -104,6 +104,31 @@ def test_session_device_recovery():
     assert stats.results > 0
 
 
+def test_session_device_recovery_with_pipelined_separation():
+    """Recovery must still work when reads happen on the read-sep worker
+    thread (separation enabled): the protector's close-reopen path runs in
+    the worker, recoveries are counted, and the session keeps producing."""
+    words = make_words(6)
+    lines = []
+    app = _app(words, [(0.0, 30.0)], lines)
+
+    class IdentitySeparator:
+        name = "identity"
+
+        def separate(self, audio):
+            return audio
+
+        def get_stats(self):
+            return {}
+
+    app.separator = IdentitySeparator()
+    stream = SimulatedMicStream(timecoded_audio(0.0, 8.0), fail_at_reads={10})
+    stats = app.record_session(stream, chunk_seconds=0.25)
+    app.shutdown()
+    assert stats.recoveries == 1
+    assert stats.results > 0
+
+
 def test_translation_sink_receives_results():
     words = [(1.2, 1.6, " hola"), (1.7, 2.1, " mundo")]
     lines = []
