@@ -30,7 +30,11 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--beam-size", type=int, default=None)
     p.add_argument("--config", default="config.json", help="config file path")
     p.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
-    p.add_argument("--quantization", default=None, choices=["int8", "none"])
+    p.add_argument("--quantization", default=None,
+                   choices=["int8", "int8-all", "int8-kv", "none"],
+                   help="int8 = decoder weights; int8-all = +encoder+logits "
+                        "head (single-stream recommendation); int8-kv = +KV "
+                        "caches (opt-in, loses below multi-chip batch sizes)")
     p.add_argument("--prefix-policy", default=None, choices=["agree2", "last"],
                    help="incremental decode mode (last = SimulStreaming-style)")
     p.add_argument("--diarize", action="store_true",

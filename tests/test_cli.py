@@ -78,6 +78,20 @@ def test_wizard_persists_choices(tmp_path, monkeypatch):
     assert "stream" in captured["argv"]
 
 
+def test_stream_flags_accept_all_quantization_modes(monkeypatch):
+    """Regression: the wizard re-execs the stream subcommand with its chosen
+    quantization — which is int8-all for >=medium on TPU. The flags parser
+    must accept every mode the runtime supports (argparse used to reject
+    int8-all/int8-kv, crashing the wizard's recommended path)."""
+    import realtime_whisper_asr_tpu.cli as cli
+
+    seen = []
+    monkeypatch.setattr(cli, "cmd_stream", lambda args: seen.append(args.quantization) or 0)
+    for q in ("int8", "int8-all", "int8-kv", "none"):
+        assert cli.main(["stream", "--quantization", q]) == 0
+    assert seen == ["int8", "int8-all", "int8-kv", "none"]
+
+
 def test_recommend_config_cpu_fallback():
     assert recommend_config(CPU)["model"] == "tiny"
     assert recommend_config(TPU16)["model"] == "large-v3"
