@@ -13,8 +13,10 @@ The reference exposes beam_size 1–5 through faster-whisper/CTranslate2
 - int8 KV caches (``kv_quant``) supported: scale rows tile/gather alongside,
 - EOT beams freeze (propagate EOT with score unchanged) — standard
   "finished beams ride along" semantics with length-penalized final pick,
-- word timestamps: the winning sequences are re-prefilled ONCE (batched) with
-  cross-attention capture (cheaper than capturing per beam per step),
+- word timestamps: the winning sequence is re-prefilled ONCE with
+  cross-attention capture INSIDE the beam program (the winner is selected
+  device-side; capture rides uint8-packed in the same download — cheaper
+  than capturing per beam per step, and no mid-tick host roundtrip),
 - the whisper quality-retry temperature ladder lives in asr.py and applies
   after beam exactly as after greedy.
 
@@ -67,11 +69,13 @@ def _beam_core(
     xa: jnp.ndarray,  # (audio_ctx, d) — ONE stream (vmapped for batches)
     aux: jnp.ndarray,  # (AUX_LEN,)
     sup_mask: jnp.ndarray,
+    amask: jnp.ndarray,  # (L, H) alignment-head weights (used iff capture)
     prompt_len: int,
     max_new: int,
     cache_len: int,
     beam_size: int,
     kv_quant: bool,
+    capture: bool,
 ):
     k = beam_size
     p = prompt_len
@@ -188,13 +192,33 @@ def _beam_core(
         [sampled[best].astype(jnp.float32), scores[best][None],
          lengths[best].astype(jnp.float32)[None], no_speech_prob[None]]
     )
+    if capture:
+        # device-side winner alignment capture: the winning span (bucketed
+        # init + EOT-padded samples, identical to the old host-rebuilt span)
+        # is re-prefilled with cross-attention capture INSIDE this program,
+        # so a beam tick pays ONE download — no packed-download → host-parse
+        # → span-upload → capture-download roundtrip (was +~30 ms sync +
+        # serialization per tick on this rig). uint8-packed like the greedy
+        # path's capture (4 values per f32 word).
+        span = jnp.concatenate([initial_tokens[0], sampled[best]])[None]
+        ccache = M.init_cache(params, cfg, xa[None], text_ctx=int(span.shape[1]))
+        _, _, cap = M.decode_span(
+            params, cfg, span, jnp.int32(0), ccache, alignment_mask=amask
+        )
+        q = jnp.clip(jnp.round(cap.reshape(-1) * 255.0), 0, 255).astype(jnp.uint8)
+        pad = (-q.shape[0]) % 4
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad,), jnp.uint8)])
+        out = jnp.concatenate(
+            [out, jax.lax.bitcast_convert_type(q.reshape(-1, 4), jnp.float32)]
+        )
     return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "opts", "prompt_len", "max_new", "cache_len",
-                     "beam_size", "kv_quant"),
+                     "beam_size", "kv_quant", "capture"),
 )
 def _beam_loop(
     params,
@@ -203,70 +227,46 @@ def _beam_loop(
     xab: jnp.ndarray,  # (B, audio_ctx, d)
     auxb: jnp.ndarray,  # (B, AUX_LEN)
     sup_mask: jnp.ndarray,
+    amask: jnp.ndarray,
     prompt_len: int,
     max_new: int,
     cache_len: int,
     beam_size: int,
     kv_quant: bool,
+    capture: bool,
 ):
     """B independent beam searches in one compiled program (vmapped rows share
-    the step; a finished row's frozen beams ride until the slowest row ends)."""
+    the step; a finished row's frozen beams ride until the slowest row ends).
+    With ``capture`` the winning row's alignment xattn rides uint8-packed in
+    the same output — one dispatch, one download per beam tick."""
     return jax.vmap(
         lambda xa, aux: _beam_core(
-            params, cfg, opts, xa, aux, sup_mask,
+            params, cfg, opts, xa, aux, sup_mask, amask,
             prompt_len=prompt_len, max_new=max_new, cache_len=cache_len,
-            beam_size=beam_size, kv_quant=kv_quant,
+            beam_size=beam_size, kv_quant=kv_quant, capture=capture,
         )
     )(xab, auxb)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "text_ctx"))
-def _capture_span_jit(params, cfg, xa, span, amask, text_ctx: int):
-    """ONE compiled program for the winning-sequence alignment capture.
+def _unpack_capture_rows(
+    cfg, out: np.ndarray, p: int, max_new: int, audio_ctx: int,
+    init_rows: list[dict], results: list[D.DecodeResult],
+) -> None:
+    """Slice each row's packed uint8 capture into result.xattn (1, len, A).
 
-    Run eagerly this was ~700 op-by-op dispatches (init_cache cross-KV +
-    32-layer decode_span) — measured at ~700 ms/tick through this backend's
-    per-dispatch tax, which made beam ~10x slower than its compute. The
-    softmax capture ships uint8-quantized (4 per f32 word), quartering the
-    ~1.5 MB/tick download like the greedy path does (decode.py)."""
-    cache = M.init_cache(params, cfg, xa, text_ctx=text_ctx)
-    _, _, cap = M.decode_span(
-        params, cfg, span, jnp.int32(0), cache, alignment_mask=amask
-    )
-    b = xa.shape[0]
-    q = jnp.clip(jnp.round(cap.reshape(b, -1) * 255.0), 0, 255).astype(jnp.uint8)
-    return jax.lax.bitcast_convert_type(q.reshape(b, -1, 4), jnp.float32)
-
-
-def _capture_xattn_batch(
-    params, cfg, xa, inits, n_prefixes, seqs, alignment_heads
-) -> list[Optional[np.ndarray]]:
-    """One batched capture pass over the winning sequences (B rows)."""
-    heads_key = (
-        None if alignment_heads is None
-        else np.ascontiguousarray(alignment_heads, np.float32).tobytes()
-    )
-    amask = D._amask_dev(cfg, heads_key)
-    bodies = []
-    for init, n_prefix, seq in zip(inits, n_prefixes, seqs):
-        body = seq[:-1] if (len(seq) and seq[-1] == cfg.eot) else seq
-        bodies.append(np.concatenate([init[: len(init) - n_prefix], body]))
-    pad_to = D._round_up(max(max(len(b) for b in bodies), 8), 64)
-    span = np.full((len(bodies), pad_to), cfg.eot, np.int32)
-    for i, b in enumerate(bodies):
-        span[i, : len(b)] = b
-    audio_ctx = int(xa.shape[1])
-    packed = _capture_span_jit(
-        params, cfg, xa, jnp.asarray(span), amask, text_ctx=pad_to
-    )
-    D.TRANSFER_STATS["d2h"] += 1
-    q = np.asarray(packed).view(np.uint8)
-    rows = (q.astype(np.float32) / 255.0).reshape(len(bodies), pad_to, audio_ctx)
-    out = []
-    for i, (init, n_prefix, seq) in enumerate(zip(inits, n_prefixes, seqs)):
-        p0 = len(init) - n_prefix
-        out.append(rows[i : i + 1, p0 : p0 + len(seq)])
-    return out
+    Row layout: [sampled(max_new), score, length, nsp, capture_words]; the
+    capture covers the span init(p) ++ sampled(max_new), so a sequence
+    (prefix + samples) starts at span position p - n_prefix."""
+    base = max_new + 3
+    span_len = p + max_new
+    n_vals = span_len * audio_ctx
+    for i, (row, r) in enumerate(zip(out, results)):
+        q = row[base:].astype(np.float32).view(np.uint8)[:n_vals]
+        cap = (q.astype(np.float32) / 255.0).reshape(span_len, audio_ctx)
+        n_prefix = len(init_rows[i]["prefix_arr"])
+        seq_len = int(r.lengths[0])
+        p0 = p - n_prefix
+        r.xattn = cap[None, p0 : p0 + seq_len]
 
 
 def _parse_beam_rows(
@@ -318,14 +318,20 @@ def beam_decode_batch_dispatch(
         aux_device = jnp.asarray(np.stack([row["aux"] for row in init_rows]))
     cache_len = min(cfg.n_text_ctx, D._round_up(p + max_new, 128))
     sup = D._sup_mask_dev(cfg, tuple(extra_suppress))
+    heads_key = (
+        None if alignment_heads is None
+        else np.ascontiguousarray(alignment_heads, np.float32).tobytes()
+    )
+    amask = D._amask_dev(cfg, heads_key)
     packed = _beam_loop(
-        params, cfg, opts, xa, aux_device, sup,
+        params, cfg, opts, xa, aux_device, sup, amask,
         prompt_len=p, max_new=max_new, cache_len=cache_len,
         beam_size=opts.beam_size, kv_quant=kv_quant,
+        capture=bool(opts.word_timestamps),
     )
     return {"packed": packed, "cfg": cfg, "b": b, "p": p, "max_new": max_new,
-            "init_rows": init_rows, "xa": xa, "params": params, "opts": opts,
-            "alignment_heads": alignment_heads, "phase_timer": phase_timer}
+            "init_rows": init_rows, "audio_ctx": int(xa.shape[1]),
+            "opts": opts, "phase_timer": phase_timer}
 
 
 def beam_decode_batch_finalize(handle: dict) -> list[D.DecodeResult]:
@@ -340,15 +346,10 @@ def beam_decode_batch_finalize(handle: dict) -> list[D.DecodeResult]:
         pt.lap("download")
     results = _parse_beam_rows(cfg, out, max_new, handle["init_rows"])
     if handle["opts"].word_timestamps:
-        inits = [r["init"] for r in handle["init_rows"]]
-        n_prefixes = [len(r["prefix_arr"]) for r in handle["init_rows"]]
-        seqs = [r.tokens[0][: r.lengths[0]] for r in results]
-        xattns = _capture_xattn_batch(
-            handle["params"], cfg, handle["xa"], inits, n_prefixes, seqs,
-            handle["alignment_heads"],
+        _unpack_capture_rows(
+            cfg, out, handle["p"], max_new, handle["audio_ctx"],
+            handle["init_rows"], results,
         )
-        for r, xat in zip(results, xattns):
-            r.xattn = xat
     return results
 
 
@@ -388,10 +389,16 @@ def beam_decode(
                        max_new_cap=max_new_cap)
         )
 
+    heads_key = (
+        None if alignment_heads is None
+        else np.ascontiguousarray(alignment_heads, np.float32).tobytes()
+    )
+    amask = D._amask_dev(cfg, heads_key)
     packed = _beam_loop(
-        params, cfg, opts, xa, aux_device.reshape(1, -1), sup,
+        params, cfg, opts, xa, aux_device.reshape(1, -1), sup, amask,
         prompt_len=p, max_new=max_new, cache_len=cache_len,
         beam_size=opts.beam_size, kv_quant=kv_quant,
+        capture=bool(opts.word_timestamps),
     )
     if phase_timer is not None:
         packed.block_until_ready()
@@ -400,13 +407,10 @@ def beam_decode(
     out = np.asarray(packed)
     if phase_timer is not None:
         phase_timer.lap("download")
-    (result,) = _parse_beam_rows(
-        cfg, out, max_new, [{"prefix_arr": prefix_arr, "init": init}]
-    )
+    init_rows = [{"prefix_arr": prefix_arr, "init": init}]
+    (result,) = _parse_beam_rows(cfg, out, max_new, init_rows)
     if opts.word_timestamps:
-        seq = result.tokens[0][: result.lengths[0]]
-        (xattn,) = _capture_xattn_batch(
-            params, cfg, xa, [init], [n_prefix], [seq], alignment_heads
+        _unpack_capture_rows(
+            cfg, out, p, max_new, int(xa.shape[1]), init_rows, [result]
         )
-        result.xattn = xattn
     return result

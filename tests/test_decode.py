@@ -172,6 +172,44 @@ def test_beam_decode_runs_and_respects_grammar(asr):
     assert res.sum_logprob[0] >= greedy.sum_logprob[0] * 1.2
 
 
+def test_beam_fused_capture_matches_eager_span(asr):
+    """The winner's alignment capture is computed INSIDE the beam program
+    (device-side winner selection, uint8-packed download). It must equal an
+    eager decode_span capture of the same winning span to uint8 resolution."""
+    import jax.numpy as jnp2
+
+    from realtime_whisper_asr_tpu.models.whisper import decode as D2
+    from realtime_whisper_asr_tpu.models.whisper import model as M
+    from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode
+
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=13))
+    opts = D.DecodeOptions(timestamps=True, beam_size=3, max_new_tokens=16,
+                           word_timestamps=True)
+    res = beam_decode(asr.params, cfg, xa, opts)
+    seq = res.tokens[0][: res.lengths[0]]
+    init, _, n_prefix = D.build_initial_tokens(cfg, opts, None, None)
+    p = len(init)
+    max_new, _ = D.plan_decode_budget(cfg, opts, p, n_prefix)
+    # rebuild the exact span the device program captured: bucketed init ++
+    # sampled body (tokens after the prefix), EOT-padded to max_new
+    body = seq[n_prefix:]
+    span = np.full(p + max_new, cfg.eot, np.int32)
+    span[:p] = init
+    span[p : p + len(body)] = body
+    amask = D2._amask_dev(cfg, None)
+    cache = M.init_cache(asr.params, cfg, jnp2.asarray(xa), text_ctx=len(span))
+    _, _, cap = M.decode_span(
+        asr.params, cfg, jnp2.asarray(span)[None], jnp2.int32(0), cache,
+        alignment_mask=amask,
+    )
+    ref = np.asarray(cap)[0, p - n_prefix : p - n_prefix + len(seq)]
+    got = res.xattn[0]
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    # uint8 quantization: half a step + float slack
+    np.testing.assert_allclose(got, ref, atol=1.0 / 255.0)
+
+
 def test_beam_batch_matches_sequential(asr):
     """Batched beam (vmapped rows) must produce each row's single-stream beam
     result exactly — beam is a first-class serving mode, not batch-1 only."""
