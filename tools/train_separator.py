@@ -150,6 +150,10 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--arch", choices=["v1", "v2"], default="v2")
+    ap.add_argument("--ckpt-every", type=int, default=250,
+                    help="save params+opt state every N steps (crash resume)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint .npz written by --ckpt-every to resume from")
     ap.add_argument(
         "--out",
         default=os.path.join(
@@ -190,12 +194,37 @@ def main(argv=None) -> int:
         return optax.apply_updates(p, updates), s, loss
 
     rng = np.random.default_rng(args.seed)
+    start_step = 0
+    ckpt_path = os.path.abspath(args.out) + ".ckpt.npz"
+    if args.resume:
+        ck = np.load(args.resume, allow_pickle=False)
+        params = {k[2:]: jnp.asarray(ck[k]) for k in ck.files if k.startswith("p/")}
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        opt_leaves = [jnp.asarray(ck[f"o/{i}"]) for i in range(len(leaves))]
+        opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
+        start_step = int(ck["step"])
+        rng = np.random.default_rng()
+        rng.bit_generator.state = json.loads(str(ck["rng"]))
+        print(f"resumed from {args.resume} at step {start_step}", flush=True)
+
+    def save_ckpt(step: int) -> None:
+        blob = {f"p/{k}": np.asarray(v) for k, v in params.items()}
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            blob[f"o/{i}"] = np.asarray(leaf)
+        blob["step"] = np.asarray(step)
+        blob["rng"] = np.asarray(json.dumps(rng.bit_generator.state))
+        tmp = ckpt_path + ".tmp.npz"
+        np.savez(tmp, **blob)
+        os.replace(tmp, ckpt_path)
+
     t0 = time.time()
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         mix, clean = make_batch(rng, args.batch)
         params, opt_state, loss = train_step(params, opt_state, jnp.asarray(mix), jnp.asarray(clean))
         if step % 100 == 0 or step == args.steps - 1:
             print(f"step {step:5d} loss {float(loss):.5f} ({time.time()-t0:.0f}s)", flush=True)
+        if args.ckpt_every and step and step % args.ckpt_every == 0:
+            save_ckpt(step + 1)
 
     out = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
