@@ -125,6 +125,14 @@ def main(argv=None) -> int:
         s = results.get(f"streams{n}")
         if s:
             pub[f"aggregate_rtf_{n}_streams"] = s.get("value")
+    for variant in ("int8all", "int8kv"):
+        s = results.get(f"streams16_{variant}")
+        if s:
+            pub[f"aggregate_rtf_16_streams_{variant}"] = s.get("value")
+    hb = results.get("headline_beam5")
+    if hb:
+        pub["large_v3_beam5_rtf"] = hb.get("rtf")
+        pub["large_v3_beam5_p50_ms"] = hb.get("value")
     baseline["published"] = pub
     with open(baseline_path, "w") as f:
         json.dump(baseline, f, indent=2)
