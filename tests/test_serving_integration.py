@@ -65,6 +65,37 @@ def test_real_backend_batched_pipelined_streams(asr):
             assert r.end >= r.begin >= 0.0
 
 
+def test_real_backend_beam_serving(asr, monkeypatch):
+    """beam_size>1 rides the SAME batched+pipelined serving path (VERDICT r2
+    #5: beam is a first-class serving mode): two streams in one group must go
+    through beam_decode_batch_dispatch, produce per-stream results, and leave
+    no server state behind."""
+    from realtime_whisper_asr_tpu.models.whisper import beam as B
+
+    calls = {"n": 0}
+    real_dispatch = B.beam_decode_batch_dispatch
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return real_dispatch(*a, **k)
+
+    monkeypatch.setattr(B, "beam_decode_batch_dispatch", counted)
+    asr.transcribe_kargs["beam_size"] = 2
+    try:
+        server = StreamServer(asr, use_vad=False, online_chunk_size=0.5,
+                              prefix_policy="last")
+        sids = [server.create_stream(), server.create_stream()]
+        outs = _run(server, sids, seconds=3)
+    finally:
+        asr.transcribe_kargs.pop("beam_size", None)
+    assert calls["n"] > 0, "serving group never reached the batched beam path"
+    assert server.get_stats()["total_streams"] == 0
+    for sid in sids:
+        for r in outs[sid]:
+            assert r.stream_id == sid
+            assert r.end >= r.begin >= 0.0
+
+
 def test_real_backend_mixed_language_groups(asr):
     """en + zh streams form separate pipelined decode groups (DecodeOptions
     differ); both decode through the real loop without cross-talk in the
