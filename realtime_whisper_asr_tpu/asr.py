@@ -180,6 +180,17 @@ class TPUWhisperASR:
                 "no checkpoint provided; initializing %s with random weights", self.cfg.name
             )
             self.params = W.init_params(self.cfg, jax.random.PRNGKey(seed), dtype)
+        # a native checkpoint may carry pre-quantized weights (see
+        # tools/convert_checkpoint.py --quantize): detect them so inference
+        # reports the artifact's quantization and the transforms below stay
+        # no-ops (all quantize_* are idempotent) instead of a silent mismatch
+        from realtime_whisper_asr_tpu.models.whisper.quant import detect_quantization
+
+        pre_quant = detect_quantization(self.params) if checkpoint_dir is not None else None
+        if pre_quant is not None:
+            logger.info("checkpoint carries pre-quantized weights (%s)", pre_quant)
+            if quantization in (None, "", "none"):
+                quantization = pre_quant
         if quantization == "int8":
             from realtime_whisper_asr_tpu.models.whisper.quant import quantize_decoder
 
@@ -190,6 +201,7 @@ class TPUWhisperASR:
             self.params = quantize_all(self.params)
         elif quantization not in (None, "", "none"):
             raise ValueError(f"unknown quantization {quantization!r}")
+        self.quantization = quantization if quantization not in ("", "none") else None
         #: "int8-kv" additionally stores decode KV caches as int8 rows +
         #: per-row scales. Measured on v5e at batch 1 this LOSES: the per-step
         #: dynamic quantization (VPU) costs more than the halved KV HBM read

@@ -34,6 +34,20 @@ def save_checkpoint(path: str, params: Params, cfg: WhisperConfig) -> None:
     ckptr.wait_until_finished()
 
 
+def _cast_floats(tree, dtype):
+    """Cast float leaves to ``dtype``, EXCEPT inside int8-quantized weights
+    ({"q": int8, "s": f32} from quant.py): downcasting the f32 scales to bf16
+    would dequantize to different weights than the in-memory quantization the
+    checkpoint was saved from, silently breaking token parity."""
+    if isinstance(tree, dict):
+        if set(tree) == {"q", "s"}:
+            return tree
+        return {k: _cast_floats(v, dtype) for k, v in tree.items()}
+    if hasattr(tree, "dtype") and tree.dtype.kind == "f":
+        return tree.astype(dtype)
+    return tree
+
+
 def load_checkpoint(path: str, dtype=None) -> tuple[WhisperConfig, Params]:
     import orbax.checkpoint as ocp
 
@@ -43,10 +57,7 @@ def load_checkpoint(path: str, dtype=None) -> tuple[WhisperConfig, Params]:
     ckptr = ocp.StandardCheckpointer()
     params = ckptr.restore(os.path.join(path, _PARAMS_DIR))
     if dtype is not None:
-        params = jax.tree.map(
-            lambda x: x.astype(dtype) if hasattr(x, "dtype") and x.dtype.kind == "f" else x,
-            params,
-        )
+        params = _cast_floats(params, dtype)
     return cfg, params
 
 

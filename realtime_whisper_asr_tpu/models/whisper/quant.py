@@ -65,6 +65,8 @@ def quantize_logits_head(params: Params) -> Params:
     form for both the gather and the tied output matmul."""
     out = dict(params)
     dec = dict(out["decoder"])
+    if isinstance(dec["tok_emb"], dict):
+        return out  # already quantized (pre-quantized checkpoint)
     w32 = dec["tok_emb"].astype(jnp.float32)  # (V, d)
     s = jnp.maximum(jnp.max(jnp.abs(w32), axis=1) / 127.0, 1e-12)  # (V,)
     q = jnp.clip(jnp.round(w32 / s[:, None]), -127, 127).astype(jnp.int8)
@@ -81,6 +83,25 @@ def quantize_all(params: Params) -> Params:
     enc["blocks"] = _quantize_tree(out["encoder"]["blocks"])
     out["encoder"] = enc
     return quantize_logits_head(out)
+
+
+def detect_quantization(params: Params) -> str | None:
+    """Return "int8" / "int8-all" if ``params`` carry pre-quantized linears
+    (e.g. restored from a checkpoint saved after quantize_decoder/quantize_all;
+    the deployment analog of CTranslate2's pre-quantized model dirs), else
+    None. All quantize_* transforms are idempotent, so re-applying a requested
+    quantization on pre-quantized params is safe — this is for reporting."""
+
+    def _has_q(tree) -> bool:
+        if isinstance(tree, dict):
+            if set(tree) == {"q", "s"}:
+                return True
+            return any(_has_q(v) for v in tree.values())
+        return False
+
+    if not _has_q(params.get("decoder", {}).get("blocks", {})):
+        return None
+    return "int8-all" if _has_q(params.get("encoder", {}).get("blocks", {})) else "int8"
 
 
 # ---------------------------------------------------------------------------

@@ -318,6 +318,80 @@ def test_eval_streaming_harness_with_fake_asr():
     assert "mean_wer" in out
 
 
+def test_prequantized_checkpoint_token_exact(tmp_path):
+    """A checkpoint saved AFTER quantize_all must decode token-identically to
+    quantize-at-load (the CT2-style deployment artifact: no load-time
+    quantization pass). The trap is the load-time dtype cast — scales must
+    stay f32 (checkpoint._cast_floats) or dequantized weights drift."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+    from realtime_whisper_asr_tpu.models import whisper as W
+    from realtime_whisper_asr_tpu.models.whisper.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from realtime_whisper_asr_tpu.models.whisper.quant import (
+        detect_quantization,
+        quantize_all,
+    )
+
+    cfg = W.get_config("test-tiny")
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    qparams = quantize_all(params)
+    assert detect_quantization(qparams) == "int8-all"
+    assert detect_quantization(params) is None
+
+    path = str(tmp_path / "qckpt")
+    save_checkpoint(path, qparams, cfg)
+    cfg2, restored = load_checkpoint(path, dtype=jnp.bfloat16)
+
+    # int8 payloads and f32 scales survive the bf16 cast exactly
+    blk = restored["decoder"]["blocks"]["attn"]["wq"]
+    assert blk["q"].dtype == jnp.int8 and blk["s"].dtype == jnp.float32
+    ref = qparams["decoder"]["blocks"]["attn"]["wq"]
+    np.testing.assert_array_equal(np.asarray(blk["q"]), np.asarray(ref["q"]))
+    np.testing.assert_array_equal(np.asarray(blk["s"]), np.asarray(ref["s"]))
+    emb = restored["decoder"]["tok_emb"]
+    assert isinstance(emb, dict) and emb["s"].dtype == jnp.float32
+    # dense leaves (layernorms) did get the cast
+    assert restored["decoder"]["ln"]["g"].dtype == jnp.bfloat16
+
+    # end-to-end: pre-quantized-from-disk == quantize-at-load, token for token
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    a_mem = TPUWhisperASR(cfg=cfg, params=quantize_all(params), model_size="test-tiny",
+                          dtype=jnp.float32, word_timestamps=False)
+    a_disk = TPUWhisperASR(checkpoint_dir=path, dtype=jnp.float32, word_timestamps=False)
+    assert a_disk.quantization == "int8-all"  # detected from the artifact
+    t_mem = a_mem.transcribe(audio).tokens
+    t_disk = a_disk.transcribe(audio).tokens
+    assert t_mem == t_disk
+
+
+def test_quantize_transforms_idempotent():
+    """quantize_* on already-quantized params is a no-op (load path re-applies
+    a requested quantization without knowing the artifact is pre-quantized)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.models import whisper as W
+    from realtime_whisper_asr_tpu.models.whisper.quant import (
+        quantize_all,
+        quantize_decoder,
+    )
+
+    cfg = W.get_config("test-tiny")
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q1 = quantize_all(params)
+    q2 = quantize_all(quantize_decoder(q1))
+    for a, b in zip(jax.tree.leaves(q1), jax.tree.leaves(q2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_convert_checkpoint_tool(tmp_path):
     """HF dir -> native orbax roundtrip through the CLI tool."""
     import jax.numpy as jnp

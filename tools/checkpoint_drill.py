@@ -14,7 +14,7 @@ checkpoint needs, and writes a machine-readable report:
 
 Usage:
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/checkpoint_drill.py \
-        /path/to/hf_whisper --work /tmp/drill [--quantize int8] [--report drill.json]
+        /path/to/hf_whisper --work /tmp/drill [--quantize int8|int8-all] [--report drill.json]
 
 With a real checkpoint the same command validates quality end-to-end:
 add --manifest manifest.jsonl ({"wav":..., "text":...} lines) for true WER
@@ -40,7 +40,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("src", help="HF-layout checkpoint dir")
     ap.add_argument("--work", required=True, help="working dir for the native checkpoint")
-    ap.add_argument("--quantize", choices=["int8", "none"], default="none")
+    ap.add_argument("--quantize", choices=["int8", "int8-all", "none"], default="none")
     ap.add_argument("--report", default=None, help="write the drill report JSON here")
     ap.add_argument("--manifest", default=None,
                     help="optional labeled manifest for true WER (real checkpoints)")
