@@ -20,9 +20,11 @@ The reference exposes beam_size 1–5 through faster-whisper/CTranslate2
 - the whisper quality-retry temperature ladder lives in asr.py and applies
   after beam exactly as after greedy.
 
-Memory note: the cross-attention KV is tiled per beam (B·K rows). At
-large-v3's 16 s window that is ~65 MB per beam-row — fine for streaming use
-(B ≤ 2–4, K ≤ 5); cap ``max_batch`` accordingly when serving with beam.
+Memory/bandwidth note: the cross-attention KV is SHARED across the K beams
+(batch 1, broadcast inside model._attend — it depends only on the encoder
+output), so beams add no cross-KV memory and each step streams the ~131 MB
+large-v3 cross block once, not K times. Only the self-attention cache rows
+(a few MB) are per-beam.
 """
 
 from __future__ import annotations
@@ -39,11 +41,26 @@ from realtime_whisper_asr_tpu.models.whisper import model as M
 from realtime_whisper_asr_tpu.models.whisper.config import WhisperConfig
 
 
-def _tile_beams(tree, k: int):
-    """Repeat the batch axis (axis 1 for stacked-layer caches) k times."""
-    return jax.tree.map(
-        lambda x: jnp.repeat(x, k, axis=1) if x.ndim >= 2 else x, tree
+def _tile_beams(cache: M.DecoderCache, k: int) -> M.DecoderCache:
+    """Tile ONLY the self-attention cache rows k times. The cross-attention
+    KV is identical for every beam (it depends only on the encoder output),
+    so it stays at batch 1 and model._attend/_attend_q8 broadcast it — each
+    beam step reads the ~131 MB large-v3 cross block ONCE instead of k times
+    (the beam decode step is HBM-bandwidth-bound like the greedy one)."""
+    kw = dict(
+        self_k=jnp.repeat(cache.self_k, k, axis=1),
+        self_v=jnp.repeat(cache.self_v, k, axis=1),
+        cross_k=cache.cross_k,
+        cross_v=cache.cross_v,
     )
+    if cache.kv_quant:
+        kw.update(
+            self_ks=jnp.repeat(cache.self_ks, k, axis=1),
+            self_vs=jnp.repeat(cache.self_vs, k, axis=1),
+            cross_ks=cache.cross_ks,
+            cross_vs=cache.cross_vs,
+        )
+    return M.DecoderCache(**kw)
 
 
 def _gather_beams(cache: M.DecoderCache, parent: jnp.ndarray) -> M.DecoderCache:

@@ -113,8 +113,21 @@ def _attend(
     mask: Optional[jnp.ndarray] = None,
     return_weights: bool = False,
 ):
-    """q,k,v: (B,H,Tq,Dh)/(B,H,Tk,Dh). Softmax in f32. mask: additive, broadcastable."""
+    """q,k,v: (B,H,Tq,Dh)/(B,H,Tk,Dh). Softmax in f32. mask: additive, broadcastable.
+
+    KV with batch 1 against B>1 queries is SHARED (read once, not tiled): the
+    beam decoder's cross-attention KV is identical across the K beam rows, and
+    tiling it K× made every beam step stream K copies of the ~131 MB cross
+    block from HBM (beam.py keeps cross at batch 1; self KV stays per-beam)."""
     scale = q.shape[-1] ** -0.5
+    if k.shape[0] == 1 and q.shape[0] != 1:
+        scores = jnp.einsum("bhqd,ohkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            scores = scores + mask
+        w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,ohkd->bhqd", w.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        return (out, w) if return_weights else (out, None)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     if mask is not None:
         scores = scores + mask
@@ -158,7 +171,11 @@ def _attend_q8(
         jnp.max(jnp.abs(q.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0, 1e-12
     )
     q8 = jnp.clip(jnp.round(q.astype(jnp.float32) / sq), -127, 127).astype(jnp.int8)
-    scores = jax.lax.dot_general(q8, k8, _BHQD_BHKD, preferred_element_type=jnp.int32)
+    shared_kv = k8.shape[0] == 1 and q.shape[0] != 1  # see _attend: beam cross KV
+    if shared_kv:
+        scores = jnp.einsum("bhqd,ohkd->bhqk", q8, k8, preferred_element_type=jnp.int32)
+    else:
+        scores = jax.lax.dot_general(q8, k8, _BHQD_BHKD, preferred_element_type=jnp.int32)
     scores = scores.astype(jnp.float32) * sq * jnp.swapaxes(ks, -1, -2) * scale
     if mask is not None:
         scores = scores + mask
@@ -167,7 +184,10 @@ def _attend_q8(
     wv = w * jnp.swapaxes(vs, -1, -2)
     sw = jnp.maximum(jnp.max(wv, axis=-1, keepdims=True) / 127.0, 1e-12)
     w8 = jnp.clip(jnp.round(wv / sw), -127, 127).astype(jnp.int8)
-    out = jax.lax.dot_general(w8, v8, _BHQK_BHKD, preferred_element_type=jnp.int32)
+    if shared_kv:
+        out = jnp.einsum("bhqk,ohkd->bhqd", w8, v8, preferred_element_type=jnp.int32)
+    else:
+        out = jax.lax.dot_general(w8, v8, _BHQK_BHKD, preferred_element_type=jnp.int32)
     out = (out.astype(jnp.float32) * sw).astype(out_dtype)
     return (out, w) if return_weights else (out, None)
 
