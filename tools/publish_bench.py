@@ -23,6 +23,7 @@ import sys
 RUNS = (
     "headline", "headline_phases",
     "headline_int8all", "headline_2s_int8all", "headline_turbo",
+    "headline_int8all_prequant",
     "headline_phases_int8all", "headline_phases_int8all_run2", "headline_60s",
     "headline_beam5", "headline_paced_int8all",
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
