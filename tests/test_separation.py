@@ -53,12 +53,13 @@ def test_trained_separator_improves_si_snr():
 
 
 def test_trained_separator_hard_corpus_floor():
-    """VERDICT r2 #7 acceptance: >= +10 dB mean SI-SNR improvement on the
-    HARD held-out corpus (reverb, SNR sweep, percussion, dual sources) —
-    deterministic corpus measures +11.6 (per_cond=4) / +11.4 (per_cond=16);
-    this locks a safety-margin floor on a fresh evaluation seed. (The +12.3
-    claimed at training time was drawn through a PYTHONHASHSEED-salted
-    generator — see tools/train_separator.py evaluate().)"""
+    """VERDICT r2 #7 acceptance (>= +12 dB on the hard corpus): the 6k-step
+    v3 weights measure +13.5 (train-time held-out seed), +13.4 (seed 777,
+    per_cond=4) and +13.8 (seed 424242, per_cond=8) mean SI-SNR improvement
+    on the HARD corpus (reverb, SNR sweep, percussion, dual sources); this
+    locks the >= +12 dB floor on a fresh evaluation seed. (Earlier +12.3
+    claims were drawn through a PYTHONHASHSEED-salted generator — see
+    tools/train_separator.py evaluate().)"""
     import os
     import sys
 
@@ -67,7 +68,7 @@ def test_trained_separator_hard_corpus_floor():
 
     sep = NeuralSeparator(use_device=False)
     report = T.evaluate(sep, seed=777, per_cond=4)
-    assert report["overall"] >= 10.0, report
+    assert report["overall"] >= 12.0, report
     # every condition individually separates (no collapsed mode)
     for cond in T.CONDITIONS:
         assert report[cond] > 3.0, report
