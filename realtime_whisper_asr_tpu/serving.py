@@ -129,6 +129,12 @@ class StreamServer:
         #: latency here) overlaps N+1's device work instead of serializing
         #: the scheduler.
         self._inflight: list[dict] = []
+        #: tick groups lost to a swallowed transcribe/dispatch/finalize
+        #: exception (the group is reset and keeps serving). Surfaced in
+        #: get_stats so a systematically failing backend is visible to
+        #: operators and benches, not just the log (a round-3 bench bug hid
+        #: 24/24 failed rounds behind these handlers).
+        self.group_failures = 0
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -321,6 +327,7 @@ class StreamServer:
             results = self.asr.transcribe_batch(reqs)
         except Exception:
             logger.exception("batched transcribe failed; resetting group")
+            self.group_failures += 1
             self._reset_group(group)
             return
         self._apply_batch(group, results, self.clock() - t0)
@@ -340,6 +347,7 @@ class StreamServer:
             st = self.asr.transcribe_batch_dispatch(reqs)
         except Exception:
             logger.exception("batched dispatch failed; resetting group")
+            self.group_failures += 1
             self._reset_group(group)
             return None
         for s in group:
@@ -352,6 +360,7 @@ class StreamServer:
             results = self.asr.transcribe_batch_finalize(pending["state"])
         except Exception:
             logger.exception("batched finalize failed; resetting group")
+            self.group_failures += 1
             self._reset_group(group)
             return
         for s in group:
@@ -477,6 +486,7 @@ class StreamServer:
             return {
                 "streams": len([s for s in self.streams.values() if not s.closed]),
                 "total_streams": len(self.streams),
+                "group_failures": self.group_failures,
                 "monitor": self.monitor.get_status(),
                 "per_stream": {
                     sid: {"ticks": s.ticks, "shed": s.skipped_ticks,

@@ -428,3 +428,47 @@ def test_tcp_emit_prefixes_speaker_label():
     lines = b"".join(sent).decode("utf-8").strip().splitlines()
     assert lines[0] == "500 1250 [S3] hello"
     assert lines[1] == "1250 2000 there"
+
+
+class FlakyDispatchASR(PipelinedFakeASR):
+    """Pipelined fake whose dispatch raises for the first N calls — models a
+    backend bug (e.g. the round-3 bench KeyError) that serving's reset-group
+    handler would otherwise swallow invisibly."""
+
+    def __init__(self, words_by_stream, fail_first=2):
+        super().__init__(words_by_stream)
+        self.fail_first = fail_first
+        self.dispatch_calls = 0
+
+    def transcribe_batch_dispatch(self, items):
+        self.dispatch_calls += 1
+        if self.dispatch_calls <= self.fail_first:
+            raise KeyError("h2d_transfers")  # the actual round-3 failure mode
+        return super().transcribe_batch_dispatch(items)
+
+
+def test_group_failures_counted_and_service_recovers():
+    """A swallowed dispatch exception must (a) leave the server serving —
+    later ticks commit text — and (b) be COUNTED in get_stats, so a
+    systematically failing backend is observable (a bench that decoded zero
+    ticks published plausible-looking aggregate numbers for half a round
+    before this counter existed)."""
+    words = [(0.5, 0.9, " alpha1"), (1.2, 1.6, " alpha2"), (2.2, 2.6, " alpha3")]
+    asr = FlakyDispatchASR({1: words, 2: words}, fail_first=2)
+    server = StreamServer(asr, use_vad=False, online_chunk_size=0.5)
+    a = server.create_stream()
+    b = server.create_stream()
+    outs = []
+    for t in (0.0, 1.0, 2.0, 3.0):
+        server.feed(a, timecoded_audio(t, t + 1.0))
+        server.feed(b, timecoded_audio(t, t + 1.0))
+        while server.step():
+            pass
+        for sid in (a, b):
+            outs.extend(server.poll(sid))
+    outs.extend(server.close_stream(a))
+    outs.extend(server.close_stream(b))
+    text = "".join(r.text for r in outs)
+    assert "alpha" in text  # recovered after the failures
+    assert asr.dispatch_calls > 2
+    assert server.get_stats()["group_failures"] == 2

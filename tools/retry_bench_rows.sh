@@ -39,7 +39,16 @@ run_row() {
   return 1
 }
 
+# every round-3 streams row ran with a broken counter reset (bench.py replaced
+# asr.counters, the upload path KeyError'd, serving swallowed it — the timed
+# pass decoded ZERO ticks); all must re-run with the fixed in-place reset,
+# which now also hard-fails on ticks==0 instead of publishing garbage.
+run_row streams2           BENCH_STREAMS=2
+run_row streams4           BENCH_STREAMS=4
 run_row streams4_mixedlang BENCH_STREAMS=4 BENCH_STREAM_LANGS=en,zh
 run_row streams8           BENCH_STREAMS=8
+run_row streams16          BENCH_STREAMS=16
+run_row streams16_int8all  BENCH_STREAMS=16 BENCH_QUANT=int8-all
+run_row streams16_int8kv   BENCH_STREAMS=16 BENCH_QUANT=int8-kv
 run_row headline_int8all_prequant BENCH_QUANT=int8-all BENCH_CHECKPOINT=/tmp/prequant_lv3
 echo "retry pass complete: $DIR" >&2
