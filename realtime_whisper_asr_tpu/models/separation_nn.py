@@ -286,6 +286,16 @@ class NeuralSeparator:
             self.stats["errors"] += 1
             return audio
 
+    def separate_stems(self, audio: np.ndarray) -> dict:
+        """{"vocals", "accompaniment"} — the accompaniment is the exact
+        time-domain complement of the masked vocal estimate (ISTFT(S·(1−m)) ==
+        mix − ISTFT(S·m) up to OLA reconstruction error). 2-stem parity with
+        the reference's (vocals, background) returns
+        (vocal_separation.py:195-213, :280-293)."""
+        x = np.asarray(audio, np.float32)
+        vocals = np.asarray(self.separate(x), np.float32)
+        return {"vocals": vocals, "accompaniment": x - vocals}
+
     def save_npz(self, path: str):
         np.savez(path, **{k: np.asarray(v) for k, v in self.params.items()})
 

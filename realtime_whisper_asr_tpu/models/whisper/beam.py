@@ -346,6 +346,7 @@ def beam_decode_batch_dispatch(
         beam_size=opts.beam_size, kv_quant=kv_quant,
         capture=bool(opts.word_timestamps),
     )
+    D.enqueue_d2h(packed)
     return {"packed": packed, "cfg": cfg, "b": b, "p": p, "max_new": max_new,
             "init_rows": init_rows, "audio_ctx": int(xa.shape[1]),
             "opts": opts, "phase_timer": phase_timer}
@@ -417,6 +418,7 @@ def beam_decode(
         beam_size=opts.beam_size, kv_quant=kv_quant,
         capture=bool(opts.word_timestamps),
     )
+    D.enqueue_d2h(packed)
     if phase_timer is not None:
         packed.block_until_ready()
         phase_timer.lap("decode")

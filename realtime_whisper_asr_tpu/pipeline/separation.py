@@ -31,6 +31,18 @@ class VocalSeparator:
     def separate(self, audio: np.ndarray) -> np.ndarray:
         return audio
 
+    def separate_stems(self, audio: np.ndarray) -> dict:
+        """Two-stem split: {"vocals", "accompaniment"} (reference separators
+        return a (vocals, background) pair — vocal_separation.py:195-213
+        demucs, :280-293 spleeter 2stems). For mask/filter separators the
+        accompaniment is the exact time-domain complement ``mix − vocals``:
+        for an STFT-masked estimate ISTFT(S·m) the residual equals
+        ISTFT(S·(1−m)) up to overlap-add reconstruction error, so no second
+        network pass is needed."""
+        x = np.asarray(audio, np.float32)
+        vocals = np.asarray(self.separate(x), np.float32)
+        return {"vocals": vocals, "accompaniment": x - vocals}
+
     def get_stats(self) -> dict:
         return getattr(self, "stats", {})
 
@@ -123,6 +135,32 @@ class DemucsSeparator(VocalSeparator):
         except Exception:
             self.stats["errors"] += 1
             return audio
+
+    def separate_stems(self, audio: np.ndarray) -> dict:
+        """All model stems by name (htdemucs: vocals/drums/bass/other —
+        reference vocal_separation.py:195-213 sums the non-vocal stems into
+        "background"; here each stem is kept, plus the summed accompaniment
+        for 2-stem protocol parity). Passthrough complement when demucs is
+        unavailable."""
+        if self._model is None:
+            return super().separate_stems(audio)
+        try:
+            import torch
+            from demucs.apply import apply_model  # type: ignore
+
+            wav = torch.from_numpy(np.asarray(audio, np.float32))[None].repeat(2, 1)[None]
+            with torch.no_grad():
+                stems = apply_model(self._model, wav.to(self._device))[0]
+            out = {
+                name: stems[i].mean(0).cpu().numpy()
+                for i, name in enumerate(self._model.sources)
+            }
+            acc = sum(v for k, v in out.items() if k != "vocals")
+            out["accompaniment"] = np.asarray(acc, np.float32)
+            return out
+        except Exception:
+            self.stats["errors"] += 1
+            return super().separate_stems(audio)
 
 
 def _pick(kw: dict, keys: tuple[str, ...]) -> dict:

@@ -11,6 +11,12 @@ missing files are skipped with a warning), then writes:
 - BASELINE.json — fills the ``published`` block with the headline + scenario
   numbers (VERDICT round-1 missing item 5: quantitative results must live in
   committed artifacts, not README prose).
+
+By default this MERGES into the existing BENCH_SCENARIOS_r{N}.json: only runs
+present (non-empty) in SWEEP_DIR are updated, so publishing from a partial or
+stale sweep dir can never silently roll back rows produced elsewhere (this
+happened in round 3: a re-publish from an old dir regressed scenario2-5).
+Pass --replace for the old wholesale-rewrite behavior.
 """
 
 from __future__ import annotations
@@ -22,6 +28,8 @@ import sys
 
 RUNS = (
     "headline", "headline_phases",
+    "headline_pre_asyncd2h", "headline_phases_pre_asyncd2h",
+    "headline_int8all_pre_asyncd2h", "headline_noasyncd2h",
     "headline_int8all", "headline_2s_int8all", "headline_turbo",
     "headline_int8all_prequant",
     "headline_phases_int8all", "headline_phases_int8all_run2", "headline_60s",
@@ -38,9 +46,16 @@ def main(argv=None) -> int:
     ap.add_argument("sweep_dir")
     ap.add_argument("--round", type=int, default=2)
     ap.add_argument("--repo", default=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ap.add_argument("--replace", action="store_true",
+                    help="rewrite the artifact from SWEEP_DIR alone instead of "
+                         "merging over the existing rows")
     args = ap.parse_args(argv)
 
+    out_path = os.path.join(args.repo, f"BENCH_SCENARIOS_r{args.round:02d}.json")
     results: dict[str, dict] = {}
+    if not args.replace and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
     for run in RUNS:
         path = os.path.join(args.sweep_dir, f"{run}.json")
         if not os.path.exists(path):
@@ -53,7 +68,6 @@ def main(argv=None) -> int:
             continue
         results[run] = json.loads(text.splitlines()[-1])
 
-    out_path = os.path.join(args.repo, f"BENCH_SCENARIOS_r{args.round:02d}.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out_path} ({len(results)} runs)")

@@ -39,6 +39,29 @@ run_row() {
   return 1
 }
 
+# --- round-3c: async-D2H (decode.enqueue_d2h) measurement queue -----------
+# The pre-change headline rows are preserved under *_pre_asyncd2h so the
+# canonical names can be re-measured on the shipped (async-D2H) code.
+for row in headline headline_int8all headline_phases; do
+  if [ -s "$DIR/$row.json" ] && [ ! -e "$DIR/${row}_pre_asyncd2h.json" ]; then
+    mv "$DIR/$row.json" "$DIR/${row}_pre_asyncd2h.json"
+  fi
+done
+
+if [ ! -s "$DIR/microbench_async_d2h.txt" ]; then
+  if probe; then
+    echo "=== microbench_async_download ($(date +%H:%M:%S))" >&2
+    timeout 1800 python tools/microbench_async_download.py \
+      > "$DIR/microbench_async_d2h.txt" 2>&1 || true
+    tail -3 "$DIR/microbench_async_d2h.txt" >&2 || true
+  fi
+fi
+
+run_row headline             BENCH_DUMMY=1
+run_row headline_noasyncd2h  RWA_NO_ASYNC_D2H=1
+run_row headline_int8all     BENCH_QUANT=int8-all
+run_row headline_phases      BENCH_PHASES=1
+
 # every round-3 streams row ran with a broken counter reset (bench.py replaced
 # asr.counters, the upload path KeyError'd, serving swallowed it — the timed
 # pass decoded ZERO ticks); all must re-run with the fixed in-place reset,
