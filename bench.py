@@ -407,7 +407,49 @@ def run_multistream(n_streams: int) -> int:
     return 0
 
 
+def wait_for_tpu() -> None:
+    """Block until the accelerator backend answers a tiny matmul, up to
+    BENCH_WAIT_TPU_S seconds (default 900; 0 disables). The axon relay has
+    multi-hour outages (round 3: UNAVAILABLE / wedged backend init); probing
+    in a SUBPROCESS keeps this process's JAX uninitialized so a failed probe
+    can't poison the backend cache, and gives an unattended bench run (e.g.
+    the end-of-round driver) a chance to ride out a brief outage instead of
+    failing immediately. Progress goes to stderr; the stdout JSON contract
+    is untouched."""
+    budget = float(os.environ.get("BENCH_WAIT_TPU_S", "900"))
+    if budget <= 0:
+        return
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); (x @ x).block_until_ready(); "
+             "print(jax.devices()[0].platform)")
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: backend recovered on probe {attempt}",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print("bench: backend probe still failing after "
+                  f"{budget:.0f} s; proceeding anyway", file=sys.stderr)
+            return
+        print(f"bench: backend probe {attempt} failed; retrying "
+              f"({remaining:.0f} s left)", file=sys.stderr)
+        time.sleep(min(60.0, remaining))
+
+
 def main() -> int:
+    wait_for_tpu()
     streams = os.environ.get("BENCH_STREAMS")
     if streams:
         return run_multistream(int(streams))
