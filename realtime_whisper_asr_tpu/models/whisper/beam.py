@@ -359,7 +359,7 @@ def beam_decode_batch_finalize(handle: dict) -> list[D.DecodeResult]:
         handle["packed"].block_until_ready()
         pt.lap("decode")
     D.TRANSFER_STATS["d2h"] += 1
-    out = np.asarray(handle["packed"])
+    out = D.fetch_d2h(handle["packed"])
     if pt is not None:
         pt.lap("download")
     results = _parse_beam_rows(cfg, out, max_new, handle["init_rows"])
@@ -423,7 +423,7 @@ def beam_decode(
         packed.block_until_ready()
         phase_timer.lap("decode")
     D.TRANSFER_STATS["d2h"] += 1
-    out = np.asarray(packed)
+    out = D.fetch_d2h(packed)
     if phase_timer is not None:
         phase_timer.lap("download")
     init_rows = [{"prefix_arr": prefix_arr, "init": init}]

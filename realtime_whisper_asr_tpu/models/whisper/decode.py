@@ -189,26 +189,70 @@ AUX_LEN = AUX_TOK + 6 + DRAFT_MAX
 #: this module; host→device uploads are counted in asr.TPUWhisperASR.counters.
 TRANSFER_STATS = {"d2h": 0}
 
-_ASYNC_D2H_OK = os.environ.get("RWA_NO_ASYNC_D2H", "") != "1"
+def _d2h_mode() -> str:
+    """Eager-download strategy: ``async`` (default), ``thread``, or ``off``.
+    ``RWA_D2H_MODE`` picks explicitly; legacy ``RWA_NO_ASYNC_D2H=1`` = off."""
+    mode = os.environ.get("RWA_D2H_MODE", "").strip().lower()
+    if mode in ("async", "thread", "off"):
+        return mode
+    return "off" if os.environ.get("RWA_NO_ASYNC_D2H", "") == "1" else "async"
+
+
+_ASYNC_D2H_OK = True
+#: dispatch-time reader-thread downloads awaiting their fetch_d2h(), keyed by
+#: id(array); the array itself is kept as a strong ref so the id stays valid.
+_PENDING_D2H: dict[int, tuple[object, object]] = {}
+_D2H_EXECUTOR = None
 
 
 def enqueue_d2h(arr) -> None:
-    """Eagerly enqueue the device→host copy of a decode result at DISPATCH
-    time (``jax.Array.copy_to_host_async``). On the tunneled axon backend the
-    blocking ``np.asarray`` issues its D2H *request* only when called, billing
-    a full ~26-31 ms round trip to the tick even for a KB-sized payload;
-    enqueueing right after dispatch lets the response travel while the decode
-    loop is still running, so the later blocking read finds the data already
-    in (or near) the host. Harmless where the runtime ignores the hint; self-
-    disables on backends that raise. ``RWA_NO_ASYNC_D2H=1`` opts out for A/B
-    measurement (tools/microbench_async_download.py)."""
-    global _ASYNC_D2H_OK
+    """Eagerly start the device→host copy of a decode result at DISPATCH time.
+    On the tunneled axon backend the blocking ``np.asarray`` issues its D2H
+    *request* only when called, billing a full ~26-31 ms round trip to the
+    tick even for a KB-sized payload; starting the copy right after dispatch
+    lets the response travel while the decode loop is still running, so the
+    later ``fetch_d2h`` finds the data already in (or near) the host.
+
+    Two mechanisms (``RWA_D2H_MODE``):
+    - ``async`` (default): ``jax.Array.copy_to_host_async()`` — zero-cost
+      hint; harmless where the runtime ignores it, self-disables on backends
+      that raise.
+    - ``thread``: a single reader thread issues the blocking ``np.asarray``
+      immediately; ``fetch_d2h`` joins it. Works even where the runtime
+      implements async copies as a no-op, at the cost of one worker thread.
+    - ``off``: do nothing (A/B control; tools/microbench_async_download.py).
+    """
+    global _ASYNC_D2H_OK, _D2H_EXECUTOR
+    mode = _d2h_mode()
+    if mode == "off":
+        return
+    if mode == "thread":
+        if _D2H_EXECUTOR is None:
+            import concurrent.futures
+
+            _D2H_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="rwa-d2h"
+            )
+        if len(_PENDING_D2H) > 64:  # bound leak if a dispatch is abandoned
+            _PENDING_D2H.pop(next(iter(_PENDING_D2H)))
+        _PENDING_D2H[id(arr)] = (arr, _D2H_EXECUTOR.submit(np.asarray, arr))
+        return
     if not _ASYNC_D2H_OK:
         return
     try:
         arr.copy_to_host_async()
     except Exception:
         _ASYNC_D2H_OK = False
+
+
+def fetch_d2h(arr) -> np.ndarray:
+    """Blocking host read of a decode result, joining the reader-thread copy
+    if ``enqueue_d2h`` started one (mode ``thread``); plain ``np.asarray``
+    otherwise."""
+    entry = _PENDING_D2H.pop(id(arr), None)
+    if entry is not None:
+        return entry[1].result()
+    return np.asarray(arr)
 
 
 def pack_aux(
@@ -584,7 +628,7 @@ def greedy_decode(
     # single device→host transfer; unpack by the static layout
     audio_ctx = int(xa.shape[1])
     TRANSFER_STATS["d2h"] += 1
-    flat = np.asarray(packed)
+    flat = fetch_d2h(packed)
     if phase_timer is not None:
         phase_timer.lap("download")
     row = flat.reshape(b, -1)
@@ -699,7 +743,7 @@ def greedy_decode_batch_finalize(handle: dict) -> list[DecodeResult]:
         handle["packed"].block_until_ready()
         phase_timer.lap("decode")
     TRANSFER_STATS["d2h"] += 1
-    flat = np.asarray(handle["packed"])
+    flat = fetch_d2h(handle["packed"])
     if phase_timer is not None:
         phase_timer.lap("download")
     row = flat.reshape(b, -1)

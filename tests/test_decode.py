@@ -847,3 +847,36 @@ def test_speculative_draft_fuzz(asr):
                 seed, n_pfx, draft[:6], ref_ids,
                 got.tokens[0][: got.lengths[0]].tolist(),
             )
+
+
+def test_d2h_modes_token_identical(asr, monkeypatch):
+    """decode.enqueue_d2h / fetch_d2h: the three eager-download modes (off /
+    async / thread) must be pure plumbing — identical tokens and logprobs,
+    and the thread-mode registry must drain after every fetch (no leak of
+    pending futures or device arrays)."""
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seed=5))
+    opts = D.DecodeOptions(timestamps=True)
+    outs = {}
+    for mode in ("off", "async", "thread"):
+        monkeypatch.setenv("RWA_D2H_MODE", mode)
+        res = D.greedy_decode(asr.params, cfg, xa, opts)
+        outs[mode] = (res.tokens[0][: res.lengths[0]].tolist(),
+                      float(res.sum_logprob[0]))
+        assert not D._PENDING_D2H, f"pending D2H registry leaked in {mode=}"
+    assert outs["off"] == outs["async"] == outs["thread"], outs
+    # batched dispatch/finalize path through the same registry
+    monkeypatch.setenv("RWA_D2H_MODE", "thread")
+    handle = D.greedy_decode_batch_dispatch(
+        asr.params, cfg, jnp.concatenate([xa, xa]), opts,
+        requests=[{"prompt_tokens": None, "prefix_tokens": None},
+                  {"prompt_tokens": None, "prefix_tokens": None}],
+    )
+    assert D._PENDING_D2H, "thread mode should register the pending download"
+    rows = D.greedy_decode_batch_finalize(handle)
+    assert not D._PENDING_D2H
+    # identical rows must decode identically through the threaded fetch
+    # (batched-vs-sequential parity at matched buckets is covered by
+    # test_batched_decode_matches_sequential)
+    a, b = (r.tokens[0][: r.lengths[0]].tolist() for r in rows)
+    assert a == b and a, (a, b)

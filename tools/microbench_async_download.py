@@ -15,9 +15,12 @@ sized payload:
   B  dispatch → copy_to_host_async → np.asarray      (eager D2H, no host work)
   C  dispatch → copy_to_host_async → host busy-loop → np.asarray
   D  dispatch → host busy-loop → np.asarray          (control for C)
+  E  dispatch → reader thread does np.asarray → join (decode RWA_D2H_MODE=
+     thread; works even if the runtime implements async copies as a no-op)
 
 If B < A by ≳10 ms the fix is one line in decode.py/beam.py. If only C < D the
 win needs host work between dispatch and parse (there is ~none in the tick).
+If B == A but E < A, ship mode "thread" as the default.
 
 Usage: python tools/microbench_async_download.py  (serialize with bench runs)
 """
@@ -80,6 +83,10 @@ def main():
     results["compute_ms"] = t * 1e3
     results["k"] = k
 
+    import concurrent.futures
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
     def run(variant: str, out_kb: int, busy_ms: float = 0.0, reps: int = 20):
         f = make_compute(k, out_kb)
         ws = jnp.stack([w] * k)
@@ -91,15 +98,17 @@ def main():
             out = f(x, ws)
             if variant in ("B", "C"):
                 out.copy_to_host_async()
+            if variant == "E":
+                fut = pool.submit(np.asarray, out)
             if busy_ms:
                 host_busy(busy_ms / 1e3)
-            flat = np.asarray(out)
+            flat = fut.result() if variant == "E" else np.asarray(out)
             ts.append(time.perf_counter() - t0)
         ts = np.asarray(ts) * 1e3
         return float(np.median(ts)), float(np.percentile(ts, 90))
 
     for out_kb in (16, 128):
-        for variant, busy in (("A", 0), ("B", 0), ("C", 60), ("D", 60)):
+        for variant, busy in (("A", 0), ("B", 0), ("C", 60), ("D", 60), ("E", 0)):
             try:
                 med, p90 = run(variant, out_kb, busy_ms=busy)
             except Exception as e:  # copy_to_host_async may be unimplemented
@@ -118,6 +127,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from realtime_whisper_asr_tpu import utils
+
     utils.start_background_warmup()
     main()

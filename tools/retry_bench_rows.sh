@@ -58,7 +58,8 @@ if [ ! -s "$DIR/microbench_async_d2h.txt" ]; then
 fi
 
 run_row headline             BENCH_DUMMY=1
-run_row headline_noasyncd2h  RWA_NO_ASYNC_D2H=1
+run_row headline_noasyncd2h  RWA_D2H_MODE=off
+run_row headline_threadd2h   RWA_D2H_MODE=thread
 run_row headline_int8all     BENCH_QUANT=int8-all
 run_row headline_phases      BENCH_PHASES=1
 
