@@ -15,7 +15,8 @@ reference 一键实时识别麦克风.py:282) — values > 1 are that many times
 
 Env knobs: BENCH_MODEL (default large-v3), BENCH_SECONDS (default 24),
 BENCH_CHUNK (s, default 1.0), BENCH_MAX_NEW (default 96), BENCH_QUANT
-(int8|int8-all|int8-kv|none), BENCH_PHASES=1 (sync-floor-corrected phase
+(int8|int8-all|int8-kv|none; default int8-all, the shipped recommendation
+for ≥medium models), BENCH_PHASES=1 (sync-floor-corrected phase
 split), BENCH_STREAMS=N (multi-stream serving capacity), BENCH_SCENARIO
 (1..5 runs a BASELINE.json scenario through the full StreamingApp product
 path instead of the headline loop):
@@ -328,7 +329,7 @@ def run_multistream(n_streams: int) -> int:
     start_background_warmup()
     model = os.environ.get("BENCH_MODEL", "large-v3")
     seconds = float(os.environ.get("BENCH_SECONDS", "24"))
-    quant = os.environ.get("BENCH_QUANT", "int8")
+    quant = os.environ.get("BENCH_QUANT", "int8-all")
     max_new = int(os.environ.get("BENCH_MAX_NEW", "96"))
 
     t_setup0 = time.perf_counter()
@@ -482,7 +483,11 @@ def main() -> int:
     )
 
     t_setup0 = time.perf_counter()
-    quant = os.environ.get("BENCH_QUANT", "int8")
+    # default matches the shipped recommendation (utils.hardware
+    # recommend_quantization): int8-all for ≥medium models — decode is
+    # weight-bandwidth-bound at batch 1 and the int8 encoder saves ~3 ms/tick
+    # (measured faster than plain int8 at 1 s cadence, BENCH_SCENARIOS_r03)
+    quant = os.environ.get("BENCH_QUANT", "int8-all")
     beam = int(os.environ.get("BENCH_BEAM", "1"))  # beam row: BENCH_BEAM=5
     asr = TPUWhisperASR(
         model_size=model, dtype=jnp.bfloat16, word_timestamps=True,

@@ -57,21 +57,25 @@ if [ ! -s "$DIR/microbench_async_d2h.txt" ]; then
   fi
 fi
 
+# headline now defaults to int8-all (the shipped recommendation);
+# headline_int8 keeps the historical int8 row for round-over-round continuity
 run_row headline             BENCH_DUMMY=1
+run_row headline_int8        BENCH_QUANT=int8
 run_row headline_noasyncd2h  RWA_D2H_MODE=off
 run_row headline_threadd2h   RWA_D2H_MODE=thread
-run_row headline_int8all     BENCH_QUANT=int8-all
 run_row headline_phases      BENCH_PHASES=1
 
 # every round-3 streams row ran with a broken counter reset (bench.py replaced
 # asr.counters, the upload path KeyError'd, serving swallowed it — the timed
 # pass decoded ZERO ticks); all must re-run with the fixed in-place reset,
 # which now also hard-fails on ticks==0 instead of publishing garbage.
-run_row streams2           BENCH_STREAMS=2
-run_row streams4           BENCH_STREAMS=4
-run_row streams4_mixedlang BENCH_STREAMS=4 BENCH_STREAM_LANGS=en,zh
-run_row streams8           BENCH_STREAMS=8
-run_row streams16          BENCH_STREAMS=16
+# explicit int8 (the bench default moved to int8-all): keeps the streams rows
+# comparable with round 2 and preserves the streams16 int8-vs-int8all A/B
+run_row streams2           BENCH_STREAMS=2  BENCH_QUANT=int8
+run_row streams4           BENCH_STREAMS=4  BENCH_QUANT=int8
+run_row streams4_mixedlang BENCH_STREAMS=4  BENCH_QUANT=int8 BENCH_STREAM_LANGS=en,zh
+run_row streams8           BENCH_STREAMS=8  BENCH_QUANT=int8
+run_row streams16          BENCH_STREAMS=16 BENCH_QUANT=int8
 run_row streams16_int8all  BENCH_STREAMS=16 BENCH_QUANT=int8-all
 run_row streams16_int8kv   BENCH_STREAMS=16 BENCH_QUANT=int8-kv
 run_row headline_int8all_prequant BENCH_QUANT=int8-all BENCH_CHECKPOINT=/tmp/prequant_lv3
