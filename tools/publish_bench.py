@@ -30,7 +30,7 @@ RUNS = (
     "headline", "headline_phases",
     "headline_pre_asyncd2h", "headline_phases_pre_asyncd2h",
     "headline_int8all_pre_asyncd2h", "headline_noasyncd2h", "headline_threadd2h",
-    "headline_int8",
+    "headline_int8", "headline_paced_int8all_pre_asyncd2h",
     "headline_int8all", "headline_2s_int8all", "headline_turbo",
     "headline_int8all_prequant",
     "headline_phases_int8all", "headline_phases_int8all_run2", "headline_60s",

@@ -42,7 +42,7 @@ run_row() {
 # --- round-3c: async-D2H (decode.enqueue_d2h) measurement queue -----------
 # The pre-change headline rows are preserved under *_pre_asyncd2h so the
 # canonical names can be re-measured on the shipped (async-D2H) code.
-for row in headline headline_int8all headline_phases; do
+for row in headline headline_int8all headline_phases headline_paced_int8all; do
   if [ -s "$DIR/$row.json" ] && [ ! -e "$DIR/${row}_pre_asyncd2h.json" ]; then
     mv "$DIR/$row.json" "$DIR/${row}_pre_asyncd2h.json"
   fi
@@ -64,6 +64,7 @@ run_row headline_int8        BENCH_QUANT=int8
 run_row headline_noasyncd2h  RWA_D2H_MODE=off
 run_row headline_threadd2h   RWA_D2H_MODE=thread
 run_row headline_phases      BENCH_PHASES=1
+run_row headline_paced_int8all BENCH_PACED=1
 
 # every round-3 streams row ran with a broken counter reset (bench.py replaced
 # asr.counters, the upload path KeyError'd, serving swallowed it — the timed
