@@ -176,6 +176,7 @@ def run_scenario(n: int) -> int:
         app.asr.counters[key] = 0
     h2d_before = 0
     d2h_before = Dmod.TRANSFER_STATS["d2h"]
+    d2h_block_before = Dmod.TRANSFER_STATS["d2h_block_s"]
     t0 = time.perf_counter()
     stats = app.record_session(stream, chunk_seconds=1.0, max_seconds=seconds,
                                until_exhausted=False)
@@ -183,7 +184,8 @@ def run_scenario(n: int) -> int:
     mon = app.monitor.get_status() if app.monitor else {}
     quant = cm.get("model.quantization") or "none"
     extras = perf_extras(app.asr, seconds, quant, h2d_before, d2h_before,
-                         profile_phases, proc_total=wall)
+                         profile_phases, proc_total=wall,
+                         d2h_block_before=d2h_block_before)
     app.shutdown()
     print(json.dumps({
         "metric": f"scenario{n}_{s['model']}_streaming_rtf",
@@ -222,7 +224,8 @@ V5E_PEAK_HBM = 819e9
 
 def perf_extras(asr, audio_s: float, quant: str, h2d_before: int,
                 d2h_before: int, profile_phases: bool,
-                proc_total: float | None = None) -> dict:
+                proc_total: float | None = None,
+                d2h_block_before: float = 0.0) -> dict:
     """Shared perf/auditability fields for every bench mode: decode
     throughput + roofline estimates, sync-floor-corrected phase splits,
     COUNTED per-tick transfers, and hand-FLOP encoder MFU (VERDICT r2 #2c/#3;
@@ -292,6 +295,13 @@ def perf_extras(asr, audio_s: float, quant: str, h2d_before: int,
     extras["ticks"] = int(asr.counters["ticks"])
     extras["h2d_per_tick"] = round((asr.counters["h2d_transfers"] - h2d_before) / ticks, 2)
     extras["d2h_per_tick"] = round((D.TRANSFER_STATS["d2h"] - d2h_before) / ticks, 2)
+    # time actually spent BLOCKED in the result fetch. In BENCH_PHASES=1 runs
+    # block_until_ready precedes the fetch (billed to "decode"), so this is
+    # the pure download/sync residual — the number sync accounting should
+    # use. In plain runs dispatch is async and the fetch also waits out the
+    # device compute, so this reads as compute+download per tick.
+    extras["d2h_block_ms_per_tick"] = round(
+        (D.TRANSFER_STATS["d2h_block_s"] - d2h_block_before) / ticks * 1e3, 1)
     extras["h2d_kb_per_tick"] = round(asr.counters["h2d_bytes"] / ticks / 1e3, 1)
 
     # ---- encoder auditability (VERDICT r2 weak #3): hand-counted FLOPs (XLA
@@ -549,6 +559,7 @@ def main() -> int:
     # product's true busy time. rtf stays sum(process_iter)/audio.
     paced = os.environ.get("BENCH_PACED", "") not in ("", "0")
     d2h_before = D.TRANSFER_STATS["d2h"]
+    d2h_block_before = D.TRANSFER_STATS["d2h_block_s"]
     h2d_before = asr.counters["h2d_transfers"]
     lat, run_rtfs = [], []
     results = 0
@@ -586,7 +597,8 @@ def main() -> int:
     baseline_ms = BASELINE_LATENCY_MS.get(model, 4000.0)
 
     extras = perf_extras(asr, audio_s, quant, h2d_before, d2h_before,
-                         profile_phases, proc_total=proc_total)
+                         profile_phases, proc_total=proc_total,
+                         d2h_block_before=d2h_block_before)
     print(json.dumps({
         "metric": f"p50_chunk_to_text_latency_{model}_streaming",
         "value": round(p50, 1),

@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import time
 from typing import Optional
 
 import jax
@@ -187,7 +188,7 @@ AUX_LEN = AUX_TOK + 6 + DRAFT_MAX
 #: exact device→host transfer counter (bench reports syncs/tick COUNTED, not
 #: inferred — round-2 VERDICT #2c). Incremented at every blocking download in
 #: this module; host→device uploads are counted in asr.TPUWhisperASR.counters.
-TRANSFER_STATS = {"d2h": 0}
+TRANSFER_STATS = {"d2h": 0, "d2h_block_s": 0.0}
 
 def _d2h_mode() -> str:
     """Eager-download strategy: ``async`` (default), ``thread``, or ``off``.
@@ -248,11 +249,18 @@ def enqueue_d2h(arr) -> None:
 def fetch_d2h(arr) -> np.ndarray:
     """Blocking host read of a decode result, joining the reader-thread copy
     if ``enqueue_d2h`` started one (mode ``thread``); plain ``np.asarray``
-    otherwise."""
-    entry = _PENDING_D2H.pop(id(arr), None)
-    if entry is not None:
-        return entry[1].result()
-    return np.asarray(arr)
+    otherwise. The time actually spent blocked accumulates in
+    ``TRANSFER_STATS["d2h_block_s"]`` — with eager D2H, transfers-counted ×
+    sync-floor over-predicts the tick's sync cost, so the bench reports this
+    measured residual instead."""
+    t0 = time.perf_counter()
+    try:
+        entry = _PENDING_D2H.pop(id(arr), None)
+        if entry is not None:
+            return entry[1].result()
+        return np.asarray(arr)
+    finally:
+        TRANSFER_STATS["d2h_block_s"] += time.perf_counter() - t0
 
 
 def pack_aux(

@@ -98,14 +98,23 @@ def main(argv=None) -> int:
         syncs = h.get("d2h_per_tick", 1.0)
         floor_s = (hp.get("sync_floor_ms") or 0.0) / 1e3
         host_s = (hp.get("phases_ms_per_tick", {}).get("host_parse") or 0.0) / 1e3
+        # prefer the MEASURED time blocked in the result download (eager D2H
+        # hides part of the request round trip, so transfers × floor
+        # over-predicts). MUST come from the phases run: only there does
+        # block_until_ready precede the fetch (billed to the decode phase),
+        # making the fetch time a pure transfer residual — in plain runs the
+        # fetch also waits out the asynchronously-dispatched device compute.
+        block_ms = hp.get("d2h_block_ms_per_tick")
+        sync_s = (block_ms / 1e3) if block_ms is not None else syncs * floor_s
         predicted = (
             (hp.get("compute_rtf") or 0.0) + (hp.get("transfer_rtf") or 0.0)
-            + host_s + syncs * floor_s
+            + host_s + sync_s
         )
         rtf = h.get("rtf")
         pub["sync_accounting"] = {
             "blocking_d2h_syncs_per_tick_counted": syncs,
             "sync_floor_ms": hp.get("sync_floor_ms"),
+            "d2h_block_ms_per_tick_measured": block_ms,
             "predicted_rtf_compute+transfer+host+syncs": round(predicted, 4),
             "measured_rtf": rtf,
             "unexplained_gap_pct": round(100.0 * (rtf - predicted) / rtf, 1)
