@@ -16,6 +16,19 @@ x = jnp.ones((128, 128))
 EOF
 }
 
+# The host is 1-core and bench numbers skew 2-3x under a concurrent pytest /
+# training run (CLAUDE.md: "benchmark on a QUIET machine"). Wait for the
+# load average to settle before burning a probe + bench attempt.
+quiet() {
+  for _ in $(seq 1 120); do
+    read -r l _ < /proc/loadavg
+    if awk -v l="$l" 'BEGIN{exit !(l < 0.6)}'; then return 0; fi
+    echo "--- host busy (load $l); sleeping 60 s" >&2
+    sleep 60
+  done
+  return 0  # proceed anyway after ~2 h rather than starve forever
+}
+
 run_row() {
   local name="$1"; shift
   if [ -s "$DIR/$name.json" ]; then
@@ -24,6 +37,7 @@ run_row() {
   fi
   for attempt in 1 2 3; do
     echo "=== $name attempt $attempt ($(date +%H:%M:%S))" >&2
+    quiet
     if ! probe; then
       echo "--- relay probe failed; sleeping 300 s" >&2
       sleep 300
@@ -49,6 +63,7 @@ for row in headline headline_int8all headline_phases headline_paced_int8all; do
 done
 
 if [ ! -s "$DIR/microbench_async_d2h.txt" ]; then
+  quiet
   if probe; then
     echo "=== microbench_async_download ($(date +%H:%M:%S))" >&2
     timeout 1800 python tools/microbench_async_download.py \
