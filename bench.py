@@ -284,7 +284,11 @@ def perf_extras(asr, audio_s: float, quant: str, h2d_before: int,
             extras["decode_hbm_gbs_est"] = round(tps * dec_bytes / 1e9, 1)
             extras["decode_hbm_util_est"] = round(tps * dec_bytes / V5E_PEAK_HBM, 4)
     elif new_tokens > 0 and proc_total is not None and proc_total > 0:
-        extras["decode_tokens_per_s"] = round(new_tokens / proc_total, 1)
+        # without phase instrumentation there is no decode-only clock; this is
+        # tokens per TOTAL processing second (encode+decode+transfers+host),
+        # named accordingly. proc_total must cover the same span the counters
+        # accumulated over (all runs) — mixing scopes inflated r3 rows ~3x.
+        extras["tokens_per_proc_s"] = round(new_tokens / proc_total, 1)
     extras["new_tokens"] = int(new_tokens)
     extras["decoder_param_bytes"] = int(dec_bytes)
 
@@ -563,6 +567,9 @@ def main() -> int:
     h2d_before = asr.counters["h2d_transfers"]
     lat, run_rtfs = [], []
     results = 0
+    proc_sum = 0.0  # processing seconds across ALL runs — counters (new_tokens
+    # etc.) accumulate over the whole loop, so any tokens/s derived from them
+    # must divide by the matching total, not the last run's proc_total
     t_wall0 = time.perf_counter()
     for _run in range(n_runs):
         vac.init()
@@ -585,6 +592,7 @@ def main() -> int:
         vac.finish()
         proc_total += time.perf_counter() - t0
         run_rtfs.append(proc_total / (len(measured) / SR))
+        proc_sum += proc_total
     wall = time.perf_counter() - t_wall0
 
     audio_s = len(measured) / SR * n_runs
@@ -597,7 +605,7 @@ def main() -> int:
     baseline_ms = BASELINE_LATENCY_MS.get(model, 4000.0)
 
     extras = perf_extras(asr, audio_s, quant, h2d_before, d2h_before,
-                         profile_phases, proc_total=proc_total,
+                         profile_phases, proc_total=proc_sum,
                          d2h_block_before=d2h_block_before)
     print(json.dumps({
         "metric": f"p50_chunk_to_text_latency_{model}_streaming",

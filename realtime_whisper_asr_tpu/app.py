@@ -55,6 +55,47 @@ def validate_timestamps(beg, end, text: str) -> bool:
     return True
 
 
+class _OneAheadWorker:
+    """One-slot read-ahead pipeline on a DAEMON thread.
+
+    ``submit()`` queues one run of ``fn``; ``result()`` blocks for its return
+    value (re-raising any exception in the caller, like ``Future.result``).
+    The thread is daemonic so a body blocked forever in a device read cannot
+    hang interpreter exit — the failure mode ThreadPoolExecutor has (its
+    exit hook joins non-daemon workers without timeout)."""
+
+    def __init__(self, fn: Callable, name: str = "worker"):
+        import queue
+        import threading
+
+        self._fn = fn
+        self._req: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._res: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._thread = threading.Thread(target=self._run, name=name, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while self._req.get():
+            try:
+                self._res.put((True, self._fn()))
+            except BaseException as e:  # delivered to result(), like a Future
+                self._res.put((False, e))
+
+    def submit(self) -> None:
+        self._req.put(True)
+
+    def result(self):
+        ok, value = self._res.get()
+        if not ok:
+            raise value
+        return value
+
+    def stop(self) -> None:
+        """Ask the worker to exit after any in-flight run; never blocks. An
+        in-flight blocking read just dies with the process (daemon)."""
+        self._req.put(False)
+
+
 class AutoLanguageController:
     """Auto-language streaming: re-detect language at utterance boundaries and
     hot-swap per-language config when it changes.
@@ -173,13 +214,20 @@ class StreamingApp:
             if hw["degraded"] and cfg.get("fallback", {}).get("auto_downgrade", True):
                 plan = degraded_plan(m["size"], m.get("quantization"))
                 if plan is not None:
+                    # a configured checkpoint_dir belongs to the *configured*
+                    # model — keeping it would make TPUWhisperASR load the big
+                    # cfg+weights from the dir and silently undo the downgrade
+                    dropped_ckpt = m.get("checkpoint_dir")
                     self.degraded = (
                         f"⚠️ {hw['degraded_reason']}; running on CPU with "
                         f"model={plan['model']} quantization={plan['quantization']} "
                         f"({plan['reason']})"
+                        + (f"; ignoring checkpoint_dir={dropped_ckpt} "
+                           "(it holds the non-downgraded model)" if dropped_ckpt else "")
                     )
                     logger.warning(self.degraded)
-                    m = dict(m, size=plan["model"], quantization=plan["quantization"])
+                    m = dict(m, size=plan["model"], quantization=plan["quantization"],
+                             checkpoint_dir=None)
             asr = TPUWhisperASR(
                 model_size=m["size"],
                 language=language,
@@ -487,24 +535,26 @@ class StreamingApp:
                 sep = self.separator.separate(chunk)
             return chunk, sep, recovered
 
-        executor = None
-        pending = None
+        worker = None
+        pending = False
         if self.separator is not None:
-            import concurrent.futures
-
-            executor = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="read-sep"
-            )
+            # NOT a ThreadPoolExecutor: its threads are non-daemon and the
+            # interpreter-exit hook joins them without timeout, so a worker
+            # blocked forever in stream.read() (dead mic) would hang process
+            # exit after Ctrl-C. A daemon thread with the same one-slot
+            # pipeline semantics dies with the process instead.
+            worker = _OneAheadWorker(_read_and_separate, name="read-sep")
         try:
             while True:
                 if max_seconds is not None and fed >= max_seconds:
                     break
-                if pending is None and until_exhausted and getattr(stream, "exhausted", False):
+                if not pending and until_exhausted and getattr(stream, "exhausted", False):
                     break
-                if executor is not None:
-                    fut = pending if pending is not None else executor.submit(_read_and_separate)
-                    pending = None
-                    chunk, sep_chunk, recovered = fut.result()
+                if worker is not None:
+                    if not pending:
+                        worker.submit()
+                    pending = False
+                    chunk, sep_chunk, recovered = worker.result()
                 else:
                     chunk, sep_chunk, recovered = _read_and_separate()
                 if recovered:
@@ -514,11 +564,12 @@ class StreamingApp:
                 fed += len(chunk) / SR
                 # pre-submit the NEXT read+separate before this tick's device
                 # work, unless this session is already at its last chunk
-                if executor is not None and (
+                if worker is not None and (
                     (max_seconds is None or fed < max_seconds)
                     and not (until_exhausted and getattr(stream, "exhausted", False))
                 ):
-                    pending = executor.submit(_read_and_separate)
+                    worker.submit()
+                    pending = True
                 text = self.process_chunk(sep_chunk, stats, self.clock(), separated=True)
                 # idle UI: blinking nonvoice marker + heartbeat (reference
                 # 一键…py:1653-1677) — only on a TTY, throttled
@@ -541,8 +592,8 @@ class StreamingApp:
         except KeyboardInterrupt:
             logger.info("interrupted; flushing")
         finally:
-            if executor is not None:
-                executor.shutdown(wait=False, cancel_futures=True)
+            if worker is not None:
+                worker.stop()
             beg, end, text = self.processor.finish()
             if text and validate_timestamps(beg, end, text):
                 skip = False

@@ -109,6 +109,36 @@ def _apply_plans_jit(up, bufs, kinds, lens, cap, aux_size):
     return tuple(new_bufs), aux
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "ln", "cap"))
+def _apply_plan_row_jit(up, buf, off, pos, shift, kind, ln, cap):
+    """One stream's upload plan against the shared device blob.
+
+    The B>1 serving path applies plans row-by-row with THIS function instead
+    of the fused ``_apply_plans_jit``: the fused program's static signature is
+    the whole (kinds, lens) tuple, so a 16-stream group churning through
+    joins/trims at different ticks would mint a fresh multi-second XLA compile
+    per distinct per-position pattern. Here the signature is one row's
+    (kind, len-bucket) — ≤ ~a dozen programs ever, shared by every row of
+    every group. Row offset/write-position/shift ride as traced scalars; the
+    blob is already device-resident, so the extra per-row dispatches are
+    ~12 µs async each, not transfers."""
+    pos = up[pos].astype(jnp.int32)  # meta indices resolved in-program: the
+    shift = up[shift].astype(jnp.int32)  # caller passes blob positions, not values
+    seg = jax.lax.dynamic_slice(up, (off,), (ln,)) if ln else up[:0]
+    if kind == "full":
+        return _buf_place(seg, cap)
+    if kind == "shift":
+        return _buf_shift_write(buf, seg, shift, pos)
+    if ln:
+        return _buf_write(buf, seg, pos)
+    return buf
+
+
+@functools.partial(jax.jit, static_argnames=("aux_size",))
+def _slice_aux_jit(up, start, aux_size):
+    return jax.lax.dynamic_slice(up, (start,), (aux_size,))
+
+
 @dataclasses.dataclass
 class Word:
     start: float
@@ -191,6 +221,18 @@ class TPUWhisperASR:
             logger.info("checkpoint carries pre-quantized weights (%s)", pre_quant)
             if quantization in (None, "", "none"):
                 quantization = pre_quant
+            else:
+                # a pre-quantized artifact cannot be weakened: the f32 weights
+                # are gone, so e.g. int8-all prequant + requested "int8" would
+                # RUN int8-all while reporting int8. Report what actually runs.
+                rank = {"int8": 1, "int8-all": 2, "int8-kv": 2}
+                if rank.get(pre_quant, 0) > rank.get(quantization, 0):
+                    logger.warning(
+                        "checkpoint is pre-quantized %s; requested %r cannot "
+                        "weaken it — running (and reporting) %s",
+                        pre_quant, quantization, pre_quant,
+                    )
+                    quantization = pre_quant
         if quantization == "int8":
             from realtime_whisper_asr_tpu.models.whisper.quant import quantize_decoder
 
@@ -409,9 +451,26 @@ class TPUWhisperASR:
             self._buffers[k][0] if p["kind"] != "full" else TPUWhisperASR._EMPTY_BUF
             for k, p in zip(keys, plans)
         )
-        new_bufs, aux_dev = _apply_plans_jit(
-            up, bufs, kinds=kinds, lens=lens, cap=self._CAP, aux_size=aux_flat.size,
-        )
+        if len(plans) == 1:
+            # single stream: the fused program's signature space is tiny
+            # (4 kinds × ~4 len buckets) and it keeps the tick at one dispatch
+            new_bufs, aux_dev = _apply_plans_jit(
+                up, bufs, kinds=kinds, lens=lens, cap=self._CAP, aux_size=aux_flat.size,
+            )
+        else:
+            # B>1 serving group: per-row programs — the fused signature over
+            # the whole (kinds, lens) tuple retraces combinatorially as
+            # streams join/trim at different ticks (see _apply_plan_row_jit)
+            n = len(plans)
+            meta_off = sum(lens) + aux_flat.size
+            new_bufs, off = [], 0
+            for i, (kind, ln, buf) in enumerate(zip(kinds, lens, bufs)):
+                new_bufs.append(
+                    _apply_plan_row_jit(up, buf, off, meta_off + i, meta_off + n + i,
+                                        kind=kind, ln=ln, cap=self._CAP)
+                )
+                off += ln
+            aux_dev = _slice_aux_jit(up, sum(lens), aux_size=aux_flat.size)
         for k, nb, plan in zip(keys, new_bufs, plans):
             self._buffers[k] = (nb, plan["mirror"].copy())
         return aux_dev

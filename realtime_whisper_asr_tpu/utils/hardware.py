@@ -71,13 +71,19 @@ def degraded_plan(model: str, quantization: Any) -> dict[str, Any] | None:
     """CPU-fallback parameter re-optimization (reference `一键…py:1147-1175`:
     failed GPU load retries on CPU with int8 + smaller-model advice). Returns
     the downgraded {model, quantization, reason} or None when the requested
-    config is already CPU-appropriate (tiny/base need no clamp)."""
+    config is already CPU-appropriate (tiny/base need no clamp).
+
+    An *explicitly configured* quantization survives the downgrade (a user
+    running a quality A/B with ``none`` keeps it); only an unset one is
+    re-optimized to the reference's CPU pick (int8)."""
     if model in ("small", "medium", "large-v2", "large-v3", "large-v3-turbo"):
+        quant = quantization if quantization else "int8"
         return {
             "model": "base",
-            "quantization": "int8",
-            "reason": f"{model} is not realtime on CPU; base+int8 keeps the "
-                      "session usable (reference CPU-fallback parity)",
+            "quantization": quant,
+            "reason": f"{model} is not realtime on CPU; base"
+                      + (f"+{quant}" if quant != "none" else "")
+                      + " keeps the session usable (reference CPU-fallback parity)",
         }
     return None
 

@@ -345,3 +345,31 @@ def test_auto_language_ignores_low_confidence_and_same_language():
     app.record_session(stream, chunk_seconds=0.25)
     app.shutdown()
     assert app.language == "en"
+
+
+def test_degraded_mode_drops_checkpoint_dir_and_keeps_explicit_quant(monkeypatch):
+    """Downgrade must actually take effect with a configured checkpoint_dir:
+    TPUWhisperASR loads cfg+weights from the dir, which would silently undo
+    the base-model downgrade — the plan drops it (and says so). An explicitly
+    configured quantization survives (a quality A/B with 'none' keeps it);
+    only an unset one is re-optimized to int8."""
+    import realtime_whisper_asr_tpu.asr as asr_mod
+
+    captured = {}
+
+    def fake_tpu_asr(**kwargs):
+        captured.update(kwargs)
+        return TimecodedFakeASR([], unstable_tail=False)
+
+    monkeypatch.setattr(asr_mod, "TPUWhisperASR", fake_tpu_asr)
+    cm = ConfigManager(autoload=False)
+    cm.set("model.size", "large-v3")
+    cm.set("model.checkpoint_dir", "/ckpt/large-v3")
+    cm.set("model.quantization", "none")
+    app = StreamingApp(config=cm, language="en")
+    assert app.degraded is not None
+    assert captured["model_size"] == "base"
+    assert captured["checkpoint_dir"] is None
+    assert "/ckpt/large-v3" in app.degraded  # the drop is visible to the user
+    assert captured["quantization"] == "none"  # explicit choice survives
+    app.shutdown()

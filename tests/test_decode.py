@@ -880,3 +880,66 @@ def test_d2h_modes_token_identical(asr, monkeypatch):
     # test_batched_decode_matches_sequential)
     a, b = (r.tokens[0][: r.lengths[0]].tolist() for r in rows)
     assert a == b and a, (a, b)
+
+
+def test_sync_many_per_row_path_matches_and_bounds_traces(asr):
+    """B>1 groups apply upload plans row-by-row: buffers must land exactly as
+    the fused B==1 path lands them, for every kind (full/grow/shift/empty) —
+    AND the per-row program's jit-signature count must depend only on the
+    (kind, len-bucket) pairs used, never on the batch's per-position pattern
+    (the fused program retraced combinatorially on serving churn)."""
+    from realtime_whisper_asr_tpu import asr as A
+
+    rng = np.random.default_rng(21)
+
+    def mk(n, seed):
+        return (np.random.default_rng(seed).standard_normal(n) * 0.2).astype(np.float32)
+
+    def expected(audio):
+        q = np.clip(np.round(audio * 32768.0), -32768, 32767) / 32768.0
+        return q.astype(np.float32)
+
+    keys = ["row-a", "row-b", "row-c"]
+    a0, b0, c0 = mk(16000, 1), mk(12000, 2), mk(8000, 3)
+    aux = np.zeros((3, A.D.AUX_LEN), np.float32)
+    aux[:, 0] = [7.0, 8.0, 9.0]
+
+    # tick 1: all three are fresh -> all "full" through the per-row path
+    aux_dev = asr._sync_many(keys, [a0, b0, c0], aux)
+    np.testing.assert_array_equal(np.asarray(aux_dev)[:, 0], aux[:, 0])
+    for k, audio in zip(keys, [a0, b0, c0]):
+        buf = np.asarray(asr._buffers[k][0])
+        np.testing.assert_array_equal(buf[: len(audio)], expected(audio))
+        assert (buf[len(audio):] == 0).all()
+
+    # tick 2: mixed kinds at different positions — grow / shift / unchanged
+    a1 = np.concatenate([a0, mk(4000, 4)])          # grow
+    b1 = np.concatenate([b0[5000:], mk(3000, 5)])   # front trim -> shift
+    c1 = c0                                         # grow with nothing new
+    plans = [asr._plan_upload(k, x) for k, x in zip(keys, [a1, b1, c1])]
+    assert [p["kind"] for p in plans] == ["grow", "shift", "grow"]
+    assert plans[2]["n_new"] == 0
+    asr._sync_many(keys, [a1, b1, c1], aux)
+    for k, audio in zip(keys, [a1, b1, c1]):
+        buf = np.asarray(asr._buffers[k][0])
+        np.testing.assert_array_equal(buf[: len(audio)], expected(audio))
+    # every (kind, len-bucket) this session uses is now traced
+    n_sigs_before = A._apply_plan_row_jit._cache_size()
+
+    # tick 3: the SAME kinds permuted across positions — with the fused
+    # program this was a fresh XLA compile; per-row it must hit the cache
+    a2 = np.concatenate([a1[5000:], mk(3000, 6)])   # shift
+    b2 = np.concatenate([b1, mk(4000, 7)])          # grow
+    c2 = c1                                         # unchanged
+    plans = [asr._plan_upload(k, x) for k, x in zip(keys, [a2, b2, c2])]
+    assert [p["kind"] for p in plans] == ["shift", "grow", "grow"]
+    asr._sync_many(keys, [a2, b2, c2], aux)
+    for k, audio in zip(keys, [a2, b2, c2]):
+        buf = np.asarray(asr._buffers[k][0])
+        np.testing.assert_array_equal(buf[: len(audio)], expected(audio))
+    assert A._apply_plan_row_jit._cache_size() == n_sigs_before, (
+        "permuting plan kinds across batch positions must not mint new "
+        "per-row signatures (only a genuinely new (kind, len-bucket) may)"
+    )
+    for k in keys:
+        asr.drop_stream(k)

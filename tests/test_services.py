@@ -426,3 +426,32 @@ def test_convert_checkpoint_tool(tmp_path):
     # quantized decoder leaves present (ASR fuses qkv at init: quant.fuse_qkv)
     leaf = asr.params["decoder"]["blocks"]["attn"]["wqkv"]
     assert isinstance(leaf, dict) and leaf["q"].dtype == jnp.int8
+
+
+def test_prequantized_checkpoint_requested_weaker_reports_actual(tmp_path):
+    """An int8-all prequant artifact loaded with quantization='int8' cannot be
+    weakened (the f32 weights are gone): the ASR must run — and REPORT —
+    int8-all rather than labeling an int8-all execution 'int8' (round-3
+    review finding). A *stronger* request still upgrades normally."""
+    import jax
+    import jax.numpy as jnp
+
+    from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+    from realtime_whisper_asr_tpu.models import whisper as W
+    from realtime_whisper_asr_tpu.models.whisper.checkpoint import save_checkpoint
+    from realtime_whisper_asr_tpu.models.whisper.quant import quantize_all
+
+    cfg = W.get_config("test-tiny")
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    path = str(tmp_path / "qckpt")
+    save_checkpoint(path, quantize_all(params), cfg)
+
+    a = TPUWhisperASR(checkpoint_dir=path, dtype=jnp.float32,
+                      quantization="int8", word_timestamps=False)
+    assert a.quantization == "int8-all"  # what actually runs
+
+    # equal/stronger requests keep their own label (int8-kv adds the runtime
+    # KV-cache quantization on top of the artifact's weights)
+    b = TPUWhisperASR(checkpoint_dir=path, dtype=jnp.float32,
+                      quantization="int8-kv", word_timestamps=False)
+    assert b.quantization == "int8-kv" and b._kv_quant

@@ -173,11 +173,29 @@ def main(argv=None) -> int:
         params = S.init_separator_params_v2(jax.random.PRNGKey(args.seed))
     else:
         params = S.init_separator_params(jax.random.PRNGKey(args.seed))
+
+    rng = np.random.default_rng(args.seed)
+    start_step = 0
+    if args.resume:
+        # restore params FIRST: dil and the optimizer treedef must derive
+        # from the checkpoint's architecture, not from --arch's fresh init
+        # (resuming a v1 ckpt under the default --arch v2 would otherwise
+        # unflatten against the wrong treedef / train with wrong dilations)
+        ck = np.load(args.resume, allow_pickle=False)
+        params = {k[2:]: jnp.asarray(ck[k]) for k in ck.files if k.startswith("p/")}
     dil, _ = S.arch_of(params)
 
     sched = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.05)
     opt = optax.adam(sched)
     opt_state = opt.init(params)
+    if args.resume:
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        opt_leaves = [jnp.asarray(ck[f"o/{i}"]) for i in range(len(leaves))]
+        opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
+        start_step = int(ck["step"])
+        rng = np.random.default_rng()
+        rng.bit_generator.state = json.loads(str(ck["rng"]))
+        print(f"resumed from {args.resume} at step {start_step}", flush=True)
 
     def loss_fn(p, mix, clean):
         est = jax.vmap(lambda a: S.separate_vocals(p, a, dil=dil))(mix)
@@ -193,19 +211,7 @@ def main(argv=None) -> int:
         updates, s = opt.update(grads, s)
         return optax.apply_updates(p, updates), s, loss
 
-    rng = np.random.default_rng(args.seed)
-    start_step = 0
     ckpt_path = os.path.abspath(args.out) + ".ckpt.npz"
-    if args.resume:
-        ck = np.load(args.resume, allow_pickle=False)
-        params = {k[2:]: jnp.asarray(ck[k]) for k in ck.files if k.startswith("p/")}
-        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
-        opt_leaves = [jnp.asarray(ck[f"o/{i}"]) for i in range(len(leaves))]
-        opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
-        start_step = int(ck["step"])
-        rng = np.random.default_rng()
-        rng.bit_generator.state = json.loads(str(ck["rng"]))
-        print(f"resumed from {args.resume} at step {start_step}", flush=True)
 
     def save_ckpt(step: int) -> None:
         blob = {f"p/{k}": np.asarray(v) for k, v in params.items()}
