@@ -147,14 +147,18 @@ class OnlineASRProcessor:
         k = len(self.commited)
         while k > 0 and self.commited[k - 1][1] > self.buffer_time_offset:
             k -= 1
-        prompt_words = [t for _, _, t in self.commited[:k]]
         non_prompt = self.asr.sep.join(t for _, _, t in self.commited[k:])
+        # walk back from the scroll point only as far as prompt_chars reaches:
+        # copying the whole committed transcript here made every tick O(session
+        # length) — a multi-hour session paid a growing per-tick host tax
         out: list[str] = []
         length = 0
-        while prompt_words and length < self.prompt_chars:
-            w = prompt_words.pop(-1)
+        i = k - 1
+        while i >= 0 and length < self.prompt_chars:
+            w = self.commited[i][2]
             length += len(w) + 1
             out.append(w)
+            i -= 1
         return self.asr.sep.join(reversed(out)), non_prompt
 
     def process_iter(self) -> tuple[Optional[float], Optional[float], str]:
@@ -270,7 +274,15 @@ class OnlineASRProcessor:
         the (possibly still growing) last sentence in the buffer."""
         if not self.commited:
             return
-        sentences = self.words_to_sentences(self.commited)
+        # only words still inside the buffer window matter: a trim point at or
+        # before buffer_time_offset is a no-op in chunk_at, sentence-END times
+        # in the tail are identical either way (boundaries are per-word
+        # punctuation), and scanning the full transcript made every trim
+        # O(session length)
+        j = len(self.commited)
+        while j > 0 and self.commited[j - 1][1] > self.buffer_time_offset:
+            j -= 1
+        sentences = self.words_to_sentences(self.commited[j:])
         if len(sentences) < 2:
             logger.debug("--- not enough completed sentences to trim")
             return

@@ -454,3 +454,61 @@ def test_invalid_trimming_way_rejected():
 
     with _pytest.raises(ValueError):
         OnlineASRProcessor(TimecodedFakeASR([]), buffer_trimming=("paragraph", 10.0))
+
+
+def test_prompt_tail_walk_matches_full_scan():
+    """prompt() now walks back from the scroll point instead of copying the
+    whole committed transcript (O(session) per tick); results must be
+    byte-identical to the straightforward full-scan construction, for scroll
+    points at the start / middle / end and prompts shorter than the limit."""
+    proc = OnlineASRProcessor(TimecodedFakeASR([]), prompt_chars=60)
+
+    def full_scan(commited, offset, sep, prompt_chars):
+        k = len(commited)
+        while k > 0 and commited[k - 1][1] > offset:
+            k -= 1
+        prompt_words = [t for _, _, t in commited[:k]]
+        non_prompt = sep.join(t for _, _, t in commited[k:])
+        out, length = [], 0
+        while prompt_words and length < prompt_chars:
+            w = prompt_words.pop(-1)
+            length += len(w) + 1
+            out.append(w)
+        return sep.join(reversed(out)), non_prompt
+
+    words = [(i * 0.5, i * 0.5 + 0.4, f"w{i}") for i in range(200)]
+    for offset in (0.0, 3.1, 50.0, 99.9, 1e9):
+        proc.commited = list(words)
+        proc.buffer_time_offset = offset
+        assert proc.prompt() == full_scan(words, offset, proc.asr.sep, 60)
+    # short transcript (fewer words than prompt_chars allows)
+    proc.commited = words[:3]
+    proc.buffer_time_offset = 1e9
+    assert proc.prompt() == full_scan(words[:3], 1e9, proc.asr.sep, 60)
+
+
+def test_sentence_trim_tail_slice_equivalent():
+    """chunk_completed_sentence scans only the in-buffer tail; the chosen trim
+    point must match the full-transcript scan (sentence ends are per-word
+    punctuation, so earlier words can't change boundary END times)."""
+    proc = OnlineASRProcessor(TimecodedFakeASR([]),
+                              buffer_trimming=("sentence", 2.0))
+    import numpy as np
+
+    # three completed sentences + a growing one, first one fully trimmed out
+    w = [(0.0, 0.4, " a"), (0.5, 0.9, " b."),
+         (1.0, 1.4, " c"), (1.5, 1.9, " d."),
+         (2.0, 2.4, " e"), (2.5, 2.9, " f."),
+         (3.0, 3.4, " g")]
+    for offset in (0.0, 1.2, 2.2, 3.1):
+        # full-scan reference: the pre-optimization implementation
+        full = proc.words_to_sentences(w)
+        expect = full[-2][1] if len(full) >= 2 else None
+        proc.commited = list(w)
+        proc.buffer_time_offset = offset
+        proc.audio_buffer = np.zeros(int(16000 * (4.0 - offset)), "float32")
+        proc.chunk_completed_sentence()
+        if expect is not None and expect > offset:
+            assert proc.buffer_time_offset == expect, offset
+        else:  # trim point at/before the offset is a no-op either way
+            assert proc.buffer_time_offset == offset
