@@ -41,7 +41,10 @@ class PerformanceMonitor:
         self.latencies: deque[float] = deque(maxlen=10 * window)
         self.api_calls: deque[tuple[float, bool, float]] = deque(maxlen=window)  # (t, ok, dur)
         self.queue_depth = 0
-        self.skip_log: list[tuple[float, str]] = []
+        # bounded like every other monitor buffer: an overloaded server sheds
+        # per ready stream per round, and an unbounded log leaks for days
+        self.skip_log: deque[tuple[float, str]] = deque(maxlen=1000)
+        self.skips_total = 0
 
     # --------------------------------------------------------------- recording
 
@@ -89,6 +92,7 @@ class PerformanceMonitor:
 
     def _log_skip(self, kind: str):
         self.skip_log.append((self.clock(), kind))
+        self.skips_total += 1
 
     def should_skip_recognition(self, audio_seconds: float) -> tuple[bool, str]:
         if self.queue_depth >= self.max_queue:
@@ -132,7 +136,7 @@ class PerformanceMonitor:
             "queue_depth": self.queue_depth,
             "api_success_rate": self.api_success_rate(),
             "n_recognitions": len(self.recognitions),
-            "skips": len(self.skip_log),
+            "skips": self.skips_total,
         }
         out.update(self.latency_percentiles())
         return out

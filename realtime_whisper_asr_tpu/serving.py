@@ -74,6 +74,7 @@ class _Stream:
         self.inflight = False  # a dispatched tick awaits finalize
         self.diarizer = None  # per-stream SpeakerTurnController when diarize=True
         self._prev_vac_status: Optional[str] = None
+        self._prev_utt_ends = 0  # consumed VAC end-event count (diarizer)
 
 
 class StreamServer:
@@ -107,8 +108,16 @@ class StreamServer:
             from realtime_whisper_asr_tpu.models.vad import EnergyVAD, SileroLikeVAD
 
             # trained spectral VAD when packaged weights exist (they ship with
-            # the repo); energy heuristic as the weight-free fallback
-            vad_factory = SileroLikeVAD if SileroLikeVAD().trained else EnergyVAD
+            # the repo); energy heuristic as the weight-free fallback. Load
+            # the packaged npz ONCE and share the (read-only) params — the
+            # per-stream instances keep their own LSTM state, and every
+            # TCP/WS connection would otherwise re-read the weights from disk
+            probe = SileroLikeVAD()
+            if probe.trained:
+                cached_params = probe.params
+                vad_factory = lambda: SileroLikeVAD(params=cached_params)  # noqa: E731
+            else:
+                vad_factory = EnergyVAD
         self.vad_factory = vad_factory
         # one shared (stateless) speaker embedder; per-stream trackers
         self._speaker_embedder = None
@@ -213,13 +222,24 @@ class StreamServer:
             self._drain_into_processor(s)
             self._activate(s)
             # run a final transcription tick over whatever audio remains —
-            # finish() only flushes already-hypothesized words
+            # finish() only flushes already-hypothesized words. Loop because
+            # VAC may hold a STAGED utterance (_pending: end+start inside the
+            # client's last chunk): each finish() hands one over; a single
+            # pass would silently drop its transcript.
             inner = getattr(s.processor, "online", s.processor)
-            if len(getattr(inner, "audio_buffer", ())) > 0:
-                beg, end, text = inner.process_iter()
+            for _ in range(8):  # staged utterances hand over one per finish()
+                if len(getattr(inner, "audio_buffer", ())) > 0:
+                    beg, end, text = inner.process_iter()
+                    if hasattr(s.processor, "current_online_chunk_buffer_size"):
+                        # this WAS the head tick — don't let VAC.finish()
+                        # re-run the same buffer (it gates on this counter)
+                        s.processor.current_online_chunk_buffer_size = 0
+                    self._emit(s, beg, end, text)
+                had_pending = getattr(s.processor, "_pending", None) is not None
+                beg, end, text = s.processor.finish()
                 self._emit(s, beg, end, text)
-            beg, end, text = s.processor.finish()
-            self._emit(s, beg, end, text)
+                if not had_pending:
+                    break
             if hasattr(self.asr, "drop_stream"):
                 self.asr.drop_stream(stream_id)
         out = self.poll(stream_id)
@@ -249,7 +269,19 @@ class StreamServer:
             if s.diarizer is not None:
                 status = getattr(s.processor, "status", None)
                 s.diarizer.observe_chunk(chunk, voiced=(status == "voice"))
-                if s._prev_vac_status == "voice" and status == "nonvoice":
+                ends = getattr(s.processor, "utterance_ends", None)
+                if ends is not None:
+                    # count VAC end EVENTS: a before/after status compare
+                    # misses an end+start pair inside one chunk (status stays
+                    # 'voice' while an utterance boundary passed). A counter
+                    # below the watermark means the processor was re-inited
+                    # (error reset) — resync without inventing events.
+                    if ends < s._prev_utt_ends:
+                        s._prev_utt_ends = ends
+                    for _ in range(ends - s._prev_utt_ends):
+                        s.diarizer.on_utterance_end()
+                    s._prev_utt_ends = ends
+                elif s._prev_vac_status == "voice" and status == "nonvoice":
                     s.diarizer.on_utterance_end()
                 s._prev_vac_status = status
 

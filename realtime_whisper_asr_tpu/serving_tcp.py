@@ -38,7 +38,7 @@ class _Handler(socketserver.BaseRequestHandler):
         logger.info("connection %s -> stream %d", self.client_address, sid)
         sock: socket.socket = self.request
         sock.settimeout(0.2)
-        buf = b""
+        buf = bytearray()  # O(1) appends; bytes += re-copies the backlog
         try:
             while not server.stopping.is_set():
                 try:
@@ -49,29 +49,36 @@ class _Handler(socketserver.BaseRequestHandler):
                 except socket.timeout:
                     data = None
                 while len(buf) >= PCM_CHUNK_BYTES:
-                    chunk, buf = buf[:PCM_CHUNK_BYTES], buf[PCM_CHUNK_BYTES:]
+                    chunk = bytes(buf[:PCM_CHUNK_BYTES])
+                    del buf[:PCM_CHUNK_BYTES]
                     server.stream_server.feed(sid, _pcm_to_float(chunk))
-                self._send_results(sock, server, sid)
+                if not self._send_results(sock, server, sid):
+                    break  # send failed mid-line: the wire is corrupt, stop
         except (ConnectionError, ValueError):
             pass
         finally:
             if buf:
                 try:
-                    server.stream_server.feed(sid, _pcm_to_float(buf[: len(buf) // 2 * 2]))
+                    server.stream_server.feed(
+                        sid, _pcm_to_float(bytes(buf[: len(buf) // 2 * 2])))
                 except ValueError:
                     pass
             try:
                 final = server.stream_server.close_stream(sid)
                 self._emit(sock, final)
-            except (ValueError, ConnectionError):
+            except (ValueError, ConnectionError, OSError):
                 pass
             logger.info("stream %d closed", sid)
 
-    def _send_results(self, sock, server, sid):
-        self._emit(sock, server.stream_server.poll(sid))
+    def _send_results(self, sock, server, sid) -> bool:
+        return self._emit(sock, server.stream_server.poll(sid))
 
     @staticmethod
-    def _emit(sock, results):
+    def _emit(sock, results) -> bool:
+        """Send result lines; False when the connection is no longer usable.
+        A timed-out ``sendall`` may have PARTIALLY written a line (socket
+        docs) — continuing would append the next line into the truncated one
+        and garble the protocol, so the caller must drop the client."""
         for r in results:
             # whisper_streaming wire format is fixed; diarization (when the
             # underlying StreamServer runs diarize=True) rides as a [S<n>]
@@ -80,8 +87,9 @@ class _Handler(socketserver.BaseRequestHandler):
             line = f"{int(r.begin * 1000)} {int(r.end * 1000)} {spk}{r.text.strip()}\n"
             try:
                 sock.sendall(line.encode("utf-8"))
-            except (ConnectionError, OSError):
-                return
+            except OSError:  # includes ConnectionError and send timeouts
+                return False
+        return True
 
 
 class TCPTranscriptionServer(socketserver.ThreadingTCPServer):

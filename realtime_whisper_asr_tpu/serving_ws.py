@@ -39,7 +39,11 @@ WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 0xA
 
-PCM_CHUNK_BYTES = 2 * 16000  # 1 s of s16le mono @16 kHz
+# the PCM wire format has ONE definition, shared with the TCP adapter
+from realtime_whisper_asr_tpu.serving_tcp import (
+    PCM_CHUNK_BYTES,
+    _pcm_to_float,
+)
 
 
 def accept_key(client_key: str) -> str:
@@ -66,16 +70,28 @@ def encode_frame(opcode: int, payload: bytes, mask: bool = False) -> bytes:
     return head + payload
 
 
+#: largest accepted frame payload / fragmented-message size. Audio frames are
+#: ~32 KB/s of PCM, results are small JSON — 16 MB is far beyond any legitimate
+#: client, and a cap turns a hostile 2^40-length header (which would otherwise
+#: buffer recv data forever) into a clean protocol error that drops the client.
+MAX_WS_PAYLOAD = 16 << 20
+
+
 class _FrameReader:
-    """Incremental frame decoder over a byte stream; handles fragmentation."""
+    """Incremental frame decoder over a byte stream; handles fragmentation.
+    Raises ``ValueError`` on frames/messages over MAX_WS_PAYLOAD (the handler
+    treats that as a protocol error and closes the connection)."""
 
     def __init__(self):
-        self.buf = b""
+        self.buf = bytearray()  # O(1) appends; bytes += re-copies the backlog
         self._frag_op: int | None = None
         self._frag_data = b""
 
     def push(self, data: bytes):
         self.buf += data
+        # 14 bytes covers the largest header (2 + 8 len + 4 mask)
+        if len(self.buf) > MAX_WS_PAYLOAD + 14:
+            raise ValueError(f"ws receive buffer exceeded {MAX_WS_PAYLOAD} bytes")
 
     def next_message(self):
         """Return (opcode, payload) for the next COMPLETE message, else None."""
@@ -88,6 +104,8 @@ class _FrameReader:
                 return opcode, payload
             if opcode == OP_CONT:
                 self._frag_data += payload
+                if len(self._frag_data) > MAX_WS_PAYLOAD:
+                    raise ValueError("fragmented ws message exceeds payload cap")
                 if fin and self._frag_op is not None:
                     msg = (self._frag_op, self._frag_data)
                     self._frag_op, self._frag_data = None, b""
@@ -114,8 +132,10 @@ class _FrameReader:
         elif n == 127:
             if len(buf) < pos + 8:
                 return None
-            (n,) = struct.unpack(">Q", buf[pos : pos + 8])
+            (n,) = struct.unpack(">Q", bytes(buf[pos : pos + 8]))
             pos += 8
+        if n > MAX_WS_PAYLOAD:
+            raise ValueError(f"ws frame declares {n} bytes > cap {MAX_WS_PAYLOAD}")
         key = b""
         if masked:
             if len(buf) < pos + 4:
@@ -124,17 +144,13 @@ class _FrameReader:
             pos += 4
         if len(buf) < pos + n:
             return None
-        payload = buf[pos : pos + n]
+        payload = bytes(buf[pos : pos + n])
         self.buf = buf[pos + n :]
         if masked and n:
             data = np.frombuffer(payload, np.uint8)
             mask = np.frombuffer((key * (n // 4 + 1))[:n], np.uint8)
             payload = (data ^ mask).tobytes()
         return fin, opcode, payload
-
-
-def _pcm_to_float(data: bytes) -> np.ndarray:
-    return np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
 
 
 class _WSHandler(socketserver.BaseRequestHandler):
@@ -151,7 +167,7 @@ class _WSHandler(socketserver.BaseRequestHandler):
             # bytes an eager client pipelined behind its handshake: frames (or
             # a frame fragment) must seed the parser or it permanently desyncs
             reader.push(rest)
-        pcm = b""
+        pcm = bytearray()
         sock.settimeout(0.2)
         closed = False
         try:
@@ -171,14 +187,22 @@ class _WSHandler(socketserver.BaseRequestHandler):
                     if op == OP_BINARY:
                         pcm += payload
                     elif op == OP_PING:
-                        sock.sendall(encode_frame(OP_PONG, payload))
+                        try:
+                            sock.sendall(encode_frame(OP_PONG, payload))
+                        except OSError:
+                            # a timed-out sendall may have written a PARTIAL
+                            # frame — the stream is desynced, drop the client
+                            closed = True
+                            break
                     elif op == OP_CLOSE:
                         closed = True
                         break
                 while len(pcm) >= PCM_CHUNK_BYTES:
-                    chunk, pcm = pcm[:PCM_CHUNK_BYTES], pcm[PCM_CHUNK_BYTES:]
+                    chunk = bytes(pcm[:PCM_CHUNK_BYTES])
+                    del pcm[:PCM_CHUNK_BYTES]
                     server.stream_server.feed(sid, _pcm_to_float(chunk))
-                self._emit(sock, server.stream_server.poll(sid))
+                if not self._emit(sock, server.stream_server.poll(sid)):
+                    break  # partial frame on the wire: unrecoverable desync
                 if closed:
                     break
         except (ConnectionError, ValueError):
@@ -186,7 +210,8 @@ class _WSHandler(socketserver.BaseRequestHandler):
         finally:
             if pcm:
                 try:
-                    server.stream_server.feed(sid, _pcm_to_float(pcm[: len(pcm) // 2 * 2]))
+                    server.stream_server.feed(
+                        sid, _pcm_to_float(bytes(pcm[: len(pcm) // 2 * 2])))
                 except ValueError:
                     pass
             try:
@@ -234,7 +259,11 @@ class _WSHandler(socketserver.BaseRequestHandler):
         return rest
 
     @staticmethod
-    def _emit(sock, results, final_flag: bool = False):
+    def _emit(sock, results, final_flag: bool = False) -> bool:
+        """Send result frames; False when the connection is no longer usable.
+        A timed-out ``sendall`` may have PARTIALLY written a frame (socket
+        docs) — the next frame header would land mid-payload and desync the
+        client's parser permanently, so the caller must drop the client."""
         for r in results:
             obj = {"begin_ms": int(r.begin * 1000), "end_ms": int(r.end * 1000),
                    "text": r.text.strip(), "final": final_flag}
@@ -242,8 +271,9 @@ class _WSHandler(socketserver.BaseRequestHandler):
                 obj["speaker"] = r.speaker
             try:
                 sock.sendall(encode_frame(OP_TEXT, json.dumps(obj).encode("utf-8")))
-            except (ConnectionError, OSError):
-                return
+            except OSError:  # includes ConnectionError and send timeouts
+                return False
+        return True
 
 
 class WSTranscriptionServer(socketserver.ThreadingTCPServer):

@@ -132,6 +132,10 @@ class VACOnlineASRProcessor:
         # (end+start inside one insert): held here until process_iter finishes
         # the old one, so online.init() never wipes an unflushed tail
         self._pending: Optional[tuple[int, np.ndarray]] = None  # (abs_start, audio)
+        # cumulative VAD end events — consumers (diarizer) compare counts
+        # instead of before/after status, which misses an end+start pair
+        # landing inside one inserted chunk (status stays 'voice')
+        self.utterance_ends = 0
 
     # ------------------------------------------------------------------- audio
 
@@ -155,6 +159,7 @@ class VACOnlineASRProcessor:
                 self._clip_buffer()
             else:  # end
                 self.status = "nonvoice"
+                self.utterance_ends += 1
                 cut = max(frame, 0)
                 send_audio = self.audio_buffer[:cut]
                 if self._pending is not None:

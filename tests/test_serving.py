@@ -472,3 +472,68 @@ def test_group_failures_counted_and_service_recovers():
     assert "alpha" in text  # recovered after the failures
     assert asr.dispatch_calls > 2
     assert server.get_stats()["group_failures"] == 2
+
+
+def test_close_stream_flushes_staged_pending_utterance():
+    """A client's final audio can contain utterance A's END followed by
+    utterance B's START (VAC stages B in _pending until A's finish()). A
+    single-finish close dropped B's transcript entirely; close_stream must
+    loop until the staged utterance is flushed too."""
+    words = {1: [(0.5, 0.9, " first"), (2.7, 3.1, " second")]}
+    server = StreamServer(
+        PerStreamFakeASR(words),
+        use_vad=True,
+        vad_factory=lambda: ScriptedProbs([(0.2, 1.2), (2.5, 3.6)]),
+        min_silence_duration_ms=500,
+        online_chunk_size=0.5,
+    )
+    sid = server.create_stream()
+    # feed second-by-second, never step(): the drain inside close_stream then
+    # replays A's start / A's end / B's start as separate inserts, so B is
+    # STAGED in VAC._pending while A's final is still unconsumed
+    for t in range(4):
+        server.feed(sid, timecoded_audio(float(t), float(t) + 1.0))
+    server.feed(sid, timecoded_audio(4.0, 4.5))
+    out = server.close_stream(sid)
+    text = "".join(r.text for r in out)
+    assert "first" in text, out
+    assert "second" in text, out  # the staged utterance must not be dropped
+
+
+def test_diarizer_sees_utterance_end_inside_one_chunk():
+    """End+start inside ONE drained chunk: post-chunk VAC status stays
+    'voice', so the old before/after status compare never fired
+    on_utterance_end — the event counter must."""
+
+    class RecordingDiarizer:
+        def __init__(self):
+            self.ends = 0
+            self.chunks = 0
+
+        def observe_chunk(self, chunk, voiced):
+            self.chunks += 1
+
+        def on_utterance_end(self):
+            self.ends += 1
+
+        def live_label(self):
+            return None
+
+    words = {1: [(0.4, 0.8, " x")]}
+    server = StreamServer(
+        PerStreamFakeASR(words),
+        use_vad=True,
+        # A speaks 0-1.0s, 0.6s silence, B speaks from 1.6s: with 500 ms
+        # min-silence, A's end AND B's start both land inside the single
+        # 0-3 s chunk below
+        vad_factory=lambda: ScriptedProbs([(0.0, 1.0), (1.6, 3.0)]),
+        min_silence_duration_ms=500,
+    )
+    sid = server.create_stream()
+    s = server.streams[sid]
+    s.diarizer = RecordingDiarizer()
+    server.feed(sid, timecoded_audio(0.0, 3.0))
+    server._drain_into_processor(s)
+    assert s.processor.status == "voice"  # same-chunk restart: status check blind
+    assert s.diarizer.ends == 1, "end event inside the chunk must be surfaced"
+    assert s.diarizer.chunks == 1

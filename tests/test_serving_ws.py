@@ -217,3 +217,26 @@ def test_ws_emit_includes_speaker_field():
     objs = [_json.loads(m) for m in msgs]
     assert objs[0]["speaker"] == "S2"
     assert "speaker" not in objs[1]
+
+
+def test_frame_reader_rejects_oversized_declared_payload():
+    """A hostile 64-bit length header (e.g. 2^40) must raise a protocol error
+    instead of buffering recv data forever toward the declared size — the
+    handler maps ValueError to a clean connection drop."""
+    import pytest
+
+    from realtime_whisper_asr_tpu.serving_ws import MAX_WS_PAYLOAD, _FrameReader
+
+    r = _FrameReader()
+    head = bytes([0x82, 0x80 | 127]) + struct.pack(">Q", 1 << 40) + b"\x00\x00\x00\x00"
+    r.push(head)
+    with pytest.raises(ValueError):
+        r.next_message()
+
+    # a legitimate large-but-capped frame still parses
+    r2 = _FrameReader()
+    payload = b"x" * 200_000
+    assert len(payload) < MAX_WS_PAYLOAD
+    r2.push(encode_frame(OP_BINARY, payload, mask=True))
+    op, got = r2.next_message()
+    assert op == OP_BINARY and got == payload
