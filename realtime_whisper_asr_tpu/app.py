@@ -212,22 +212,32 @@ class StreamingApp:
             # fallback, 一键…py:1138-1175)
             hw = probe_backend()
             if hw["degraded"] and cfg.get("fallback", {}).get("auto_downgrade", True):
-                plan = degraded_plan(m["size"], m.get("quantization"))
-                if plan is not None:
-                    # a configured checkpoint_dir belongs to the *configured*
-                    # model — keeping it would make TPUWhisperASR load the big
-                    # cfg+weights from the dir and silently undo the downgrade
-                    dropped_ckpt = m.get("checkpoint_dir")
+                if m.get("checkpoint_dir"):
+                    # real weights exist only in the configured checkpoint: a
+                    # model-size downgrade would random-initialize (gibberish
+                    # transcripts — strictly worse than slow-but-correct).
+                    # Keep model+checkpoint; re-optimize quantization only
+                    # (the reference's CPU fallback retries the SAME model
+                    # with int8, 一键…py:1147-1175).
+                    quant = m.get("quantization") or "int8"
                     self.degraded = (
-                        f"⚠️ {hw['degraded_reason']}; running on CPU with "
-                        f"model={plan['model']} quantization={plan['quantization']} "
-                        f"({plan['reason']})"
-                        + (f"; ignoring checkpoint_dir={dropped_ckpt} "
-                           "(it holds the non-downgraded model)" if dropped_ckpt else "")
+                        f"⚠️ {hw['degraded_reason']}; running the configured "
+                        f"checkpoint on CPU with quantization={quant} — expect "
+                        f"slower than realtime for {m['size']}; configure a "
+                        "smaller checkpoint_dir for CPU use"
                     )
                     logger.warning(self.degraded)
-                    m = dict(m, size=plan["model"], quantization=plan["quantization"],
-                             checkpoint_dir=None)
+                    m = dict(m, quantization=quant)
+                else:
+                    plan = degraded_plan(m["size"], m.get("quantization"))
+                    if plan is not None:
+                        self.degraded = (
+                            f"⚠️ {hw['degraded_reason']}; running on CPU with "
+                            f"model={plan['model']} quantization={plan['quantization']} "
+                            f"({plan['reason']})"
+                        )
+                        logger.warning(self.degraded)
+                        m = dict(m, size=plan["model"], quantization=plan["quantization"])
             asr = TPUWhisperASR(
                 model_size=m["size"],
                 language=language,
@@ -349,6 +359,7 @@ class StreamingApp:
         self.auto_language = None
         self._pending_lang_switch: Optional[str] = None
         self._prev_vac_status: Optional[str] = None
+        self._prev_utt_ends = 0  # consumed VAC end-event count
         if (
             ld.get("enable")
             and cfg["vad"]["enable"]
@@ -402,7 +413,7 @@ class StreamingApp:
         return (
             getattr(self.processor, "status", None) != "voice"
             and not getattr(self.processor, "is_currently_final", False)
-            and getattr(self.processor, "_pending", None) is None
+            and not getattr(self.processor, "_pending", None)
         )
 
     def process_chunk(self, chunk: np.ndarray, stats: SessionStats, now: float,
@@ -433,7 +444,20 @@ class StreamingApp:
                 self.auto_language.observe_chunk(chunk, voiced=voiced)
             if self.diarizer is not None:
                 self.diarizer.observe_chunk(chunk, voiced=voiced)
-            if self._prev_vac_status == "voice" and status == "nonvoice":
+            # count VAC end EVENTS where available: the before/after status
+            # compare misses an end+start pair inside one chunk (status stays
+            # 'voice' across the boundary); counter below the watermark =
+            # processor re-init (error reset) — resync without inventing ends
+            ends = getattr(self.processor, "utterance_ends", None)
+            if ends is not None:
+                if ends < self._prev_utt_ends:
+                    self._prev_utt_ends = ends
+                n_ends = ends - self._prev_utt_ends
+                self._prev_utt_ends = ends
+            else:
+                n_ends = 1 if (self._prev_vac_status == "voice"
+                               and status == "nonvoice") else 0
+            for _ in range(n_ends):
                 if self.auto_language is not None:
                     lang = self.auto_language.on_utterance_end()
                     if lang is not None:
@@ -517,6 +541,10 @@ class StreamingApp:
             protector.healthy = True
         n = int(chunk_seconds * SR)
         fed = 0.0
+        # anchor the idle indicator at session start — a getattr default of
+        # "now" re-evaluated every iteration could never age past the 2 s
+        # gate, so a session that STARTS silent showed no heartbeat at all
+        self._last_text_time = self.clock()
 
         def _read_and_separate():
             """Worker body: blocking read + vocal separation. Run one chunk

@@ -235,7 +235,7 @@ class StreamServer:
                         # re-run the same buffer (it gates on this counter)
                         s.processor.current_online_chunk_buffer_size = 0
                     self._emit(s, beg, end, text)
-                had_pending = getattr(s.processor, "_pending", None) is not None
+                had_pending = bool(getattr(s.processor, "_pending", None))
                 beg, end, text = s.processor.finish()
                 self._emit(s, beg, end, text)
                 if not had_pending:

@@ -7,8 +7,10 @@ last ``n`` consecutive ASR hypotheses agree on a word prefix (n=2 is classic
 LocalAgreement-2; the reference exposes n∈{2,3,4} via set_agreement_n).
 
 Also implements the n-gram overlap dedup on insert: when a new hypothesis
-overlaps already-committed words near the buffer boundary, the longest matching
-1..5-gram suffix/prefix pair is dropped from the new words.
+overlaps already-committed words near the buffer boundary, the FIRST (shortest)
+matching 1..5-gram suffix/prefix pair is dropped from the new words — upstream
+whisper_streaming's exact rule, kept for transcript parity (a repeated word on
+the boundary can therefore survive once, same as the reference stack).
 
 Pure host logic; deliberately allocation-light (it runs every process_iter).
 """
@@ -50,7 +52,11 @@ class HypothesisBuffer:
             return
         b0 = self.new[0][0]
         if abs(b0 - self.last_commited_time) < 1.0 and self.commited_in_buffer:
-            # overlap region: drop the longest committed-suffix == new-prefix n-gram
+            # overlap region: drop the FIRST (shortest) committed-suffix ==
+            # new-prefix n-gram, matching upstream whisper_streaming exactly —
+            # with a repeated word on the boundary ("...the the" + "the the
+            # cat") the 1-gram wins and one duplicate can survive; kept as-is
+            # for transcript parity with the reference stack
             cn = len(self.commited_in_buffer)
             nn = len(self.new)
             for i in range(1, min(min(cn, nn), 5) + 1):

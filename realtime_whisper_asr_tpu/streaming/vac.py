@@ -128,10 +128,13 @@ class VACOnlineASRProcessor:
         self.status: Optional[str] = None  # 'voice' | 'nonvoice'
         self.audio_buffer = np.array([], dtype=np.float32)
         self.buffer_offset = 0  # absolute samples dropped from audio_buffer
-        # an utterance that started before the previous one was flushed
-        # (end+start inside one insert): held here until process_iter finishes
-        # the old one, so online.init() never wipes an unflushed tail
-        self._pending: Optional[tuple[int, np.ndarray]] = None  # (abs_start, audio)
+        # utterances that started before the previous one was flushed
+        # (end+start inside one insert): staged FIFO until process_iter
+        # finishes the old one, so online.init() never wipes an unflushed
+        # tail. A LIST, not one slot — a large insert can stage several
+        # utterances (start2/end2/start3), and overwriting would silently
+        # drop utterance 2's audio. Entries: [abs_start, audio, ended].
+        self._pending: list[list] = []
         # cumulative VAD end events — consumers (diarizer) compare counts
         # instead of before/after status, which misses an end+start pair
         # landing inside one inserted chunk (status stays 'voice')
@@ -149,9 +152,11 @@ class VACOnlineASRProcessor:
             if "start" in ev:
                 self.status = "voice"
                 send_audio = self.audio_buffer[max(frame, 0) :]
-                if self.is_currently_final or self._pending is not None:
+                if self.is_currently_final or self._pending:
                     # previous utterance awaits its finish(): stage the new one
-                    self._pending = (max(frame, 0) + self.buffer_offset, send_audio.copy())
+                    self._pending.append(
+                        [max(frame, 0) + self.buffer_offset, send_audio.copy(), False]
+                    )
                 else:
                     self.online.init(offset=(max(frame, 0) + self.buffer_offset) / SAMPLING_RATE)
                     self.online.insert_audio_chunk(send_audio)
@@ -162,9 +167,9 @@ class VACOnlineASRProcessor:
                 self.utterance_ends += 1
                 cut = max(frame, 0)
                 send_audio = self.audio_buffer[:cut]
-                if self._pending is not None:
-                    start, buf = self._pending
-                    self._pending = (start, np.append(buf, send_audio))
+                if self._pending:
+                    self._pending[-1][1] = np.append(self._pending[-1][1], send_audio)
+                    self._pending[-1][2] = True  # this staged utterance ended
                 else:
                     self.online.insert_audio_chunk(send_audio)
                     self.current_online_chunk_buffer_size += len(send_audio)
@@ -176,9 +181,8 @@ class VACOnlineASRProcessor:
 
         if not events:
             if self.status == "voice":
-                if self._pending is not None:
-                    start, buf = self._pending
-                    self._pending = (start, np.append(buf, audio))
+                if self._pending:
+                    self._pending[-1][1] = np.append(self._pending[-1][1], audio)
                 else:
                     self.online.insert_audio_chunk(audio)
                     self.current_online_chunk_buffer_size += len(audio)
@@ -233,16 +237,18 @@ class VACOnlineASRProcessor:
             ret = tail if tail[2] else head
         self.current_online_chunk_buffer_size = 0
         self.is_currently_final = False
-        if self._pending is not None:
-            # hand over the staged utterance now that the old one is flushed
-            start, buf = self._pending
-            self._pending = None
+        if self._pending:
+            # hand over the OLDEST staged utterance now that the old one is
+            # flushed; later staged ones wait for their own finish() round
+            start, buf, ended = self._pending.pop(0)
             self.online.init(offset=start / SAMPLING_RATE)
             if len(buf):
                 self.online.insert_audio_chunk(buf)
                 self.current_online_chunk_buffer_size += len(buf)
-            if self.status == "nonvoice":
-                # the staged utterance also ended before we got here
+            # the handed-over utterance is itself final when its end event
+            # already fired (per-entry flag — the live VAD status belongs to
+            # the NEWEST utterance, not this one)
+            if ended or (not self._pending and self.status == "nonvoice"):
                 self.is_currently_final = True
         return ret
 

@@ -347,12 +347,12 @@ def test_auto_language_ignores_low_confidence_and_same_language():
     assert app.language == "en"
 
 
-def test_degraded_mode_drops_checkpoint_dir_and_keeps_explicit_quant(monkeypatch):
-    """Downgrade must actually take effect with a configured checkpoint_dir:
-    TPUWhisperASR loads cfg+weights from the dir, which would silently undo
-    the base-model downgrade — the plan drops it (and says so). An explicitly
-    configured quantization survives (a quality A/B with 'none' keeps it);
-    only an unset one is re-optimized to int8."""
+def test_degraded_mode_keeps_checkpoint_and_explicit_quant(monkeypatch):
+    """With a configured checkpoint_dir the downgrade must NOT swap model
+    size: the real weights exist only in that checkpoint, and a size swap
+    would random-initialize (gibberish transcripts — strictly worse than
+    slow-but-correct). The fallback keeps model+checkpoint and re-optimizes
+    quantization only; an explicitly configured quantization survives."""
     import realtime_whisper_asr_tpu.asr as asr_mod
 
     captured = {}
@@ -365,11 +365,26 @@ def test_degraded_mode_drops_checkpoint_dir_and_keeps_explicit_quant(monkeypatch
     cm = ConfigManager(autoload=False)
     cm.set("model.size", "large-v3")
     cm.set("model.checkpoint_dir", "/ckpt/large-v3")
-    cm.set("model.quantization", "none")
     app = StreamingApp(config=cm, language="en")
-    assert app.degraded is not None
-    assert captured["model_size"] == "base"
-    assert captured["checkpoint_dir"] is None
-    assert "/ckpt/large-v3" in app.degraded  # the drop is visible to the user
-    assert captured["quantization"] == "none"  # explicit choice survives
+    assert app.degraded is not None and "slower than realtime" in app.degraded
+    assert captured["model_size"] == "large-v3"  # size NOT swapped
+    assert captured["checkpoint_dir"] == "/ckpt/large-v3"  # weights kept
+    assert captured["quantization"] == "int8"  # unset -> CPU re-optimized
     app.shutdown()
+
+    # explicit quantization survives the fallback (quality A/B with 'none')
+    cm2 = ConfigManager(autoload=False)
+    cm2.set("model.size", "large-v3")
+    cm2.set("model.checkpoint_dir", "/ckpt/large-v3")
+    cm2.set("model.quantization", "none")
+    app2 = StreamingApp(config=cm2, language="en")
+    assert captured["quantization"] == "none"
+    app2.shutdown()
+
+    # no checkpoint configured (test/bench rigs): base+int8 size downgrade
+    cm3 = ConfigManager(autoload=False)
+    cm3.set("model.size", "large-v3")
+    app3 = StreamingApp(config=cm3, language="en")
+    assert captured["model_size"] == "base"
+    assert captured["quantization"] == "int8"
+    app3.shutdown()

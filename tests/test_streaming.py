@@ -512,3 +512,39 @@ def test_sentence_trim_tail_slice_equivalent():
             assert proc.buffer_time_offset == expect, offset
         else:  # trim point at/before the offset is a no-op either way
             assert proc.buffer_time_offset == offset
+
+
+def test_vac_multiple_staged_utterances_all_transcribed():
+    """One big insert can stage SEVERAL utterances while the previous final is
+    unconsumed (start2/end2/start3 in a single chunk). Overwriting the single
+    _pending slot silently dropped utterance 2; the FIFO must surface every
+    staged utterance through successive process_iter/finish rounds."""
+    words = [(0.4, 0.8, " one"), (2.4, 2.8, " two"), (4.4, 4.8, " three")]
+    asr = TimecodedFakeASR(words, unstable_tail=False)
+    online = OnlineASRProcessor(asr)
+    vac = VACOnlineASRProcessor(
+        online,
+        VADIterator(ScriptedProbs([(0.2, 1.0), (2.2, 3.0), (4.2, 5.0)]),
+                    min_silence_duration_ms=500, speech_pad_ms=0),
+        online_chunk_size=0.5,
+    )
+    # feed utterance 1 in its own chunks so only IT reaches the online buffer
+    vac.insert_audio_chunk(timecoded_audio(0.0, 1.0))
+    vac.insert_audio_chunk(timecoded_audio(1.0, 2.0))  # u1 END fires (~1.5s)
+    assert vac.is_currently_final
+    # u2 AND u3 arrive before any process_iter: both must be staged
+    vac.insert_audio_chunk(timecoded_audio(2.0, 6.0))
+    assert len(vac._pending) == 2, "both staged utterances must be kept"
+    assert vac._pending[0][2] is True, "u2 ended inside the big insert"
+    texts = []
+    for _ in range(6):
+        b, e, t = vac.process_iter()
+        if t:
+            texts.append(t)
+    b, e, t = vac.finish()
+    if t:
+        texts.append(t)
+    joined = "".join(texts)
+    assert "one" in joined, joined
+    assert "two" in joined, joined  # dropped entirely by the old single slot
+    assert "three" in joined, joined
