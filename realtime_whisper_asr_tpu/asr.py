@@ -779,6 +779,7 @@ class TPUWhisperASR:
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
             seed=self._sample_seed, max_new_cap=max_new_cap,
             draft=np.asarray(draft_ids or [], np.int32),
+            temperature=opts.temperature,
         )
         pt = self.phase_timer
         if pt is not None:

@@ -135,8 +135,10 @@ def _beam_core(
             return jnp.where((vocab_ids >= ts0)[None, :], -jnp.inf, logits)
         last = jax.lax.dynamic_index_in_dim(tokens, pos - 1, axis=1, keepdims=False)
         prev = jax.lax.dynamic_index_in_dim(tokens, pos - 2, axis=1, keepdims=False)
-        hist1 = (step >= 1) | (n_prefix_arr > 0)
-        hist2 = (step >= 2) | (n_prefix_arr > 1)
+        # history length is step + n_prefix (see decode.py select_next: the
+        # OR form missed step==1 & n_prefix==1, inverting kill_ts/kill_text)
+        hist1 = (step + n_prefix_arr) >= 1
+        hist2 = (step + n_prefix_arr) >= 2
         last_was_ts = hist1 & (last >= ts0)
         prev_was_ts = (~hist2) | (prev >= ts0)
         is_ts = (vocab_ids >= ts0)[None, :]

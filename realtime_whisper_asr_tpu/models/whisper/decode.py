@@ -173,7 +173,7 @@ def plan_decode_budget(
 
 # aux transfer bundle layout:
 #   [tokens_f32(AUX_TOK) | n_prefix | sot_index | last_ts | sampling_seed |
-#    max_new_cap | n_draft | draft_f32(DRAFT_MAX)]
+#    max_new_cap | n_draft | draft_f32(DRAFT_MAX) | temperature]
 # — one host→device upload carries the initial tokens AND the dynamic scalars
 # (each separate upload costs ~30 ms of tunnel latency on this backend).
 # max_new_cap enforces max_total_tokens exactly even though the static loop
@@ -183,7 +183,13 @@ def plan_decode_budget(
 # runs past the accepted point (see _greedy_loop).
 AUX_TOK = 384
 DRAFT_MAX = 16
-AUX_LEN = AUX_TOK + 6 + DRAFT_MAX
+#: temperature rides as a TRACED scalar (slot below): the retry ladder walks
+#: 0.2..1.0 and a static temperature would pay a full mid-stream XLA compile
+#: per rung (CLAUDE.md: dynamic quantities ride in the aux bundle). Only the
+#: sampled-vs-argmax STRUCTURE stays static (opts.temperature normalized to
+#: 0/1 for the jit key in greedy_decode/_prepare_batch_rows callers).
+AUX_TEMP = AUX_TOK + 6 + DRAFT_MAX
+AUX_LEN = AUX_TEMP + 1
 
 #: exact device→host transfer counter (bench reports syncs/tick COUNTED, not
 #: inferred — round-2 VERDICT #2c). Incremented at every blocking download in
@@ -271,6 +277,7 @@ def pack_aux(
     seed: int = 0,
     max_new_cap: int = 10**6,
     draft: Optional[np.ndarray] = None,
+    temperature: float = 0.0,
 ) -> np.ndarray:
     aux = np.zeros(AUX_LEN, np.float32)
     aux[: len(init)] = init.astype(np.float32)
@@ -283,6 +290,7 @@ def pack_aux(
         d = np.asarray(draft, np.float32)[:DRAFT_MAX]
         aux[AUX_TOK + 5] = len(d)
         aux[AUX_TOK + 6 : AUX_TOK + 6 + len(d)] = d
+    aux[AUX_TEMP] = temperature
     return aux
 
 
@@ -348,6 +356,7 @@ def _greedy_loop(
     sot_index_arr = aux[:, AUX_TOK + 1].astype(jnp.int32)  # (B,)
     last_ts_init = aux[:, AUX_TOK + 2].astype(jnp.int32)  # (B,)
     seeds = aux[:, AUX_TOK + 3].astype(jnp.int32)  # (B,)
+    temps = aux[:, AUX_TEMP].astype(jnp.float32)  # (B,) traced, no retrace/rung
     # exact per-row generation cap (the static bound max_new is quantized)
     total = jnp.minimum(
         jnp.int32(p + max_new), jnp.int32(p) + aux[:, AUX_TOK + 4].astype(jnp.int32)
@@ -403,9 +412,13 @@ def _greedy_loop(
         if opts.timestamps:
             last = jax.lax.dynamic_index_in_dim(tokens, pos - 1, axis=1, keepdims=False)
             prev = jax.lax.dynamic_index_in_dim(tokens, pos - 2, axis=1, keepdims=False)
-            # prefix tokens count as stream history (they ARE transcript)
-            hist1 = (step >= 1) | (n_prefix_arr > 0)
-            hist2 = (step >= 2) | (n_prefix_arr > 1)
+            # prefix tokens count as stream history (they ARE transcript):
+            # history length is step + n_prefix, so the "two tokens of
+            # history" gate must use the SUM — (step>=2)|(n_prefix>1) missed
+            # step==1 & n_prefix==1 and force-treated a 1-token text prefix
+            # as a timestamp, inverting kill_ts/kill_text at step 1
+            hist1 = (step + n_prefix_arr) >= 1
+            hist2 = (step + n_prefix_arr) >= 2
             last_was_ts = hist1 & (last >= ts0)
             prev_was_ts = (~hist2) | (prev >= ts0)
             is_ts = (vocab_ids >= ts0)[None, :]
@@ -429,13 +442,14 @@ def _greedy_loop(
             flogits = jnp.where(is_ts, -jnp.inf, flogits)
 
         if opts.temperature > 0:
-            # Gumbel-max categorical sampling at temperature t, per-row seed
-            def sample_row(seed, fl):
+            # Gumbel-max categorical sampling, per-row seed AND per-row traced
+            # temperature (opts.temperature is only the 0/1 structural key)
+            def sample_row(seed, fl, t):
                 key = jax.random.fold_in(jax.random.PRNGKey(seed), pos)
                 g = jax.random.gumbel(key, fl.shape, jnp.float32)
-                return jnp.argmax(fl.astype(jnp.float32) / opts.temperature + g)
+                return jnp.argmax(fl.astype(jnp.float32) / jnp.maximum(t, 1e-6) + g)
 
-            nxt = jax.vmap(sample_row)(seeds, flogits).astype(jnp.int32)
+            nxt = jax.vmap(sample_row)(seeds, flogits, temps).astype(jnp.int32)
         else:
             nxt = jnp.argmax(flogits, axis=-1).astype(jnp.int32)
         logprobs = jax.nn.log_softmax(flogits.astype(jnp.float32), axis=-1)
@@ -607,6 +621,7 @@ def greedy_decode(
         aux_np = pack_aux(
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
             seed=seed, max_new_cap=max_new_cap, draft=np.asarray(draft_tokens or [], np.int32),
+            temperature=opts.temperature,
         )
         aux_device = jnp.asarray(aux_np)
     if aux_device.ndim == 1:
@@ -614,6 +629,9 @@ def greedy_decode(
     if b > 1 and aux_device.shape[0] == 1:
         aux_device = jnp.tile(aux_device, (b, 1))
 
+    # collapse the jit key to sampled-vs-argmax: the VALUE rides in aux, so
+    # the retry ladder's rungs share one trace instead of compiling each
+    opts = dataclasses.replace(opts, temperature=1.0 if opts.temperature > 0 else 0.0)
     packed = _greedy_loop(
         params,
         cfg,
@@ -639,33 +657,15 @@ def greedy_decode(
     flat = fetch_d2h(packed)
     if phase_timer is not None:
         phase_timer.lap("download")
-    row = flat.reshape(b, -1)
-    off = 0
-    tokens = row[:, off : off + max_new].astype(np.int32); off += max_new
-    sum_lp = row[:, off].astype(np.float64); off += 1
-    nsp = row[:, off]; off += 1
-    xattn_full = None
-    if capture:
-        xa_full = _unpack_xattn(row, off, b, max_new, p, audio_ctx)
-        stored = xa_full[:, :max_new]
-        xattn_prefill = xa_full[:, max_new:]
-        # decode_step at position pos captures the query row of token pos-1 and
-        # stores it at index pos-p, so sampled token j's row sits at stored[j+1]
-        # (stored[0] duplicates the last prefill row). Realign and repeat-pad
-        # the final row, which only matters when the loop hits its bound.
-        xattn_gen = np.concatenate([stored[:, 1:], stored[:, -1:]], axis=1)
-        if n_prefix:
-            xattn_full = np.concatenate(
-                [xattn_prefill[:, p - n_prefix :], xattn_gen], axis=1
-            )
-        else:
-            xattn_full = xattn_gen
-
-    full_tokens = np.concatenate([np.tile(prefix_arr[None], (b, 1)), tokens], axis=1)
-    lengths = np.zeros((b,), np.int64)
-    for i in range(b):
-        eots = np.nonzero(full_tokens[i] == cfg.eot)[0]
-        lengths[i] = (eots[0] + 1) if eots.size else full_tokens.shape[1]
+    rows = _unpack_packed_rows(
+        flat, cfg, b, p, max_new, capture, audio_ctx, [prefix_arr] * b
+    )
+    # one batched DecodeResult (the shared prefix makes rows rectangular)
+    full_tokens = np.stack([r[0] for r in rows])
+    lengths = np.array([r[1] for r in rows], np.int64)
+    sum_lp = np.array([r[2] for r in rows], np.float64)
+    nsp = np.array([r[3] for r in rows])
+    xattn_full = np.stack([r[4] for r in rows]) if capture else None
     return DecodeResult(
         tokens=full_tokens,
         lengths=lengths,
@@ -674,6 +674,46 @@ def greedy_decode(
         no_speech_prob=nsp,
         xattn=xattn_full,
     )
+
+
+def _unpack_packed_rows(flat, cfg, b, p, max_new, capture, audio_ctx, prefix_rows):
+    """ONE host-side parse of the packed decode buffer for BOTH the
+    single-stream and batched paths: layout offsets, EOT length scan, and the
+    subtle xattn realignment live here only (maintaining the off-by-one rule
+    in two copies silently desynchronized word timestamps between paths).
+
+    Returns per-row (full_tokens, length, sum_lp, no_speech_prob, xattn).
+    """
+    row = flat.reshape(b, -1)
+    off = 0
+    tokens = row[:, off : off + max_new].astype(np.int32); off += max_new
+    sum_lp = row[:, off].astype(np.float64); off += 1
+    nsp = row[:, off]; off += 1
+    xa_full = _unpack_xattn(row, off, b, max_new, p, audio_ctx) if capture else None
+    out = []
+    for i in range(b):
+        prefix_arr = np.asarray(prefix_rows[i], np.int32)
+        n_prefix = len(prefix_arr)
+        full = np.concatenate([prefix_arr, tokens[i]])
+        eots = np.nonzero(full == cfg.eot)[0]
+        length = int(eots[0] + 1) if eots.size else len(full)
+        xattn_i = None
+        if capture:
+            stored = xa_full[i, :max_new]
+            # decode_step at position pos captures the query row of token
+            # pos-1 and stores it at index pos-p, so sampled token j's row
+            # sits at stored[j+1] (stored[0] duplicates the last prefill
+            # row). Realign; repeat-pad the final row, which only matters
+            # when the loop hits its bound.
+            gen = np.concatenate([stored[1:], stored[-1:]], axis=0)
+            if n_prefix:
+                xattn_i = np.concatenate(
+                    [xa_full[i, max_new:][p - n_prefix :], gen], axis=0
+                )
+            else:
+                xattn_i = gen
+        out.append((full, length, sum_lp[i], nsp[i], xattn_i))
+    return out
 
 
 def batch_draft_bucket(init_rows: list[dict]) -> int:
@@ -726,6 +766,8 @@ def greedy_decode_batch_dispatch(
     )
     amask = _amask_dev(cfg, heads_key)
 
+    # jit key carries only sampled-vs-argmax; the value rides in each aux row
+    opts = dataclasses.replace(opts, temperature=1.0 if opts.temperature > 0 else 0.0)
     packed = _greedy_loop(
         params, cfg, opts, xa, aux_device, sup, amask,
         prompt_len=p, capture_xattn=capture, max_new=max_new, cache_len=cache_len,
@@ -754,40 +796,21 @@ def greedy_decode_batch_finalize(handle: dict) -> list[DecodeResult]:
     flat = fetch_d2h(handle["packed"])
     if phase_timer is not None:
         phase_timer.lap("download")
-    row = flat.reshape(b, -1)
-    off = 0
-    tokens = row[:, off : off + max_new].astype(np.int32); off += max_new
-    sum_lp = row[:, off].astype(np.float64); off += 1
-    nsp = row[:, off]; off += 1
-    xa_full = None
-    if capture:
-        xa_full = _unpack_xattn(row, off, b, max_new, p, audio_ctx)
-
+    rows = _unpack_packed_rows(
+        flat, cfg, b, p, max_new, capture, audio_ctx,
+        [r["prefix_arr"] for r in init_rows],
+    )
     results: list[DecodeResult] = []
-    for i in range(b):
-        prefix_arr = init_rows[i]["prefix_arr"]
-        n_prefix = len(prefix_arr)
-        full = np.concatenate([prefix_arr, tokens[i]])[None]
-        eots = np.nonzero(full[0] == cfg.eot)[0]
-        length = int(eots[0] + 1) if eots.size else full.shape[1]
-        xattn_i = None
-        if capture:
-            stored = xa_full[i, :max_new]
-            gen = np.concatenate([stored[1:], stored[-1:]], axis=0)
-            if n_prefix:
-                xattn_i = np.concatenate(
-                    [xa_full[i, max_new:][p - n_prefix :], gen], axis=0
-                )[None]
-            else:
-                xattn_i = gen[None]
+    for i, (full, length, lp, nsp_i, xattn_i) in enumerate(rows):
+        n_prefix = len(init_rows[i]["prefix_arr"])
         results.append(
             DecodeResult(
-                tokens=full,
+                tokens=full[None],
                 lengths=np.array([length], np.int64),
-                sum_logprob=sum_lp[i : i + 1],
-                avg_logprob=sum_lp[i : i + 1] / max(length - n_prefix, 1),
-                no_speech_prob=nsp[i : i + 1],
-                xattn=xattn_i,
+                sum_logprob=np.array([lp], np.float64),
+                avg_logprob=np.array([lp / max(length - n_prefix, 1)], np.float64),
+                no_speech_prob=np.asarray([nsp_i]),
+                xattn=None if xattn_i is None else xattn_i[None],
             )
         )
     return results
@@ -847,6 +870,7 @@ def plan_batch_aux(
             init, n_prefix, sot_index, ts_in_prefix[-1] if ts_in_prefix else -1,
             seed=int(r.get("seed", 0)), max_new_cap=cap,
             draft=np.asarray(r.get("draft_tokens") or [], np.int32),
+            temperature=opts.temperature,
         )
         rows.append({
             "aux": aux,

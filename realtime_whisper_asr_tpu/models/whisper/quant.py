@@ -18,7 +18,11 @@ import jax.numpy as jnp
 
 from realtime_whisper_asr_tpu.models.whisper.model import Params
 
-_LINEAR_KEYS = {"wq", "wk", "wv", "wo", "w1", "w2"}
+#: includes the fused "wqkv" so fuse_qkv -> quantize_* composes too (absmax
+#: scales are per output column, so quantizing the fused weight is identical
+#: to fusing the quantized parts); without it the largest per-layer decode
+#: weights silently stayed dense in that order
+_LINEAR_KEYS = {"wq", "wk", "wv", "wqkv", "wo", "w1", "w2"}
 
 
 def _quantize_weight(w: jnp.ndarray) -> dict:

@@ -313,8 +313,10 @@ def test_temperature_sampling_differs_and_is_seeded(asr):
     import realtime_whisper_asr_tpu.models.whisper.decode as DD
     init, sot, npfx = DD.build_initial_tokens(cfg, o)
     import jax.numpy as jnp
-    a1 = jnp.asarray(DD.pack_aux(init, npfx, sot, -1, seed=1))
-    a2 = jnp.asarray(DD.pack_aux(init, npfx, sot, -1, seed=2))
+    # prepacked aux rows carry the temperature VALUE themselves (it rides as
+    # a traced scalar; opts.temperature is only the sampled/argmax jit key)
+    a1 = jnp.asarray(DD.pack_aux(init, npfx, sot, -1, seed=1, temperature=o.temperature))
+    a2 = jnp.asarray(DD.pack_aux(init, npfx, sot, -1, seed=2, temperature=o.temperature))
     r1 = D.greedy_decode(asr.params, cfg, xa, o, aux_device=a1)
     r1b = D.greedy_decode(asr.params, cfg, xa, o, aux_device=a1)
     r2 = D.greedy_decode(asr.params, cfg, xa, o, aux_device=a2)
@@ -943,3 +945,59 @@ def test_sync_many_per_row_path_matches_and_bounds_traces(asr):
     )
     for k in keys:
         asr.drop_stream(k)
+
+
+def test_single_text_prefix_timestamp_grammar(asr):
+    """hist2 regression: with a ONE-token text prefix, history length at
+    step 1 is exactly 2 (prefix + first sample), so the penultimate token is
+    the text prefix — NOT a timestamp. The old (step>=2)|(n_prefix>1) gate
+    forced prev_was_ts there, inverting kill_ts/kill_text: a step-0 timestamp
+    could be followed by text, violating whisper's pairing rule (a timestamp
+    entered from text must be followed by a timestamp or EOT)."""
+    cfg = asr.cfg
+    ts0 = cfg.timestamp_begin
+    xa = asr._encode_window(_audio())
+    checked = 0
+    for seed in range(16):
+        res = D.greedy_decode(
+            asr.params, cfg, xa,
+            D.DecodeOptions(timestamps=True, temperature=0.8, max_new_tokens=24),
+            prefix_tokens=[100], seed=seed,
+        )
+        seq = res.tokens[0][: res.lengths[0]].tolist()
+        for i in range(1, len(seq) - 1):
+            if seq[i] >= ts0 and seq[i - 1] < cfg.eot:
+                checked += 1
+                assert seq[i + 1] >= ts0 or seq[i + 1] >= cfg.eot, (seed, i, seq)
+    assert checked, "no text->timestamp transition sampled; weak test inputs"
+
+
+def test_temperature_rides_aux_one_trace(asr):
+    """The retry ladder's rungs must share ONE compiled program: temperature
+    rides the aux bundle as a traced scalar; only sampled-vs-argmax is a jit
+    key. Same (temperature, seed) stays deterministic."""
+    cfg = asr.cfg
+    xa = asr._encode_window(_audio(seconds=2.0, seed=3))
+    opts = lambda t: D.DecodeOptions(timestamps=True, temperature=t, max_new_tokens=16)
+
+    r1 = D.greedy_decode(asr.params, cfg, xa, opts(0.2), seed=1)
+    n_sigs = D._greedy_loop._cache_size()
+    r2 = D.greedy_decode(asr.params, cfg, xa, opts(0.4), seed=1)
+    r3 = D.greedy_decode(asr.params, cfg, xa, opts(0.6), seed=1)
+    assert D._greedy_loop._cache_size() == n_sigs, (
+        "each temperature rung must reuse the sampled trace, not recompile"
+    )
+    # determinism at fixed (temperature, seed)
+    r2b = D.greedy_decode(asr.params, cfg, xa, opts(0.4), seed=1)
+    assert r2.tokens[0][: r2.lengths[0]].tolist() == r2b.tokens[0][: r2b.lengths[0]].tolist()
+    # the traced VALUE must actually reach the sampler: a hot (t=4) and a
+    # near-greedy (t=0.02) run should disagree for at least one seed
+    differs = False
+    for seed in (1, 2, 3):
+        hot = D.greedy_decode(asr.params, cfg, xa, opts(4.0), seed=seed)
+        cold = D.greedy_decode(asr.params, cfg, xa, opts(0.02), seed=seed)
+        if (hot.tokens[0][: hot.lengths[0]].tolist()
+                != cold.tokens[0][: cold.lengths[0]].tolist()):
+            differs = True
+            break
+    assert differs, "temperature value had no effect on sampling"

@@ -455,3 +455,28 @@ def test_prequantized_checkpoint_requested_weaker_reports_actual(tmp_path):
     b = TPUWhisperASR(checkpoint_dir=path, dtype=jnp.float32,
                       quantization="int8-kv", word_timestamps=False)
     assert b.quantization == "int8-kv" and b._kv_quant
+
+
+def test_fuse_then_quantize_composes():
+    """fuse_qkv documents 'composes with quantization in either order' — the
+    fused 'wqkv' must actually be in the quantizable key set (it silently
+    stayed dense in the fuse-first order), and both orders must produce
+    identical int8 payloads + scales (absmax scales are per output column)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.models import whisper as W
+    from realtime_whisper_asr_tpu.models.whisper.quant import fuse_qkv, quantize_decoder
+
+    cfg = W.get_config("test-tiny")
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    a = quantize_decoder(fuse_qkv(params))
+    b = fuse_qkv(quantize_decoder(params))
+    attn_a = a["decoder"]["blocks"]["attn"]
+    attn_b = b["decoder"]["blocks"]["attn"]
+    assert isinstance(attn_a["wqkv"], dict), "fused QKV must quantize too"
+    np.testing.assert_array_equal(np.asarray(attn_a["wqkv"]["q"]),
+                                  np.asarray(attn_b["wqkv"]["q"]))
+    np.testing.assert_array_equal(np.asarray(attn_a["wqkv"]["s"]),
+                                  np.asarray(attn_b["wqkv"]["s"]))
