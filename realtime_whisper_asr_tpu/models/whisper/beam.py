@@ -160,10 +160,8 @@ def _beam_core(
         tokens, pos, finished, cache, scores, last_ts = state
         return (~jnp.all(finished)) & (pos < total)
 
-    def body(state):
-        tokens, pos, finished, cache, scores, last_ts = state
-        cur = jax.lax.dynamic_index_in_dim(tokens, pos - 1, axis=1, keepdims=False)
-        logits, cache, _ = M.decode_step(params, cfg, cur, pos - 1, cache)
+    def expand(logits, tokens, pos, finished, cache, scores, last_ts):
+        """One beam expansion from already-computed logits at ``pos``."""
         flogits = filters(logits, tokens, pos, last_ts)
         logprobs = jax.nn.log_softmax(flogits.astype(jnp.float32), axis=-1)  # (K,V)
         # finished beams may only extend with EOT at zero cost
@@ -183,9 +181,24 @@ def _beam_core(
         tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], pos, axis=1)
         last_ts = jnp.where((tok >= ts0) & ~finished, tok, last_ts)
         finished = finished | (tok == cfg.eot)
-        return (tokens, pos + 1, finished, cache, top_scores, last_ts)
+        return tokens, finished, cache, top_scores, last_ts
 
-    state = (
+    def body(state):
+        tokens, pos, finished, cache, scores, last_ts = state
+        cur = jax.lax.dynamic_index_in_dim(tokens, pos - 1, axis=1, keepdims=False)
+        logits, cache, _ = M.decode_step(params, cfg, cur, pos - 1, cache)
+        tokens, finished, cache, scores, last_ts = expand(
+            logits, tokens, pos, finished, cache, scores, last_ts
+        )
+        return (tokens, pos + 1, finished, cache, scores, last_ts)
+
+    # seed the FIRST expansion from the prefill's last logits row — the span
+    # pass already computed the distribution for position p, and its KV rows
+    # 0..p-1 are in the cache, so re-deriving it with a decode_step would
+    # re-stream the full decoder weights once per tick for identical numbers
+    # (mirrors _greedy_loop's choices[0] seeding, decode.py). lax.cond guards
+    # the (cap == 0) edge where the loop would never have run.
+    state0 = (
         tokens0,
         jnp.int32(p),
         jnp.zeros((k,), bool),
@@ -193,6 +206,16 @@ def _beam_core(
         scores0,
         jnp.broadcast_to(last_ts0, (k,)),
     )
+
+    def _seeded(state):
+        tokens, pos, finished, cache, scores, last_ts = state
+        logits0 = jnp.broadcast_to(pre_logits[0, p - 1], (k, cfg.n_vocab))
+        tokens, finished, cache, scores, last_ts = expand(
+            logits0, tokens, pos, finished, cache, scores, last_ts
+        )
+        return (tokens, pos + 1, finished, cache, scores, last_ts)
+
+    state = jax.lax.cond(total > p, _seeded, lambda s: s, state0)
     tokens, pos, finished, cache, scores, last_ts = jax.lax.while_loop(cond, body, state)
     # length-penalized pick: score / length**penalty over sampled region.
     # +1 counts the EOT token only when one was actually sampled — a beam that
