@@ -343,6 +343,37 @@ class StreamingApp:
             if ra["enable"] and cfg["vad"]["enable"]
             else None
         )
+        # asr_optimization: time-stretch normalization + adaptive decode
+        # params by measured speech rate (the reference defines the module
+        # but never constructs it in main(); both knobs are opt-in). NOTE:
+        # stretching changes the audio timeline, so while it is active the
+        # emitted timestamps refer to normalized (stretched) time.
+        ao = cfg.get("asr_optimization", {})
+        self.stretch_processor = None
+        if ao.get("time_stretch_enable"):
+            from realtime_whisper_asr_tpu.pipeline.stretch import SpeechRateAudioProcessor
+
+            self.stretch_processor = SpeechRateAudioProcessor(
+                normal_cps=ao.get("normal_cps", 10.0)
+            )
+        if ao.get("adaptive_params_enable"):
+            from realtime_whisper_asr_tpu.pipeline.stretch import AdaptiveWhisperParams
+
+            params = AdaptiveWhisperParams(
+                base_beam_size=cfg["model"].get("beam_size", 1) or 1
+            )
+            params.rate_class = "normal"
+            self.asr.adaptive_params = params
+        # both knobs need a chars/sec source; reuse the adaptive-silence
+        # detector when enabled, else keep a standalone one fed on results
+        self._rate_detector = None
+        if self.stretch_processor is not None or ao.get("adaptive_params_enable"):
+            if self.rate_adaptive is not None:
+                self._rate_detector = self.rate_adaptive.detector
+            else:
+                from realtime_whisper_asr_tpu.pipeline.speech_rate import SpeechRateDetector
+
+                self._rate_detector = SpeechRateDetector(clock=self.clock)
 
         # --- services ---
         self.output = AsyncOutput(write=output) if output else AsyncOutput()
@@ -436,6 +467,13 @@ class StreamingApp:
             if skip:
                 stats.dedup_skipped += 1
                 return None
+        if self.stretch_processor is not None and self._rate_detector is not None:
+            # asr_optimization.time_stretch_enable: normalize the speech rate
+            # before the processor sees the audio (timestamps then refer to
+            # the normalized timeline — documented at the config knob)
+            chunk = self.stretch_processor.process(
+                chunk, self._rate_detector.chars_per_second()
+            )
         self.processor.insert_audio_chunk(chunk)
         if self.auto_language is not None or self.diarizer is not None:
             status = getattr(self.processor, "status", None)
@@ -505,6 +543,12 @@ class StreamingApp:
             self.translation.add_text(text)
         if self.rate_adaptive is not None:
             self.rate_adaptive.on_result(text, beg, end, now)
+        elif self._rate_detector is not None:
+            # standalone cps source for asr_optimization (no adaptive silence)
+            self._rate_detector.add_result(text, max(end - beg, 1e-3), now)
+        if self.asr is not None and getattr(self.asr, "adaptive_params", None) is not None \
+                and self._rate_detector is not None:
+            self.asr.adaptive_params.rate_class = self._rate_detector.classify()
         return text
 
     def record_session(

@@ -72,7 +72,8 @@ class AudioDeviceProtector:
             except Exception as e:
                 last_err = e
                 logger.warning("open attempt %d/%d failed: %s", attempt, self.max_retries, e)
-                self.sleep(self.retry_delay_s)
+                if attempt < self.max_retries:  # no pointless sleep before the raise
+                    self.sleep(self.retry_delay_s)
         self.healthy = False
         raise RuntimeError(f"could not open audio stream after {self.max_retries} tries: {last_err}")
 

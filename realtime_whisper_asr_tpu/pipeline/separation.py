@@ -119,19 +119,46 @@ class DemucsSeparator(VocalSeparator):
         except Exception:
             logger.warning("demucs unavailable; DemucsSeparator degrades to passthrough")
 
+    @staticmethod
+    def _resample(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+        """Linear-interpolation resample — demucs models are trained at
+        their own samplerate (htdemucs: 44100); feeding raw 16 kHz audio
+        interprets it ~2.76x too slow and the 'vocals' stem is spectrally
+        garbage. Linear interp is adequate for the ≤8 kHz speech band."""
+        if sr_from == sr_to or len(x) == 0:
+            return np.asarray(x, np.float32)
+        n_out = int(round(len(x) * sr_to / sr_from))
+        return np.interp(
+            np.linspace(0.0, len(x) - 1.0, n_out), np.arange(len(x)), x
+        ).astype(np.float32)
+
+    def _apply(self, audio: np.ndarray):
+        """(stems tensor, model samplerate) at the MODEL's samplerate."""
+        import torch
+        from demucs.apply import apply_model  # type: ignore
+
+        sr_model = int(getattr(self._model, "samplerate", 44100))
+        up = self._resample(np.asarray(audio, np.float32), 16000, sr_model)
+        wav = torch.from_numpy(up)[None].repeat(2, 1)[None]
+        with torch.no_grad():
+            stems = apply_model(self._model, wav.to(self._device))[0]
+        return stems, sr_model
+
+    def _back(self, stem: np.ndarray, sr_model: int, n_out: int) -> np.ndarray:
+        out = self._resample(stem, sr_model, 16000)
+        if len(out) < n_out:
+            out = np.pad(out, (0, n_out - len(out)))
+        return out[:n_out]
+
     def separate(self, audio: np.ndarray) -> np.ndarray:
         self.stats["processed"] += 1
         if self._model is None:
             return audio
         try:
-            import torch
-            from demucs.apply import apply_model  # type: ignore
-
-            wav = torch.from_numpy(np.asarray(audio, np.float32))[None].repeat(2, 1)[None]
-            with torch.no_grad():
-                stems = apply_model(self._model, wav.to(self._device))[0]
+            stems, sr_model = self._apply(audio)
             vocals_idx = self._model.sources.index("vocals")
-            return stems[vocals_idx].mean(0).cpu().numpy()
+            return self._back(stems[vocals_idx].mean(0).cpu().numpy(),
+                              sr_model, len(audio))
         except Exception:
             self.stats["errors"] += 1
             return audio
@@ -145,14 +172,9 @@ class DemucsSeparator(VocalSeparator):
         if self._model is None:
             return super().separate_stems(audio)
         try:
-            import torch
-            from demucs.apply import apply_model  # type: ignore
-
-            wav = torch.from_numpy(np.asarray(audio, np.float32))[None].repeat(2, 1)[None]
-            with torch.no_grad():
-                stems = apply_model(self._model, wav.to(self._device))[0]
+            stems, sr_model = self._apply(audio)
             out = {
-                name: stems[i].mean(0).cpu().numpy()
+                name: self._back(stems[i].mean(0).cpu().numpy(), sr_model, len(audio))
                 for i, name in enumerate(self._model.sources)
             }
             acc = sum(v for k, v in out.items() if k != "vocals")

@@ -15,25 +15,36 @@ from typing import Callable, Optional
 
 
 class SpeechRateDetector:
-    """chars/sec over a sliding window of recognition results."""
+    """chars/sec over a sliding window of recognition results.
+
+    The window is count-bounded (last ``window`` results) AND time-bounded
+    (``max_age_s``): after a long pause, stale samples expire instead of
+    classifying the resumed speech from minutes-old results."""
 
     def __init__(self, window: int = 5, slow_cps: float = 5.0, fast_cps: float = 15.0,
-                 clock: Callable[[], float] = _time.time):
-        self.samples: deque[tuple[float, int]] = deque(maxlen=window)
+                 clock: Callable[[], float] = _time.time, max_age_s: float = 30.0):
+        self.samples: deque[tuple[float, float, int]] = deque(maxlen=window)
         self.slow_cps = slow_cps
         self.fast_cps = fast_cps
         self.clock = clock
+        self.max_age_s = max_age_s
 
     def add_result(self, text: str, duration_s: float, current_time: Optional[float] = None):
         now = self.clock() if current_time is None else current_time
+        # expire relative to the INCOMING sample's time (one timebase —
+        # callers may feed a session clock): the first result after a long
+        # pause evicts the stale window right where the classification is
+        # about to be used
+        while self.samples and now - self.samples[0][0] > self.max_age_s:
+            self.samples.popleft()
         if duration_s > 0:
-            self.samples.append((duration_s, len(text.strip())))
+            self.samples.append((now, duration_s, len(text.strip())))
 
     def chars_per_second(self) -> Optional[float]:
         if not self.samples:
             return None
-        total_t = sum(d for d, _ in self.samples)
-        total_c = sum(c for _, c in self.samples)
+        total_t = sum(d for _, d, _ in self.samples)
+        total_c = sum(c for _, _, c in self.samples)
         return total_c / total_t if total_t > 0 else None
 
     def classify(self) -> str:

@@ -22,12 +22,23 @@ class SpeechRateAudioProcessor:
         self.min_samples = min_samples
         self.stats = {"processed": 0, "stretched": 0, "errors": 0}
 
+    #: padded input lengths so time_stretch's jitted (length, rate) signature
+    #: space stays tiny (CLAUDE.md: every jit input shape comes from a small
+    #: bucket set); raw utterance-buffer lengths minted a fresh multi-second
+    #: XLA compile per distinct length on the realtime path
+    _LEN_BUCKETS = (16000, 32000, 64000, 160000, 320000, 480000)
+
     def stretch_rate_for(self, measured_cps: Optional[float]) -> float:
-        """>1 compresses (fast output), <1 expands. Bounded."""
+        """NORMALIZING stretch: fast speech (measured > normal) gets rate<1
+        (slowed down), slow speech rate>1 (sped up) — the reference's
+        stretch = 1.0/rate_ratio (`speech_rate_audio_processor.py:79-96`;
+        the previous measured/normal form AMPLIFIED the deviation). Bounded,
+        and quantized to a 0.05 grid so each rate reuses one jit trace."""
         if not measured_cps or measured_cps <= 0:
             return 1.0
-        rate = measured_cps / self.normal_cps
-        return float(np.clip(rate, self.min_rate, self.max_rate))
+        rate = self.normal_cps / measured_cps
+        rate = float(np.clip(rate, self.min_rate, self.max_rate))
+        return round(round(rate / 0.05) * 0.05, 2)
 
     def process(self, audio: np.ndarray, measured_cps: Optional[float]) -> np.ndarray:
         """Normalize speech rate; returns original audio on any failure
@@ -42,7 +53,14 @@ class SpeechRateAudioProcessor:
             from realtime_whisper_asr_tpu.ops.dsp import time_stretch
             from realtime_whisper_asr_tpu.utils.transfer import device_get
 
-            out = device_get(time_stretch(jnp.asarray(audio, jnp.float32), float(round(rate, 2))))
+            n = len(audio)
+            nb = next((b for b in self._LEN_BUCKETS if n <= b), None)
+            if nb is None:  # beyond the largest bucket: pad to a coarse grid
+                nb = -(-n // 160000) * 160000
+            padded = np.zeros(nb, np.float32)
+            padded[:n] = audio
+            out = device_get(time_stretch(jnp.asarray(padded), float(round(rate, 2))))
+            out = out[: int(n / rate)]  # drop the stretched zero-padding tail
             self.stats["stretched"] += 1
             return out
         except Exception:

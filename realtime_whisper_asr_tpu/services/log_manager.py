@@ -21,10 +21,20 @@ CSV_HEADER = [
 
 
 class LogManager:
+    #: per-process uniquifier: two sessions constructed within the same
+    #: second would otherwise share one logger name (both FileHandlers got
+    #: every record) and one CSV path (the second open('w') truncated the
+    #: first session's file mid-write)
+    _seq = 0
+
     def __init__(self, log_dir: str = "logs", console: bool = False,
                  session_name: Optional[str] = None):
         os.makedirs(log_dir, exist_ok=True)
-        ts = session_name or time.strftime("%Y%m%d_%H%M%S")
+        if session_name is None:
+            LogManager._seq += 1
+            ts = f"{time.strftime('%Y%m%d_%H%M%S')}_{os.getpid()}_{LogManager._seq}"
+        else:
+            ts = session_name
         self.csv_path = os.path.join(log_dir, f"session_{ts}.csv")
         self.log_path = os.path.join(log_dir, f"session_{ts}.log")
         self._csv_file = open(self.csv_path, "w", newline="", encoding="utf-8")
@@ -35,6 +45,7 @@ class LogManager:
         self.logger = logging.getLogger(f"rtwa.session.{ts}")
         self.logger.setLevel(logging.INFO)
         self.logger.propagate = False
+        self.logger.handlers.clear()  # explicit name reuse must not double-log
         fh = logging.FileHandler(self.log_path, encoding="utf-8")
         fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
         self.logger.addHandler(fh)

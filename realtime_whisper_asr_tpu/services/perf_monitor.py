@@ -94,7 +94,12 @@ class PerformanceMonitor:
         self.skip_log.append((self.clock(), kind))
         self.skips_total += 1
 
-    def should_skip_recognition(self, audio_seconds: float) -> tuple[bool, str]:
+    def should_skip_recognition(self, audio_seconds: float = 0.0) -> tuple[bool, str]:
+        """Shed decision for a tick covering ``audio_seconds`` of pending
+        audio. The proc>2.5x check gates on THAT duration when given (a long
+        recent tick sheds a small pending chunk), falling back to the last
+        recognition's own audio span (reference history-only semantics,
+        `performance_monitor.py:236-249`)."""
         if self.queue_depth >= self.max_queue:
             self._log_skip("recognition:queue")
             return True, f"queue_depth={self.queue_depth}"
@@ -104,9 +109,11 @@ class PerformanceMonitor:
             return True, f"speed_ratio={ratio:.2f}<hard {self.hard_ratio}"
         if self.recognitions:
             last_audio, last_proc = self.recognitions[-1]
-            if last_audio > 0 and last_proc > self.max_proc_over_audio * last_audio:
+            base = audio_seconds if audio_seconds > 0 else last_audio
+            if base > 0 and last_proc > self.max_proc_over_audio * base:
                 self._log_skip("recognition:proc_over_audio")
-                return True, f"proc {last_proc:.2f}s > {self.max_proc_over_audio}x audio"
+                return True, (f"last proc {last_proc:.2f}s > "
+                              f"{self.max_proc_over_audio}x {base:.2f}s audio")
         return False, "ok"
 
     def should_skip_translation(self) -> tuple[bool, str]:

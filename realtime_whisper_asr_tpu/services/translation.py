@@ -95,6 +95,9 @@ class TranslationManager:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        #: >0 = drain that many items as one-text requests (misalignment
+        #: recovery: a merged request returned the wrong line count)
+        self._single_item_mode = 0
         self.stats = {"added": 0, "deduped": 0, "translated": 0, "failed": 0, "dropped": 0,
                       "requests": 0}
 
@@ -123,7 +126,14 @@ class TranslationManager:
                 return
             # items only ever carry retry_count 0 (fresh) or 1 (one piggyback
             # retry); the failure path below drops them before reaching 2
-            batch, self._pending = self._pending, []
+            if self._single_item_mode > 0:
+                # alignment recovery: after a merged request came back with
+                # the wrong line count, drain the re-queued items one request
+                # each — a single-text request can't misalign
+                batch = [self._pending.pop(0)]
+                self._single_item_mode -= 1
+            else:
+                batch, self._pending = self._pending, []
         if not batch:
             return
         merged = "\n".join(item["text"] for item in batch)
@@ -142,7 +152,40 @@ class TranslationManager:
                         self.stats["dropped"] += 1
             return
         lines = [l for l in result.splitlines() if l.strip()]
-        self.stats["translated"] += len(batch)
+        if len(lines) != len(batch) and len(batch) > 1:
+            # the LLM merged/split lines: positional pairing would deliver the
+            # wrong translation for every line after the shift, and the
+            # unmatched tail would be silently lost (counted as translated,
+            # blocked from re-adding by _recent). Re-queue each item for its
+            # OWN single-line request instead — alignment is then trivial.
+            logger.warning(
+                "batch translation returned %d lines for %d texts; retrying "
+                "per-line", len(lines), len(batch)
+            )
+            self.stats["misaligned"] = self.stats.get("misaligned", 0) + 1
+            with self._lock:
+                for item in batch:
+                    item["retry_count"] += 1
+                    if item["retry_count"] < 2:
+                        self._pending.append(item)
+                    else:
+                        self.stats["dropped"] += 1
+            # single-item batches drain one per interval; alignment holds
+            self._single_item_mode = len(batch)
+            return
+        if len(batch) == 1:
+            # a single-text request can't misalign; a multi-line answer is
+            # one translation that happens to wrap — deliver it joined
+            if not lines:
+                with self._lock:
+                    batch[0]["retry_count"] += 1
+                    if batch[0]["retry_count"] < 2:
+                        self._pending.append(batch[0])
+                    else:
+                        self.stats["dropped"] += 1
+                return
+            lines = [" ".join(l.strip() for l in lines)]
+        self.stats["translated"] += len(lines)
         if self.output_callback:
             originals = [item["text"] for item in batch]
             for i, line in enumerate(lines):

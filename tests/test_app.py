@@ -388,3 +388,34 @@ def test_degraded_mode_keeps_checkpoint_and_explicit_quant(monkeypatch):
     assert captured["model_size"] == "base"
     assert captured["quantization"] == "int8"
     app3.shutdown()
+
+
+def test_asr_optimization_knobs_are_wired(monkeypatch):
+    """The asr_optimization config section must DO something (it was dead):
+    time_stretch_enable constructs the stretch processor, adaptive_params_
+    enable installs AdaptiveWhisperParams on the ASR, and a results-fed rate
+    detector exists to drive both."""
+    import realtime_whisper_asr_tpu.asr as asr_mod
+
+    def fake_tpu_asr(**kwargs):
+        return TimecodedFakeASR([(0.6, 1.0, " steady"), (1.4, 1.8, " words")],
+                                unstable_tail=False)
+
+    monkeypatch.setattr(asr_mod, "TPUWhisperASR", fake_tpu_asr)
+    cm = ConfigManager(autoload=False)
+    cm.set("model.size", "tiny")
+    cm.set("asr_optimization.time_stretch_enable", True)
+    cm.set("asr_optimization.adaptive_params_enable", True)
+    cm.set("audio_deduplication.enable", False)
+    cm.set("performance.display_interval_s", 1e9)
+    app = StreamingApp(config=cm, language="en",
+                       vad_prob_fn=ScriptedProbs([(0.2, 2.2)]))
+    assert app.stretch_processor is not None
+    assert app._rate_detector is not None
+    assert getattr(app.asr, "adaptive_params", None) is not None
+    stream = SimulatedMicStream(timecoded_audio(0.0, 4.0))
+    stats = app.record_session(stream, chunk_seconds=0.5)
+    app.shutdown()
+    assert stats.results >= 1
+    # the rate class is kept current from the results stream
+    assert app.asr.adaptive_params.rate_class in ("slow", "normal", "fast", "unknown")

@@ -194,8 +194,12 @@ def test_time_stretch_length_and_content():
 def test_stretch_processor_bounds_and_fallback():
     p = SpeechRateAudioProcessor()
     assert p.stretch_rate_for(None) == 1.0
-    assert p.stretch_rate_for(30.0) == 1.2
-    assert p.stretch_rate_for(2.0) == 0.8
+    # NORMALIZING direction (reference stretch = 1/rate_ratio): fast speech
+    # is slowed (rate < 1), slow speech sped up (rate > 1) — the inverted
+    # measured/normal form amplified the deviation instead
+    assert p.stretch_rate_for(30.0) == 0.8   # 3x too fast -> slow it (clamped)
+    assert p.stretch_rate_for(2.0) == 1.2    # far too slow -> speed up (clamped)
+    assert abs(p.stretch_rate_for(12.5) - 0.8) < 1e-9  # 10/12.5 quantized
     tiny = np.zeros(128, np.float32)
     assert p.process(tiny, 30.0) is tiny  # too short -> untouched
 

@@ -480,3 +480,33 @@ def test_fuse_then_quantize_composes():
                                   np.asarray(attn_b["wqkv"]["q"]))
     np.testing.assert_array_equal(np.asarray(attn_a["wqkv"]["s"]),
                                   np.asarray(attn_b["wqkv"]["s"]))
+
+
+def test_translation_misaligned_batch_recovers_per_line():
+    """A merged request that comes back with the WRONG number of lines must
+    not positionally pair (wrong translation for every line after the shift)
+    nor silently drop the tail — the batch re-queues and drains as one-text
+    requests, which cannot misalign."""
+    calls = []
+    out = []
+
+    def transport(text, lang):
+        calls.append(text)
+        srcs = text.split("\n")
+        if len(srcs) > 1:  # merged request: model fuses two sentences
+            return "merged-line-1"
+        return f"t({srcs[0]})"
+
+    tm = TranslationManager(output_callback=lambda s, t: out.append((s, t)),
+                            transport=transport)
+    for s in ("aaa", "bbb", "ccc"):
+        tm.add_text(s)
+    tm.process_once()  # merged request, 1 line for 3 texts -> re-queue all
+    assert out == []
+    assert tm.stats.get("misaligned") == 1
+    tm.process_once()
+    tm.process_once()
+    tm.process_once()
+    assert out == [("aaa", "t(aaa)"), ("bbb", "t(bbb)"), ("ccc", "t(ccc)")]
+    assert tm.stats["translated"] == 3
+    assert tm.stats["dropped"] == 0
