@@ -275,13 +275,20 @@ class NeuralSeparator:
                 return audio
             if not self.use_device:
                 return separate_vocals_np(self.params, x)
-            nb = next((b for b in self._buckets if n <= b), self._buckets[-1])
+            # beyond the largest bucket, grow on a coarse grid (silently
+            # truncating to buckets[-1] returned SHORT audio and broke the
+            # same-length separator contract / separate_stems' complement)
+            nb = next((b for b in self._buckets if n <= b), None)
+            if nb is None:
+                nb = -(-n // self._buckets[-1]) * self._buckets[-1]
             padded = np.zeros(nb, np.float32)
-            padded[:n] = x[:nb]
+            padded[:n] = x
             if self._params_dev is None:
                 self._params_dev = {k: jnp.asarray(v) for k, v in self.params.items()}
-            out = np.asarray(separate_vocals(self._params_dev, jnp.asarray(padded)))
-            return out[:n]
+            from realtime_whisper_asr_tpu.utils.transfer import device_get
+
+            out = device_get(separate_vocals(self._params_dev, jnp.asarray(padded)))
+            return np.asarray(out[:n])
         except Exception:
             self.stats["errors"] += 1
             return audio
@@ -300,9 +307,14 @@ class NeuralSeparator:
         np.savez(path, **{k: np.asarray(v) for k, v in self.params.items()})
 
     @classmethod
-    def load_npz(cls, path: str) -> "NeuralSeparator":
+    def load_npz(cls, path: str, use_device: bool = True) -> "NeuralSeparator":
+        # host numpy, like the packaged-weights path: jnp.asarray here would
+        # touch the accelerator at LOAD time (tunnel setup 150-300 s) and the
+        # host path would convert params back per chunk; the device copy is
+        # created lazily on first device use (_params_dev)
         data = np.load(path)
-        return cls(params={k: jnp.asarray(data[k]) for k in data.files})
+        return cls(params={k: np.asarray(data[k]) for k in data.files},
+                   use_device=use_device)
 
     def get_stats(self) -> dict:
         return self.stats

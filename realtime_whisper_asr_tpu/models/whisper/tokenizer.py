@@ -117,7 +117,14 @@ def compute_non_speech_ids(encode: Callable[[str], list[int]]) -> tuple[int, ...
         "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split()
     )
     miscellaneous = set("♩♪♫♬♭♮♯")
+    # openai-whisper seeds the set with the leading-space hyphen/apostrophe
+    # tokens: hyphens/quotes are allowed INSIDE words but a transcript word
+    # must not BEGIN with one (tokenizer.py non_speech_tokens upstream)
     result = set()
+    for seed_piece in (" -", " '"):
+        toks = encode(seed_piece)
+        if toks:
+            result.add(toks[0])
     for symbol in symbols + list(miscellaneous):
         for tokens in [encode(symbol), encode(" " + symbol)]:
             if len(tokens) == 1 or symbol in miscellaneous:

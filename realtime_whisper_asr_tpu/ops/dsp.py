@@ -72,11 +72,18 @@ def time_stretch(audio: jnp.ndarray, rate: float, n_fft: int = 1024, hop: int = 
     frames = x[idx] * window
     stft = jnp.fft.rfft(frames, axis=-1)  # (T, F)
 
-    # resample frame positions at the new rate
-    out_frames = int(n_frames / rate)
+    # resample frame positions at the new rate; synthesize extra tail frames
+    # so the cropped [pad, pad+target) region has FULL overlap-add coverage —
+    # partial coverage at the edge divides by a small win_acc, which amplifies
+    # synthesized-phase incoherence into a click (measured 1.7x input peak)
+    target = int(n / rate)
+    out_frames = max(int(n_frames / rate), (pad + target + hop - 1) // hop + 1)
     steps = jnp.arange(out_frames) * rate
     lo = jnp.clip(steps.astype(jnp.int32), 0, n_frames - 2)
-    frac = (steps - lo)[:, None]
+    # clamp: tail steps can exceed lo+1 once lo saturates at n_frames-2;
+    # frac>1 would put a NEGATIVE weight on |stft[lo]| (phase-flipped energy
+    # ⇒ click at the very end of any rate<1 stretch)
+    frac = jnp.clip((steps - lo)[:, None], 0.0, 1.0)
     mag = (1 - frac) * jnp.abs(stft[lo]) + frac * jnp.abs(stft[lo + 1])
 
     # phase accumulation: expected per-hop advance + wrapped deviation
@@ -99,5 +106,4 @@ def time_stretch(audio: jnp.ndarray, rate: float, n_fft: int = 1024, hop: int = 
     out = out.at[pos[:, None] + jnp.arange(n_fft)[None, :]].add(wave)
     win_acc = win_acc.at[pos[:, None] + jnp.arange(n_fft)[None, :]].add(window * window)
     out = out / jnp.maximum(win_acc, 1e-6)
-    target = int(n / rate)
     return out[pad : pad + target]

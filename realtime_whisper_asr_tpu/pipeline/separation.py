@@ -202,7 +202,8 @@ def create_separator(method: Optional[str], **kw) -> Optional[VocalSeparator]:
 
         weights = kw.get("weights")
         if weights:
-            return NeuralSeparator.load_npz(weights)
+            return NeuralSeparator.load_npz(weights,
+                                            use_device=kw.get("use_device", True))
         return NeuralSeparator(**_pick(kw, ("params", "seed", "use_device")))
     if method == "demucs":
         sep = DemucsSeparator(**_pick(kw, ("model_name", "device")))

@@ -191,6 +191,19 @@ def test_time_stretch_length_and_content():
     assert abs(f_in - f_out) <= 3
 
 
+def test_time_stretch_slowdown_tail_no_click():
+    """rate<1 must not spike at the very end of the output: unclamped frame
+    fractions put a NEGATIVE weight on |stft[lo]| once lo saturates (phase-
+    flipped energy, measured 1.74x input peak at rate 0.8); with the clamp +
+    full-coverage tail frames the frozen-tail overshoot stays <= ~1.42x."""
+    audio = _tone(440, seconds=1.0) * 0.3
+    for rate in (0.8, 0.7):
+        out = np.asarray(time_stretch(jnp.asarray(audio), rate))
+        assert len(out) == int(len(audio) / rate)
+        assert np.all(np.isfinite(out))
+        assert np.abs(out).max() <= np.abs(audio).max() * 1.5
+
+
 def test_stretch_processor_bounds_and_fallback():
     p = SpeechRateAudioProcessor()
     assert p.stretch_rate_for(None) == 1.0

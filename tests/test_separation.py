@@ -184,3 +184,43 @@ def test_separate_stems_passthrough_separators():
         np.testing.assert_allclose(
             stems["vocals"] + stems["accompaniment"], mix, atol=1e-5
         )
+
+
+def test_neural_separator_beyond_largest_bucket_keeps_length():
+    """Audio longer than the largest jit bucket must come back at FULL length
+    (it was silently truncated to buckets[-1], and separate_stems then crashed
+    on the x - vocals shape mismatch)."""
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.models.separation_nn import NeuralSeparator
+
+    sep = NeuralSeparator()  # device path (CPU under tests): the bucket-grow
+    # logic under test lives in the device branch
+    n = 600_000  # > 524288 bucket
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    out = sep.separate(x)
+    assert len(out) == n
+    stems = sep.separate_stems(x)  # must not raise on shape mismatch
+    assert len(stems["vocals"]) == n and len(stems["accompaniment"]) == n
+
+
+def test_neural_separator_load_npz_respects_use_device(tmp_path):
+    """load_npz must keep params on host and honor use_device=False — the
+    host-only path must never touch the accelerator (CLAUDE.md: first
+    transfer costs 150-300 s on the tunneled rig)."""
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.models.separation_nn import NeuralSeparator
+
+    src = NeuralSeparator()
+    p = str(tmp_path / "w.npz")
+    src.save_npz(p)
+    sep = NeuralSeparator.load_npz(p, use_device=False)
+    assert sep.use_device is False
+    assert all(isinstance(v, np.ndarray) for v in sep.params.values()), (
+        "params must stay host numpy until the device path needs them"
+    )
+    x = (np.random.default_rng(1).standard_normal(32000) * 0.1).astype(np.float32)
+    out = sep.separate(x)
+    assert len(out) == len(x)
