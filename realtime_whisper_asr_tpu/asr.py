@@ -306,6 +306,12 @@ class TPUWhisperASR:
         self.temperature_fallback = False
         self.compression_ratio_threshold = 2.4
         self.logprob_threshold = -1.0
+        #: sequential >30 s windowing carries each window's decoded text as
+        #: the next window's prompt (faster-whisper's
+        #: condition_on_previous_text=True, reference asr_components.py:286).
+        #: Streaming ticks are single-window; their context carry is the
+        #: online processor's 300-char prompt (streaming/online.py).
+        self.condition_on_previous_text = True
         #: optional utils.profiling.PhaseTimer — when set, _transcribe_window
         #: blocks at phase boundaries (upload/encode/decode/download/host) for
         #: an auditable latency breakdown. Diagnostic mode: the blocking
@@ -596,12 +602,24 @@ class TPUWhisperASR:
         audio = np.asarray(audio, np.float32)
         if len(audio) <= WINDOW_SAMPLES:
             return self._transcribe_window(audio, init_prompt, 0.0, prefix_ids, draft_ids)
+        # sequential >30 s windowing with cross-window conditioning: each
+        # window's decoded text rides as the next window's prompt (the
+        # reference passes condition_on_previous_text=True to faster-whisper,
+        # asr_components.py:286; build_initial_tokens caps the carry at
+        # n_text_ctx//2-1 tokens, shedding the oldest first)
         segments: list[Segment] = []
+        carry: list[int] = list(self.tokenizer.encode(init_prompt)) if init_prompt else []
         offset = 0
         while offset < len(audio):
             window = audio[offset : offset + WINDOW_SAMPLES]
-            segs = self._transcribe_window(window, init_prompt, offset / SAMPLING_RATE, None)
+            segs = self._transcribe_window(
+                window, init_prompt, offset / SAMPLING_RATE, None,
+                prompt_ids=carry if self.condition_on_previous_text else None,
+            )
             segments.extend(segs)
+            if self.condition_on_previous_text:
+                carry.extend(t for t in segs.tokens if t < self.cfg.eot)
+                del carry[: len(carry) - (self.cfg.n_text_ctx // 2 - 1)]
             if segs and segs[-1].end * SAMPLING_RATE > offset + 1:
                 offset = int(segs[-1].end * SAMPLING_RATE)
             else:
@@ -762,10 +780,12 @@ class TPUWhisperASR:
         time_offset: float,
         prefix_ids: Optional[list[int]] = None,
         draft_ids: Optional[list[int]] = None,
+        prompt_ids: Optional[list[int]] = None,  # overrides init_prompt (carry)
     ) -> TranscriptionResult:
         t0 = time.perf_counter()
         opts = self._make_opts()
-        prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
+        if prompt_ids is None:
+            prompt_ids = self.tokenizer.encode(init_prompt) if init_prompt else None
         if opts.beam_size > 1:
             draft_ids = None  # beam path has no speculative fast path
         # host-side token planning, then ONE bundled upload (audio suffix + aux)

@@ -1001,3 +1001,39 @@ def test_temperature_rides_aux_one_trace(asr):
             differs = True
             break
     assert differs, "temperature value had no effect on sampling"
+
+
+def test_condition_on_previous_text_across_windows(asr):
+    """The >30 s sequential-window path must carry each window's decoded text
+    as the NEXT window's prompt (faster-whisper condition_on_previous_text,
+    reference asr_components.py:286) — and pass None when disabled."""
+    audio = _audio(seconds=40.0, seed=33)
+    seen_prompts = []
+    orig = asr._transcribe_window
+
+    def spy(window, init_prompt, time_offset, prefix_ids=None, draft_ids=None,
+            prompt_ids=None):
+        # snapshot: the caller mutates the carry list between windows
+        seen_prompts.append(None if prompt_ids is None else list(prompt_ids))
+        return orig(window, init_prompt, time_offset, prefix_ids, draft_ids,
+                    prompt_ids=prompt_ids)
+
+    asr._transcribe_window = spy
+    asr.max_tokens_per_second = 1.0  # keep random-weight decodes short
+    try:
+        res = asr.transcribe(audio)
+        assert len(seen_prompts) >= 2, "expected at least two windows"
+        # first window: empty carry; later windows: prior text tokens
+        assert not seen_prompts[0]
+        assert seen_prompts[1], "second window got no carried prompt"
+        assert all(t < asr.cfg.eot for t in seen_prompts[1])
+        assert isinstance(res.tokens, list)
+
+        seen_prompts.clear()
+        asr.condition_on_previous_text = False
+        asr.transcribe(audio)
+        assert all(p is None for p in seen_prompts)
+    finally:
+        asr._transcribe_window = orig
+        asr.condition_on_previous_text = True
+        asr.max_tokens_per_second = None
