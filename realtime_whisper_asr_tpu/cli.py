@@ -105,7 +105,20 @@ def cmd_transcribe(args) -> int:
         lang, prob = asr.detect_language(audio)
         print(f"detected language: {lang} (p={prob:.2f})")
         asr.original_language = lang
-    for seg in asr.transcribe(audio):
+    segments = asr.transcribe(audio)
+    fmt = getattr(args, "output_format", None)
+    if fmt:
+        from realtime_whisper_asr_tpu.io.subtitles import format_segments
+
+        text = format_segments(segments, fmt)
+        if getattr(args, "output", None):
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(text + ("\n" if not text.endswith("\n") else ""))
+            print(f"wrote {args.output}")
+        else:
+            print(text)
+        return 0
+    for seg in segments:
         print(f"[{seg.start:7.2f} --> {seg.end:7.2f}] {seg.text.strip()}")
     return 0
 
@@ -213,6 +226,12 @@ def main(argv=None) -> int:
     pt = sub.add_parser("transcribe", help="offline transcribe a WAV file")
     pt.add_argument("file")
     _add_model_args(pt)
+    pt.add_argument("--output-format", default=None,
+                    choices=["srt", "vtt", "json", "txt"],
+                    help="write the transcript in this format instead of the "
+                         "console listing")
+    pt.add_argument("--output", default=None,
+                    help="output file path (default: stdout)")
     pt.set_defaults(fn=cmd_transcribe)
 
     ps = sub.add_parser("stream", help="streaming transcription")

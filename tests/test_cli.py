@@ -107,3 +107,66 @@ def test_diarize_flag_sets_config(tmp_path):
     args = p.parse_args(["--diarize", "--config", str(tmp_path / "c.json")])
     cm = _build_config(args)
     assert cm.get("diarization.enable") is True
+
+
+def test_subtitle_formats():
+    from realtime_whisper_asr_tpu.asr import Segment, Word
+    from realtime_whisper_asr_tpu.io.subtitles import format_segments
+
+    segs = [
+        Segment(0.0, 1.5, " hello world", [Word(0.0, 0.7, " hello"), Word(0.7, 1.5, " world")]),
+        Segment(2.0, 2.0, "   ", []),  # blank text: dropped from srt/vtt/txt
+        Segment(3661.25, 3662.5, " again", []),
+    ]
+    srt = format_segments(segs, "srt")
+    assert srt.split("\n")[0] == "1"
+    assert "00:00:00,000 --> 00:00:01,500" in srt
+    assert "01:01:01,250 --> 01:01:02,500" in srt
+    assert srt.count("-->") == 2  # blank cue dropped, numbering stays dense
+    assert "\n2\n" in srt
+
+    vtt = format_segments(segs, "vtt")
+    assert vtt.startswith("WEBVTT")
+    assert "00:00:00.000 --> 00:00:01.500" in vtt
+
+    import json as _json
+    data = _json.loads(format_segments(segs, "json"))
+    assert len(data["segments"]) == 3
+    assert data["segments"][0]["words"][1]["word"] == " world"
+
+    assert format_segments(segs, "txt") == "hello world\nagain"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        format_segments(segs, "ass")
+
+
+def test_cli_transcribe_output_format(tmp_path, monkeypatch):
+    """transcribe --output-format srt --output FILE writes a subtitle file
+    through the real CLI path (model swapped for a stub)."""
+    import numpy as np
+
+    import realtime_whisper_asr_tpu.cli as cli
+    from realtime_whisper_asr_tpu.asr import Segment
+    from realtime_whisper_asr_tpu.io import write_wav
+
+    wav = tmp_path / "a.wav"
+    write_wav(str(wav), np.zeros(16000, np.float32))
+
+    class StubASR:
+        def __init__(self, **kw):
+            pass
+
+        def transcribe(self, audio):
+            return [Segment(0.0, 1.0, " hi", [])]
+
+    monkeypatch.setattr("realtime_whisper_asr_tpu.asr.TPUWhisperASR", StubASR)
+    out = tmp_path / "a.srt"
+    rc = cli.main([
+        "transcribe", str(wav), "--model", "test-tiny",
+        "--config", str(tmp_path / "c.json"),
+        "--output-format", "srt", "--output", str(out),
+    ])
+    assert rc == 0
+    text = out.read_text()
+    assert text.startswith("1\n00:00:00,000 --> 00:00:01,000\nhi")
