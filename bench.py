@@ -93,6 +93,7 @@ def run_scenario(n: int) -> int:
             "metric": "offline_rtf_tiny_30s", "value": round(dt / 30.0, 4), "unit": "rtf",
             "vs_baseline": round(BASELINE_LATENCY_MS["tiny"] / (dt * 1e3 / 30), 2),
             "segments": len(segs), "wall_seconds": round(dt, 3), "scenario": 1,
+            **DEGRADED,
         }))
         return 0
 
@@ -137,6 +138,11 @@ def run_scenario(n: int) -> int:
                            "vocal_separation.use_device": False})),
     }
     s = setups[n]
+    if DEGRADED:  # CPU fallback: scenario models are fixed per BASELINE
+        # config, so the reference-parity downgrade (base→tiny class) is
+        # applied here rather than via BENCH_MODEL
+        s["model"] = "tiny"
+        DEGRADED.setdefault("degraded_model", "tiny")
     cm = ConfigManager(autoload=False)
     cm.set("model.size", s["model"])
     cm.set("performance.display_interval_s", 1e9)
@@ -205,6 +211,7 @@ def run_scenario(n: int) -> int:
         "wall_seconds": round(wall, 2),
         "scenario": n,
         **extras,
+        **DEGRADED,
     }))
     return 0
 
@@ -417,12 +424,13 @@ def run_multistream(n_streams: int) -> int:
         "setup_seconds": round(time.perf_counter() - t_setup0 - wall, 1),
         "model": model,
         "quantization": quant,
+        **DEGRADED,
         "note": "N simulated 1s-chunk streams over one shared model via the batched StreamServer scheduler; aggregate rtf = wall / (streams x audio)",
     }))
     return 0
 
 
-def wait_for_tpu() -> None:
+def wait_for_tpu() -> bool:
     """Block until the accelerator backend answers a tiny matmul, up to
     BENCH_WAIT_TPU_S seconds (default 900; 0 disables). The axon relay has
     multi-hour outages (round 3: UNAVAILABLE / wedged backend init); probing
@@ -430,10 +438,11 @@ def wait_for_tpu() -> None:
     can't poison the backend cache, and gives an unattended bench run (e.g.
     the end-of-round driver) a chance to ride out a brief outage instead of
     failing immediately. Progress goes to stderr; the stdout JSON contract
-    is untouched."""
+    is untouched. Returns False when the budget ran out with every probe
+    failing (caller falls back to CPU rather than hang on a wedged init)."""
     budget = float(os.environ.get("BENCH_WAIT_TPU_S", "900"))
     if budget <= 0:
-        return
+        return True
     import subprocess
 
     probe = ("import jax, jax.numpy as jnp; "
@@ -450,21 +459,57 @@ def wait_for_tpu() -> None:
                 if attempt > 1:
                     print(f"bench: backend recovered on probe {attempt}",
                           file=sys.stderr)
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             print("bench: backend probe still failing after "
-                  f"{budget:.0f} s; proceeding anyway", file=sys.stderr)
-            return
+                  f"{budget:.0f} s", file=sys.stderr)
+            return False
         print(f"bench: backend probe {attempt} failed; retrying "
               f"({remaining:.0f} s left)", file=sys.stderr)
         time.sleep(min(60.0, remaining))
 
 
+#: non-empty when the accelerator was unreachable and the run fell back to
+#: CPU — spread into every JSON line so the numbers can't be mistaken for
+#: accelerator results
+DEGRADED: dict = {}
+
+
+def force_cpu_fallback() -> None:
+    """The backend never answered within the probe budget: run on CPU instead
+    of hanging the driver's end-of-round run on a wedged backend init.
+    CLAUDE.md gotcha: the axon sitecustomize overrides JAX_PLATFORMS, so the
+    pool-IP env AND jax.config must both be cleared before backends
+    initialize (jax is not yet imported in this process by design)."""
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    DEGRADED["degraded_backend"] = (
+        "cpu-fallback: accelerator unreachable at bench start"
+    )
+    # Reference parity for degraded mode (GPU load failure -> CPU + smaller/
+    # int8 re-optimized params, 一键实时识别麦克风.py:1138-1175): a large-v3
+    # streaming tick is minutes, not milliseconds, on this 1-core host — an
+    # un-downgraded fallback run would blow the driver's timeout and produce
+    # nothing. Explicit BENCH_MODEL still wins.
+    if "BENCH_MODEL" not in os.environ:
+        os.environ["BENCH_MODEL"] = "tiny"
+        DEGRADED["degraded_model"] = "tiny"
+    print("bench: accelerator unreachable; falling back to CPU "
+          "(results marked degraded_backend)", file=sys.stderr)
+
+
 def main() -> int:
-    wait_for_tpu()
+    if not wait_for_tpu():
+        force_cpu_fallback()
     streams = os.environ.get("BENCH_STREAMS")
     if streams:
         return run_multistream(int(streams))
@@ -630,6 +675,7 @@ def main() -> int:
         "beam_size": beam,
         "paced_realtime_feed": paced,
         **extras,
+        **DEGRADED,
         "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download) and BENCH_PHASES=1 publishes the corrected split",
     }))
     return 0
