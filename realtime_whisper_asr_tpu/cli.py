@@ -203,6 +203,12 @@ def cmd_wizard(args) -> int:
     cm.set("vocal_separation.enable", sep_method != "none")
     if sep_method != "none":
         cm.set("vocal_separation.method", sep_method)
+        # the recommender's variant/use_device picks ride along when the user
+        # kept its method (reference demucs-variant write-back, :824-828)
+        if sep_method == sep["method"]:
+            for k in ("variant", "use_device"):
+                if k in sep:
+                    cm.set(f"vocal_separation.{k}", sep[k])
     cm.save_config()
     print(f"💾 saved choices to {args.config}")
 

@@ -74,6 +74,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
         # or on host BLAS (False — wins on tunneled backends where every
         # device round-trip pays ~30 ms)
         "use_device": True,
+        # neural: packaged model variant — default (quality, +13.5 dB held-out)
+        # | small/fast (~2.6x fewer MACs, the degraded-CPU / many-stream pick);
+        # reference parity with the Demucs model family + VRAM-based pick
+        # (vocal_separation.py:98-129, 一键实时识别麦克风.py:766-883)
+        "variant": "default",
     },
     "speech_rate_adaptive": {
         "enable": True,

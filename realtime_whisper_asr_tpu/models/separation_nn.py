@@ -38,6 +38,21 @@ _PACKAGED_WEIGHTS = os.path.join(
     os.path.dirname(__file__), "weights", "separation_nn.npz"
 )
 
+#: packaged model variants (reference parity: Demucs ships a family of
+#: speed/quality models and the app recommends one by available VRAM —
+#: vocal_separation.py:98-129, 一键实时识别麦克风.py:766-883). Here the
+#: axis is host/chip compute per chunk, not VRAM: "default" is the
+#: full-width v2 net (+13.5 dB held-out hard corpus), "small" trades
+#: ~2.6× fewer MACs for a few dB (the degraded-CPU / many-stream pick).
+#: utils.hardware.recommend_separation_variant picks one.
+VARIANT_WEIGHTS = {
+    "default": _PACKAGED_WEIGHTS,
+    "small": os.path.join(
+        os.path.dirname(__file__), "weights", "separation_nn_small.npz"
+    ),
+}
+VARIANT_ALIASES = {"quality": "default", "hq": "default", "fast": "small"}
+
 
 def init_separator_params(key: jax.Array, dtype=jnp.float32) -> dict:
     keys = jax.random.split(key, 2 * len(_CH) + 2)
@@ -52,11 +67,19 @@ def init_separator_params(key: jax.Array, dtype=jnp.float32) -> dict:
     return params
 
 
-def init_separator_params_v2(key: jax.Array, dtype=jnp.float32) -> dict:
-    keys = jax.random.split(key, len(V2_CHANNELS) + 1)
+#: "small" variant channel plan — same v2 dilation/receptive field, ~2.6×
+#: fewer MACs. The fast member of the variant registry (reference parity:
+#: Demucs ships a speed/quality model family picked by available VRAM,
+#: vocal_separation.py:98-129 + 一键实时识别麦克风.py:766-883).
+V2_SMALL_CHANNELS = (8, 12, 16, 12)
+
+
+def init_separator_params_v2(key: jax.Array, dtype=jnp.float32,
+                             channels: tuple = V2_CHANNELS) -> dict:
+    keys = jax.random.split(key, len(channels) + 1)
     params: dict = {}
     c_in = 2  # log-mag ‖ freq coordinate
-    for i, c in enumerate(V2_CHANNELS):
+    for i, c in enumerate(channels):
         s = (9 * c_in) ** -0.5
         params[f"enc{i}_w"] = (jax.random.normal(keys[i], (3, 3, c_in, c)) * s).astype(dtype)
         params[f"enc{i}_b"] = jnp.zeros((c,), dtype)
@@ -249,10 +272,22 @@ class NeuralSeparator:
     name = "neural"
 
     def __init__(self, params: dict | None = None, seed: int = 0,
-                 use_device: bool = True):
+                 use_device: bool = True, variant: str = "default"):
         self.trained = False
-        if params is None and os.path.exists(_PACKAGED_WEIGHTS):
-            data = np.load(_PACKAGED_WEIGHTS)
+        self.variant = VARIANT_ALIASES.get(variant, variant)
+        weights_path = VARIANT_WEIGHTS.get(self.variant)
+        if weights_path is None:
+            raise ValueError(
+                f"unknown separator variant {variant!r} "
+                f"(one of {sorted(VARIANT_WEIGHTS) + sorted(VARIANT_ALIASES)})"
+            )
+        if params is None and not os.path.exists(weights_path):
+            # an untrained non-default variant must not silently run a
+            # random-init net; the trained default is strictly better
+            weights_path = _PACKAGED_WEIGHTS
+            self.variant = "default"
+        if params is None and os.path.exists(weights_path):
+            data = np.load(weights_path)
             # host numpy until the device path actually needs them: the host
             # path must never touch the accelerator (a jnp.asarray here would
             # round-trip the tunnel, incl. its 150-300 s first-transfer setup)

@@ -204,7 +204,9 @@ def create_separator(method: Optional[str], **kw) -> Optional[VocalSeparator]:
         if weights:
             return NeuralSeparator.load_npz(weights,
                                             use_device=kw.get("use_device", True))
-        return NeuralSeparator(**_pick(kw, ("params", "seed", "use_device")))
+        return NeuralSeparator(
+            **_pick(kw, ("params", "seed", "use_device", "variant"))
+        )
     if method == "demucs":
         sep = DemucsSeparator(**_pick(kw, ("model_name", "device")))
         if not sep.stats["available"]:

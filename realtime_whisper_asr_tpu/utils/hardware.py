@@ -103,7 +103,8 @@ def recommend_config(hw: dict[str, Any]) -> dict[str, Any]:
 
 
 def recommend_separation_config(hw: dict[str, Any], model: str,
-                                music_expected: bool = False) -> dict[str, Any]:
+                                music_expected: bool = False,
+                                streams: int = 1) -> dict[str, Any]:
     """Separation-method recommendation (reference recommend_demucs_config,
     `一键实时识别麦克风.py:332-430`: VRAM tiers → demucs variant or filter).
 
@@ -118,8 +119,21 @@ def recommend_separation_config(hw: dict[str, Any], model: str,
     hbm = hw.get("hbm_bytes") or 0
     gib = hbm / 2**30 if hbm else 0
     model_gib = MODEL_MEMORY_GIB.get(model, 3.2)
-    if hw.get("platform") == "tpu" and gib >= model_gib * 3 + 1:
-        return {"method": "neural",
+    if hw.get("platform") != "tpu":
+        # CPU degraded mode: the small host-path variant (~15 ms/1 s chunk on
+        # one core, v2s net) is affordable where the full net (~35 ms) eats
+        # the realtime budget next to a CPU decode
+        return {"method": "neural", "variant": "small", "use_device": False,
+                "reason": "CPU session: small host-path mask net (~15 ms/chunk) "
+                          "beats band-pass quality at a filter-like cost"}
+    if streams > 4:
+        # separation runs per stream on the host feed path; at many streams
+        # the full net's ~35 ms/chunk/stream stops fitting one core
+        return {"method": "neural", "variant": "small",
+                "reason": f"{streams} concurrent streams: the small variant "
+                          "keeps per-stream separation ~2.6x cheaper"}
+    if gib >= model_gib * 3 + 1:
+        return {"method": "neural", "variant": "default",
                 "reason": f"{gib:.0f} GiB HBM leaves headroom for the trained "
                           "on-device spectral-mask separator (best quality)"}
     return {"method": "filter",

@@ -224,3 +224,70 @@ def test_neural_separator_load_npz_respects_use_device(tmp_path):
     x = (np.random.default_rng(1).standard_normal(32000) * 0.1).astype(np.float32)
     out = sep.separate(x)
     assert len(out) == len(x)
+
+
+# ------------------------------------------------------------ model variants
+# Reference parity: Demucs ships a speed/quality model family and the app
+# recommends one by available VRAM (vocal_separation.py:98-129,
+# 一键实时识别麦克风.py:766-883). Here: default (quality) | small (fast).
+
+
+def test_small_arch_host_matches_device_random_init():
+    import jax
+
+    from realtime_whisper_asr_tpu.models import separation_nn as S
+
+    p = S.init_separator_params_v2(
+        jax.random.PRNGKey(3), channels=S.V2_SMALL_CHANNELS
+    )
+    host = NeuralSeparator(params={k: np.asarray(v) for k, v in p.items()},
+                           use_device=False)
+    dev = NeuralSeparator(params=p, use_device=True)
+    x = (np.random.default_rng(4).standard_normal(CLIP) * 0.2).astype(np.float32)
+    a, b = host.separate(x), dev.separate(x)
+    assert len(a) == len(b) == CLIP
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_variant_aliases_and_unknown():
+    import pytest
+
+    from realtime_whisper_asr_tpu.models import separation_nn as S
+
+    assert S.VARIANT_ALIASES["fast"] == "small"
+    assert S.VARIANT_ALIASES["quality"] == "default"
+    with pytest.raises(ValueError, match="unknown separator variant"):
+        NeuralSeparator(variant="nope")
+
+
+def test_missing_variant_weights_fall_back_to_default(monkeypatch):
+    """An untrained variant must never silently run random-init — the
+    trained default is strictly better."""
+    from realtime_whisper_asr_tpu.models import separation_nn as S
+
+    monkeypatch.setitem(S.VARIANT_WEIGHTS, "small", "/nonexistent/w.npz")
+    sep = NeuralSeparator(variant="small")
+    assert sep.variant == "default"
+    assert sep.trained
+
+
+def test_factory_passes_variant():
+    from realtime_whisper_asr_tpu.pipeline.separation import create_separator
+
+    sep = create_separator("neural", variant="quality", use_device=False)
+    assert sep.variant == "default"
+
+
+def test_recommend_separation_variants():
+    from realtime_whisper_asr_tpu.utils.hardware import recommend_separation_config
+
+    cpu = {"platform": "cpu", "hbm_bytes": 0}
+    tpu = {"platform": "tpu", "hbm_bytes": 16 * 2**30}
+    r = recommend_separation_config(cpu, "tiny", music_expected=True)
+    assert r["method"] == "neural" and r["variant"] == "small"
+    assert r["use_device"] is False
+    r = recommend_separation_config(tpu, "large-v3", music_expected=True, streams=8)
+    assert r["variant"] == "small"
+    r = recommend_separation_config(tpu, "large-v3", music_expected=True)
+    assert r["method"] == "neural" and r["variant"] == "default"
+    assert recommend_separation_config(tpu, "large-v3")["method"] == "none"

@@ -149,7 +149,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--arch", choices=["v1", "v2"], default="v2")
+    ap.add_argument("--arch", choices=["v1", "v2", "v2s"], default="v2",
+                    help="v2s = the 'small' packaged variant (same dilated "
+                         "receptive field, ~2.6x fewer MACs)")
     ap.add_argument("--ckpt-every", type=int, default=250,
                     help="save params+opt state every N steps (crash resume)")
     ap.add_argument("--resume", default=None,
@@ -171,6 +173,10 @@ def main(argv=None) -> int:
 
     if args.arch == "v2":
         params = S.init_separator_params_v2(jax.random.PRNGKey(args.seed))
+    elif args.arch == "v2s":
+        params = S.init_separator_params_v2(
+            jax.random.PRNGKey(args.seed), channels=S.V2_SMALL_CHANNELS
+        )
     else:
         params = S.init_separator_params(jax.random.PRNGKey(args.seed))
 
