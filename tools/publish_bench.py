@@ -38,7 +38,7 @@ RUNS = (
     "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
     "scenario3_phases", "scenario4_phases",
     "streams2", "streams4", "streams4_mixedlang", "streams8", "streams16",
-    "streams16_int8all", "streams16_int8kv",
+    "streams16_int8all", "streams16_int8kv", "streams32",
 )
 
 
@@ -146,7 +146,7 @@ def main(argv=None) -> int:
     sm = results.get("streams4_mixedlang")
     if sm:
         pub["aggregate_rtf_4_streams_two_language_groups_pipelined"] = sm.get("value")
-    for n in (2, 4, 8, 16):
+    for n in (2, 4, 8, 16, 32):
         s = results.get(f"streams{n}")
         if s:
             pub[f"aggregate_rtf_{n}_streams"] = s.get("value")

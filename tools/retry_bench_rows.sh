@@ -94,5 +94,8 @@ run_row streams8           BENCH_STREAMS=8  BENCH_QUANT=int8
 run_row streams16          BENCH_STREAMS=16 BENCH_QUANT=int8
 run_row streams16_int8all  BENCH_STREAMS=16 BENCH_QUANT=int8-all
 run_row streams16_int8kv   BENCH_STREAMS=16 BENCH_QUANT=int8-kv
+# capacity ceiling: 32 concurrent large-v3 streams ≈ 8 GB of KV caches +
+# 1 GB int8 weights — fits v5e HBM; measures where aggregate rtf stops scaling
+run_row streams32          BENCH_STREAMS=32 BENCH_QUANT=int8
 run_row headline_int8all_prequant BENCH_QUANT=int8-all BENCH_CHECKPOINT=/tmp/prequant_lv3
 echo "retry pass complete: $DIR" >&2
