@@ -90,6 +90,7 @@ class StreamServer:
         max_consecutive_sheds: int = 3,
         max_batch: int = 8,
         diarize: bool = False,
+        separator=None,
         clock: Callable[[], float] = time.monotonic,
     ):
         self.max_batch = max_batch
@@ -119,6 +120,15 @@ class StreamServer:
             else:
                 vad_factory = EnergyVAD
         self.vad_factory = vad_factory
+        #: optional vocal-separation frontend applied to every fed chunk (the
+        #: reference separates per mic chunk in its loop, 一键…py:1474-1482;
+        #: the app does it per session — this is the serving equivalent). Runs
+        #: in feed(), i.e. on the CALLER's thread: per-connection threads
+        #: separate in parallel and never contend with the device tick.
+        #: Separators are stateless apart from a stats dict, so one shared
+        #: instance serves all streams; prefer a host-path separator
+        #: (use_device=False) so feed() never touches the accelerator.
+        self.separator = separator
         # one shared (stateless) speaker embedder; per-stream trackers
         self._speaker_embedder = None
         if diarize and use_vad:
@@ -193,6 +203,10 @@ class StreamServer:
         return s
 
     def feed(self, stream_id: int, chunk: np.ndarray) -> None:
+        if self.separator is not None:
+            # outside the lock: separation is the expensive part of feed and
+            # must not serialize other connections' feeds / step()'s drain
+            chunk = self.separator.separate(np.asarray(chunk, np.float32))
         with self._lock:
             s = self._get_open(stream_id)
             s.pending_audio.append(np.asarray(chunk, np.float32))
@@ -519,6 +533,7 @@ class StreamServer:
                 "streams": len([s for s in self.streams.values() if not s.closed]),
                 "total_streams": len(self.streams),
                 "group_failures": self.group_failures,
+                "separator": self.separator.get_stats() if self.separator else None,
                 "monitor": self.monitor.get_status(),
                 "per_stream": {
                     sid: {"ticks": s.ticks, "shed": s.skipped_ticks,

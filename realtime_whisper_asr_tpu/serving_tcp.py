@@ -127,10 +127,21 @@ def main(argv=None) -> int:  # pragma: no cover - thin CLI
     p.add_argument("--model", default="large-v3-turbo")
     p.add_argument("--language", default="en")
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--quantization", default="int8", choices=["int8", "none"])
+    p.add_argument("--quantization", default="int8-all",
+                   choices=["int8-all", "int8", "int8-kv", "none"],
+                   help="int8-all is the shipped recommendation for >=medium "
+                        "models (utils.hardware.recommend_quantization)")
     p.add_argument("--prefix-policy", default="last", choices=["agree2", "last"])
     p.add_argument("--diarize", action="store_true",
                    help="per-stream speaker-turn tracking (labels in results)")
+    p.add_argument("--separation", default="none",
+                   choices=["none", "filter", "neural"],
+                   help="vocal-separation frontend applied to every fed chunk "
+                        "(host path; runs on the connection thread)")
+    p.add_argument("--separation-variant", default="small",
+                   choices=["default", "small"],
+                   help="neural variant; small (~2.6x fewer MACs) is the "
+                        "many-stream recommendation")
     args = p.parse_args(argv)
 
     enable_persistent_compile_cache()
@@ -139,9 +150,16 @@ def main(argv=None) -> int:  # pragma: no cover - thin CLI
         dtype=jnp.bfloat16,
         quantization=None if args.quantization == "none" else args.quantization,
     )
+    separator = None
+    if args.separation != "none":
+        from realtime_whisper_asr_tpu.pipeline.separation import create_separator
+
+        separator = create_separator(args.separation, use_device=False,
+                                     variant=args.separation_variant)
     server = TCPTranscriptionServer(
         (args.host, args.port),
-        StreamServer(asr, prefix_policy=args.prefix_policy, diarize=args.diarize),
+        StreamServer(asr, prefix_policy=args.prefix_policy, diarize=args.diarize,
+                     separator=separator),
         language=args.language,
     )
     print(f"listening on {args.host}:{args.port} (model={args.model})")

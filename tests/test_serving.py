@@ -537,3 +537,43 @@ def test_diarizer_sees_utterance_end_inside_one_chunk():
     assert s.processor.status == "voice"  # same-chunk restart: status check blind
     assert s.diarizer.ends == 1, "end event inside the chunk must be surfaced"
     assert s.diarizer.chunks == 1
+
+
+class _RecordingSeparator:
+    """Passthrough separator that records what it saw (plumbing test)."""
+
+    name = "recording"
+
+    def __init__(self):
+        self.stats = {"processed": 0, "errors": 0}
+
+    def separate(self, audio):
+        self.stats["processed"] += 1
+        return audio
+
+    def get_stats(self):
+        return self.stats
+
+
+def test_serving_separation_frontend():
+    """A separator passed to StreamServer runs on every fed chunk (the
+    reference separates per mic chunk, 一键…py:1474-1482) and must not
+    perturb results when it is a passthrough."""
+    words = [(0.5, 0.9, " one"), (1.0, 1.4, " two"), (2.0, 2.4, " three")]
+    sep = _RecordingSeparator()
+    server = StreamServer(PerStreamFakeASR({1: words}), use_vad=False,
+                          online_chunk_size=0.5, separator=sep)
+    sid = server.create_stream()
+    t = 0.0
+    outs = []
+    for _ in range(4):
+        server.feed(sid, timecoded_audio(t, t + 1.0))
+        t += 1.0
+        while server.step():
+            pass
+        outs.extend(server.poll(sid))
+    outs.extend(server.close_stream(sid))
+    assert sep.stats["processed"] == 4  # every fed chunk went through
+    assert server.get_stats()["separator"]["processed"] == 4
+    text = "".join(r.text for r in outs)
+    assert "one" in text and "three" in text
