@@ -541,11 +541,20 @@ class StreamingApp:
                                              language=self.language or "", model="")
         if self.translation is not None:
             self.translation.add_text(text)
+        # when time-stretch is active the processor's timestamps live in the
+        # NORMALIZED timeline; multiply result durations back by the applied
+        # rate so the detector measures the speaker's raw rate — feeding it
+        # post-stretch durations measures the vocoder's own output and the
+        # correction cancels itself into chunk-to-chunk oscillation
+        raw_scale = (self.stretch_processor.applied_rate
+                     if self.stretch_processor is not None else 1.0)
         if self.rate_adaptive is not None:
-            self.rate_adaptive.on_result(text, beg, end, now)
+            self.rate_adaptive.on_result(
+                text, beg, beg + (end - beg) * raw_scale, now)
         elif self._rate_detector is not None:
             # standalone cps source for asr_optimization (no adaptive silence)
-            self._rate_detector.add_result(text, max(end - beg, 1e-3), now)
+            self._rate_detector.add_result(
+                text, max((end - beg) * raw_scale, 1e-3), now)
         if self.asr is not None and getattr(self.asr, "adaptive_params", None) is not None \
                 and self._rate_detector is not None:
             self.asr.adaptive_params.rate_class = self._rate_detector.classify()

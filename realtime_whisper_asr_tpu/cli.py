@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from realtime_whisper_asr_tpu.config import ConfigManager
@@ -101,20 +102,36 @@ def cmd_transcribe(args) -> int:
     )
     if args.task == "translate":
         asr.set_translate_task()
+    fmt = getattr(args, "output_format", None)
+    out_path = getattr(args, "output", None)
+    if out_path and not fmt:
+        # --output without --output-format: infer from the file extension so
+        # the file is never silently skipped
+        ext = os.path.splitext(out_path)[1].lstrip(".").lower()
+        from realtime_whisper_asr_tpu.io.subtitles import FORMATTERS
+
+        if ext not in FORMATTERS:
+            print(f"error: cannot infer --output-format from {out_path!r}; "
+                  f"pass --output-format {{{'|'.join(sorted(FORMATTERS))}}}",
+                  file=sys.stderr)
+            return 2
+        fmt = ext
     if args.language == "auto":
         lang, prob = asr.detect_language(audio)
-        print(f"detected language: {lang} (p={prob:.2f})")
+        # stderr: with --output-format the stdout payload is machine-consumed
+        # (an SRT/JSON stream must not start with a diagnostic line)
+        print(f"detected language: {lang} (p={prob:.2f})",
+              file=sys.stderr if fmt else sys.stdout)
         asr.original_language = lang
     segments = asr.transcribe(audio)
-    fmt = getattr(args, "output_format", None)
     if fmt:
         from realtime_whisper_asr_tpu.io.subtitles import format_segments
 
         text = format_segments(segments, fmt)
-        if getattr(args, "output", None):
-            with open(args.output, "w", encoding="utf-8") as f:
+        if out_path:
+            with open(out_path, "w", encoding="utf-8") as f:
                 f.write(text + ("\n" if not text.endswith("\n") else ""))
-            print(f"wrote {args.output}")
+            print(f"wrote {out_path}")
         else:
             print(text)
         return 0
@@ -237,7 +254,9 @@ def main(argv=None) -> int:
                     help="write the transcript in this format instead of the "
                          "console listing")
     pt.add_argument("--output", default=None,
-                    help="output file path (default: stdout)")
+                    help="output file path (default: stdout); without "
+                         "--output-format the format is inferred from the "
+                         "extension")
     pt.set_defaults(fn=cmd_transcribe)
 
     ps = sub.add_parser("stream", help="streaming transcription")

@@ -76,11 +76,19 @@ def read_wav(path: str, target_sr: int = SR) -> np.ndarray:
     if n_channels > 1:
         x = x.reshape(-1, n_channels).mean(axis=1)
     if sr != target_sr:
-        n_out = int(round(len(x) * target_sr / sr))
-        x = np.interp(
-            np.linspace(0.0, len(x) - 1.0, n_out), np.arange(len(x)), x
-        ).astype(np.float32)
+        x = resample_linear(x, sr, target_sr)
     return x.astype(np.float32)
+
+
+def resample_linear(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
+    """Linear-interpolation resample — adequate for the ≤8 kHz speech band
+    (shared by read_wav and DemucsSeparator's 16 kHz↔model-rate hops)."""
+    if sr_from == sr_to or len(x) == 0:
+        return np.asarray(x, np.float32)
+    n_out = int(round(len(x) * sr_to / sr_from))
+    return np.interp(
+        np.linspace(0.0, len(x) - 1.0, n_out), np.arange(len(x)), x
+    ).astype(np.float32)
 
 
 def write_wav(path: str, audio: np.ndarray, sr: int = SR) -> None:

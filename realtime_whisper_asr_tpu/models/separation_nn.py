@@ -310,20 +310,28 @@ class NeuralSeparator:
                 return audio
             if not self.use_device:
                 return separate_vocals_np(self.params, x)
-            # beyond the largest bucket, grow on a coarse grid (silently
-            # truncating to buckets[-1] returned SHORT audio and broke the
-            # same-length separator contract / separate_stems' complement)
-            nb = next((b for b in self._buckets if n <= b), None)
-            if nb is None:
-                nb = -(-n // self._buckets[-1]) * self._buckets[-1]
-            padded = np.zeros(nb, np.float32)
-            padded[:n] = x
             if self._params_dev is None:
                 self._params_dev = {k: jnp.asarray(v) for k, v in self.params.items()}
             from realtime_whisper_asr_tpu.utils.transfer import device_get
 
-            out = device_get(separate_vocals(self._params_dev, jnp.asarray(padded)))
-            return np.asarray(out[:n])
+            def one(seg: np.ndarray) -> np.ndarray:
+                m = len(seg)
+                nb = next(b for b in self._buckets if m <= b)
+                padded = np.zeros(nb, np.float32)
+                padded[:m] = seg
+                out = device_get(separate_vocals(self._params_dev, jnp.asarray(padded)))
+                return np.asarray(out[:m])
+
+            if n <= self._buckets[-1]:
+                return one(x)
+            # beyond the largest bucket (long offline files): windowed with
+            # crossfaded joins — padding to a coarse grid minted a fresh
+            # multi-second XLA trace per distinct length and up to ~2x padding
+            # compute (round-3 review); the earlier silent truncation to
+            # buckets[-1] broke the same-length contract outright
+            from realtime_whisper_asr_tpu.pipeline.separation import overlap_windowed
+
+            return overlap_windowed(one, x, self._buckets[-1])
         except Exception:
             self.stats["errors"] += 1
             return audio

@@ -23,6 +23,34 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def overlap_windowed(fn, x: np.ndarray, block: int, overlap: int = 4096) -> np.ndarray:
+    """Apply ``fn`` (same-length audio→audio) in ``block``-sized windows with
+    linearly crossfaded ``overlap`` regions. Long offline inputs beyond a
+    separator's largest jit bucket would otherwise mint a fresh multi-second
+    XLA trace per distinct padded length and pay up to ~2× padding compute
+    (CLAUDE.md: every jit input shape comes from a small bucket set); windows
+    keep every device call inside the bucket set, and the crossfade hides the
+    STFT edge effects at the joins."""
+    n = len(x)
+    step = block - overlap
+    out = np.zeros(n, np.float32)
+    acc = np.zeros(n, np.float32)
+    ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
+    for start in range(0, n, step):
+        piece = np.asarray(fn(x[start : start + block]), np.float32)
+        m = len(piece)
+        w = np.ones(m, np.float32)
+        if start > 0:
+            w[: min(overlap, m)] = ramp[: min(overlap, m)]
+        if start + m < n and m > overlap:
+            w[-overlap:] *= ramp[::-1]
+        out[start : start + m] += piece * w
+        acc[start : start + m] += w
+        if start + block >= n:
+            break
+    return out / np.maximum(acc, 1e-9)
+
+
 class VocalSeparator:
     """Base: separate(chunk) -> vocals (same length/dtype)."""
 
@@ -58,16 +86,6 @@ class BandpassSeparator(VocalSeparator):
         # bucket chunk lengths to keep the jitted op retrace-free
         self._buckets = [1024, 4096, 16384, 65536, 262144, 1048576]
 
-    def _bucket(self, n: int) -> int:
-        for b in self._buckets:
-            if n <= b:
-                return b
-        # grow beyond the precomputed set (long offline files): next power of two
-        size = self._buckets[-1]
-        while size < n:
-            size *= 2
-        return size
-
     def separate(self, audio: np.ndarray) -> np.ndarray:
         self.stats["processed"] += 1
         try:
@@ -82,13 +100,20 @@ class BandpassSeparator(VocalSeparator):
 
                 from realtime_whisper_asr_tpu.utils.transfer import device_get
 
-                nb = self._bucket(n)
-                padded = np.zeros(nb, np.float32)
-                padded[:n] = x
-                out = device_get(
-                    bandpass_filter(jnp.asarray(padded), self.low_hz, self.high_hz)
-                )[:n]
-                return out
+                def one(seg: np.ndarray) -> np.ndarray:
+                    m = len(seg)
+                    nb = next(b for b in self._buckets if m <= b)
+                    padded = np.zeros(nb, np.float32)
+                    padded[:m] = seg
+                    return device_get(
+                        bandpass_filter(jnp.asarray(padded), self.low_hz, self.high_hz)
+                    )[:m]
+
+                if n <= self._buckets[-1]:
+                    return one(x)
+                # long offline files: windowed application keeps every device
+                # call inside the bucket set (no per-length trace mint)
+                return overlap_windowed(one, x, self._buckets[-1])
             # host fallback: frequency-domain brick-ish filter
             spec = np.fft.rfft(x)
             freqs = np.fft.rfftfreq(n, 1 / 16000)
@@ -121,16 +146,12 @@ class DemucsSeparator(VocalSeparator):
 
     @staticmethod
     def _resample(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
-        """Linear-interpolation resample — demucs models are trained at
-        their own samplerate (htdemucs: 44100); feeding raw 16 kHz audio
-        interprets it ~2.76x too slow and the 'vocals' stem is spectrally
-        garbage. Linear interp is adequate for the ≤8 kHz speech band."""
-        if sr_from == sr_to or len(x) == 0:
-            return np.asarray(x, np.float32)
-        n_out = int(round(len(x) * sr_to / sr_from))
-        return np.interp(
-            np.linspace(0.0, len(x) - 1.0, n_out), np.arange(len(x)), x
-        ).astype(np.float32)
+        """Demucs models are trained at their own samplerate (htdemucs:
+        44100); feeding raw 16 kHz audio interprets it ~2.76x too slow and
+        the 'vocals' stem is spectrally garbage. Shared io.wav resampler."""
+        from realtime_whisper_asr_tpu.io.wav import resample_linear
+
+        return resample_linear(np.asarray(x, np.float32), sr_from, sr_to)
 
     def _apply(self, audio: np.ndarray):
         """(stems tensor, model samplerate) at the MODEL's samplerate."""

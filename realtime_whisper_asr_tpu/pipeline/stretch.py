@@ -21,6 +21,13 @@ class SpeechRateAudioProcessor:
         self.normal_cps = normal_cps
         self.min_samples = min_samples
         self.stats = {"processed": 0, "stretched": 0, "errors": 0}
+        #: the rate actually applied to the most recent chunk (1.0 =
+        #: passthrough). Callers that measure speech rate from the
+        #: processor's (stretched-timeline) timestamps must multiply result
+        #: durations by this to recover RAW durations — otherwise the
+        #: detector measures the vocoder's own output and the correction
+        #: cancels itself into oscillation (app.process_chunk does this).
+        self.applied_rate = 1.0
 
     #: padded input lengths so time_stretch's jitted (length, rate) signature
     #: space stays tiny (CLAUDE.md: every jit input shape comes from a small
@@ -46,6 +53,7 @@ class SpeechRateAudioProcessor:
         self.stats["processed"] += 1
         rate = self.stretch_rate_for(measured_cps)
         if abs(rate - 1.0) < 0.05 or len(audio) < self.min_samples:
+            self.applied_rate = 1.0
             return audio
         try:
             import jax.numpy as jnp
@@ -62,9 +70,11 @@ class SpeechRateAudioProcessor:
             out = device_get(time_stretch(jnp.asarray(padded), float(round(rate, 2))))
             out = out[: int(n / rate)]  # drop the stretched zero-padding tail
             self.stats["stretched"] += 1
+            self.applied_rate = rate
             return out
         except Exception:
             self.stats["errors"] += 1
+            self.applied_rate = 1.0
             return audio
 
 

@@ -164,14 +164,20 @@ class TranslationManager:
             )
             self.stats["misaligned"] = self.stats.get("misaligned", 0) + 1
             with self._lock:
+                requeued = []
                 for item in batch:
                     item["retry_count"] += 1
                     if item["retry_count"] < 2:
-                        self._pending.append(item)
+                        requeued.append(item)
                     else:
                         self.stats["dropped"] += 1
-            # single-item batches drain one per interval; alignment holds
-            self._single_item_mode = len(batch)
+                # FRONT of the queue, and budget = exactly the re-queued
+                # count: fresh texts queued meanwhile must not consume the
+                # single-item budget, or the leftover retry items get merged
+                # into a multi-text request again and a second misalignment
+                # silently drops them (the loss this path exists to prevent)
+                self._pending[:0] = requeued
+                self._single_item_mode = len(requeued)
             return
         if len(batch) == 1:
             # a single-text request can't misalign; a multi-line answer is

@@ -127,11 +127,13 @@ def recommend_separation_config(hw: dict[str, Any], model: str,
                 "reason": "CPU session: small host-path mask net (~15 ms/chunk) "
                           "beats band-pass quality at a filter-like cost"}
     if streams > 4:
-        # separation runs per stream on the host feed path; at many streams
-        # the full net's ~35 ms/chunk/stream stops fitting one core
-        return {"method": "neural", "variant": "small",
-                "reason": f"{streams} concurrent streams: the small variant "
-                          "keeps per-stream separation ~2.6x cheaper"}
+        # separation runs per stream on the host feed path (use_device False:
+        # per-chunk device round-trips would contend with the decode tick);
+        # at many streams the full net's ~35 ms/chunk/stream stops fitting
+        # one core
+        return {"method": "neural", "variant": "small", "use_device": False,
+                "reason": f"{streams} concurrent streams: the small host-path "
+                          "variant keeps per-stream separation ~2.6x cheaper"}
     if gib >= model_gib * 3 + 1:
         return {"method": "neural", "variant": "default",
                 "reason": f"{gib:.0f} GiB HBM leaves headroom for the trained "

@@ -172,3 +172,35 @@ def test_cli_transcribe_output_format(tmp_path, monkeypatch):
     assert rc == 0
     text = out.read_text()
     assert text.startswith("1\n00:00:00,000 --> 00:00:01,000\nhi")
+
+
+def test_cli_transcribe_output_infers_format(tmp_path, monkeypatch):
+    """--output FILE without --output-format infers the format from the
+    extension instead of silently ignoring the flag (round-3 review)."""
+    import numpy as np
+
+    import realtime_whisper_asr_tpu.cli as cli
+    from realtime_whisper_asr_tpu.asr import Segment
+    from realtime_whisper_asr_tpu.io import write_wav
+
+    wav = tmp_path / "a.wav"
+    write_wav(str(wav), np.zeros(16000, np.float32))
+
+    class StubASR:
+        def __init__(self, **kw):
+            pass
+
+        def transcribe(self, audio):
+            return [Segment(0.0, 1.0, " hi", [])]
+
+    monkeypatch.setattr("realtime_whisper_asr_tpu.asr.TPUWhisperASR", StubASR)
+    out = tmp_path / "b.vtt"
+    rc = cli.main(["transcribe", str(wav), "--model", "test-tiny",
+                   "--config", str(tmp_path / "c.json"), "--output", str(out)])
+    assert rc == 0
+    assert out.read_text().startswith("WEBVTT")
+    # unknown extension: explicit error, not a silent console listing
+    rc = cli.main(["transcribe", str(wav), "--model", "test-tiny",
+                   "--config", str(tmp_path / "c.json"),
+                   "--output", str(tmp_path / "b.xyz")])
+    assert rc == 2

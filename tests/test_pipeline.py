@@ -257,3 +257,38 @@ def test_neural_separator_weights_roundtrip(tmp_path):
     sep2 = NeuralSeparator.load_npz(p)
     a = _tone(600, seconds=0.5)
     np.testing.assert_allclose(sep.separate(a), sep2.separate(a), atol=1e-6)
+
+
+def test_overlap_windowed_identity_and_gain():
+    """The long-input window stitcher must reconstruct exactly under an
+    identity/gain map (crossfade weights sum to 1 everywhere)."""
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.pipeline.separation import overlap_windowed
+
+    x = np.random.default_rng(0).standard_normal(50_000).astype(np.float32)
+    out = overlap_windowed(lambda s: s, x, block=16384, overlap=4096)
+    np.testing.assert_allclose(out, x, atol=1e-5)
+    out2 = overlap_windowed(lambda s: 2.0 * s, x, block=16384, overlap=4096)
+    np.testing.assert_allclose(out2, 2.0 * x, atol=1e-5)
+
+
+def test_stretch_tracks_applied_rate():
+    """applied_rate exposes what actually happened to the last chunk so the
+    app can un-normalize result durations for the rate detector (feeding it
+    post-stretch durations cancels the correction into oscillation)."""
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.pipeline.stretch import SpeechRateAudioProcessor
+
+    p = SpeechRateAudioProcessor()
+    x = np.random.default_rng(1).standard_normal(16000).astype(np.float32) * 0.1
+    p.process(x, measured_cps=10.0)  # normal rate -> passthrough
+    assert p.applied_rate == 1.0
+    out = p.process(x, measured_cps=14.0)  # fast speech -> rate < 1
+    assert p.applied_rate < 1.0
+    assert len(out) > len(x)  # slowed down = longer
+    # recovered raw duration: stretched duration x applied_rate ~ original
+    assert abs(len(out) * p.applied_rate - len(x)) / len(x) < 0.05
+    p.process(x[:1000], measured_cps=14.0)  # below min_samples -> passthrough
+    assert p.applied_rate == 1.0

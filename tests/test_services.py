@@ -510,3 +510,36 @@ def test_translation_misaligned_batch_recovers_per_line():
     assert out == [("aaa", "t(aaa)"), ("bbb", "t(bbb)"), ("ccc", "t(ccc)")]
     assert tm.stats["translated"] == 3
     assert tm.stats["dropped"] == 0
+
+
+def test_translation_misalignment_retries_survive_fresh_arrivals():
+    """Fresh texts queued between the misaligned batch and its per-line
+    retries must not consume the single-item budget: the re-queued items go
+    to the FRONT and drain one request each, so they can never be merged
+    into a second misalignable request (round-3 review finding)."""
+    out = []
+
+    def transport(text, lang):
+        srcs = text.split("\n")
+        if len(srcs) > 1:
+            return "merged"  # every multi-text request misaligns
+        return f"t({srcs[0]})"
+
+    tm = TranslationManager(output_callback=lambda s, t: out.append((s, t)),
+                            transport=transport)
+    for s in ("aaa", "bbb", "ccc"):
+        tm.add_text(s)
+    tm.process_once()  # misaligns; aaa/bbb/ccc re-queued at the FRONT
+    tm.add_text("ddd")  # fresh arrival mid-recovery
+    tm.add_text("eee")
+    for _ in range(4):
+        tm.process_once()
+    # retries drained first, one per interval; nothing dropped
+    assert ("aaa", "t(aaa)") in out and ("ccc", "t(ccc)") in out
+    assert tm.stats["dropped"] == 0
+    # the fresh pair then went out as one merged request, which misaligned
+    # and re-queued THEM at the front for their own single-item recovery
+    tm.process_once()
+    tm.process_once()
+    assert ("ddd", "t(ddd)") in out and ("eee", "t(eee)") in out
+    assert tm.stats["dropped"] == 0
