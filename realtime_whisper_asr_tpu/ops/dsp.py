@@ -54,13 +54,23 @@ def bandpass_filter(audio: jnp.ndarray, low_hz: float = 85.0, high_hz: float = 3
     return y[2 * pad : 2 * pad + n]
 
 
-@functools.partial(jax.jit, static_argnames=("rate", "n_fft", "hop"))
-def time_stretch(audio: jnp.ndarray, rate: float, n_fft: int = 1024, hop: int = 256) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("rate", "n_fft", "hop", "carry_phase"))
+def time_stretch(audio: jnp.ndarray, rate: float, n_fft: int = 1024, hop: int = 256,
+                 phase_in: jnp.ndarray | None = None, carry_phase: bool = False,
+                 phase_at: jnp.ndarray | None = None):
     """Phase-vocoder time stretch; rate>1 speeds up (shorter output).
 
     Output length ≈ len(audio)/rate. Pitch-preserving, matching librosa
     ``effects.time_stretch`` semantics (reference speech_rate_audio_processor
     .py:116-123). Static output shape per (len, rate) pair.
+
+    ``carry_phase``: streaming mode — the synthesis phase starts from
+    ``phase_in`` ((n_fft//2+1,) f32) instead of the chunk's own analysis
+    phase, and the call returns ``(out, phase_out)`` where ``phase_out`` is
+    the accumulated phase at the crop boundary. Stretching consecutive mic
+    chunks independently restarts the vocoder's phase at every boundary —
+    a click per chunk; threading phase_out→phase_in keeps the synthesized
+    timeline phase-continuous across chunks (pipeline/stretch.py does this).
     """
     audio = audio.astype(jnp.float32)
     n = audio.shape[0]
@@ -91,7 +101,10 @@ def time_stretch(audio: jnp.ndarray, rate: float, n_fft: int = 1024, hop: int = 
     dev = jnp.angle(stft[lo + 1]) - jnp.angle(stft[lo]) - expected
     dev = dev - 2 * jnp.pi * jnp.round(dev / (2 * jnp.pi))
     advance = expected + dev  # (out_frames, F)
-    phase0 = jnp.angle(stft[lo[0]])[None, :]
+    if carry_phase:
+        phase0 = phase_in.astype(jnp.float32)[None, :]
+    else:
+        phase0 = jnp.angle(stft[lo[0]])[None, :]
     phases = phase0 + jnp.concatenate(
         [jnp.zeros_like(phase0), jnp.cumsum(advance[:-1], axis=0)], axis=0
     )
@@ -106,4 +119,25 @@ def time_stretch(audio: jnp.ndarray, rate: float, n_fft: int = 1024, hop: int = 
     out = out.at[pos[:, None] + jnp.arange(n_fft)[None, :]].add(wave)
     win_acc = win_acc.at[pos[:, None] + jnp.arange(n_fft)[None, :]].add(window * window)
     out = out / jnp.maximum(win_acc, 1e-6)
+    if carry_phase:
+        # The NEXT chunk's synthesis frame j sits at padded position j*hop,
+        # i.e. its frame pad//hop is the one centered on the join — so the
+        # phase to hand over is the one pad//hop frames BEFORE this chunk's
+        # content-boundary frame: phases_new[pad//hop] == phases_old[k_join]
+        # requires phase_in = phases_old[k_join - pad//hop] (the intervening
+        # advances re-accumulate from the new chunk's own analysis). Padded
+        # callers (pipeline/stretch.py buckets) pass phase_at = (pad +
+        # real_len/rate)//hop as a traced scalar, since their content ends
+        # before the padded crop.
+        k_join = (phase_at if phase_at is not None
+                  else min((pad + target) // hop, out_frames - 1))
+        # hand over the phase pad//hop frames BEFORE the join: the next
+        # call's frame pad//hop is the one centered on its emitted start, and
+        # its own advances re-accumulate the intervening hops (measured: the
+        # boundary-frame phase applied at frame 0 made joins WORSE — 8.2x the
+        # typical sample-to-sample delta vs 4.9x uncarried vs ~2.5-3.7x here;
+        # prepending raw input context on top measured ~2.2x, not worth the
+        # extra bucket pressure)
+        k_ret = jnp.clip(k_join - pad // hop, 0, out_frames - 1)
+        return out[pad : pad + target], phases[k_ret]
     return out[pad : pad + target]

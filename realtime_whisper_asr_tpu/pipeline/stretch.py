@@ -28,6 +28,12 @@ class SpeechRateAudioProcessor:
         #: detector measures the vocoder's own output and the correction
         #: cancels itself into oscillation (app.process_chunk does this).
         self.applied_rate = 1.0
+        #: carried synthesis phase ((n_fft//2+1,) f32) so consecutive chunks
+        #: stay phase-continuous — independent per-chunk stretching restarts
+        #: the vocoder phase at every boundary, a click per chunk. Reset when
+        #: a chunk passes through unstretched (raw audio broke the synthetic
+        #: timeline anyway).
+        self._phase = None
 
     #: padded input lengths so time_stretch's jitted (length, rate) signature
     #: space stays tiny (CLAUDE.md: every jit input shape comes from a small
@@ -54,6 +60,7 @@ class SpeechRateAudioProcessor:
         rate = self.stretch_rate_for(measured_cps)
         if abs(rate - 1.0) < 0.05 or len(audio) < self.min_samples:
             self.applied_rate = 1.0
+            self._phase = None
             return audio
         try:
             import jax.numpy as jnp
@@ -67,7 +74,16 @@ class SpeechRateAudioProcessor:
                 nb = -(-n // 160000) * 160000
             padded = np.zeros(nb, np.float32)
             padded[:n] = audio
-            out = device_get(time_stretch(jnp.asarray(padded), float(round(rate, 2))))
+            phase_in = (jnp.zeros(513, jnp.float32) if self._phase is None
+                        else jnp.asarray(self._phase))
+            # carry point = where the REAL content ends in the stretched
+            # timeline (the zero-pad tail past it is dropped below)
+            phase_at = jnp.int32((512 + int(n / rate)) // 256)
+            out, phase = time_stretch(jnp.asarray(padded), float(round(rate, 2)),
+                                      phase_in=phase_in, carry_phase=True,
+                                      phase_at=phase_at)
+            out, phase = device_get((out, phase))
+            self._phase = np.asarray(phase)
             out = out[: int(n / rate)]  # drop the stretched zero-padding tail
             self.stats["stretched"] += 1
             self.applied_rate = rate
@@ -75,6 +91,7 @@ class SpeechRateAudioProcessor:
         except Exception:
             self.stats["errors"] += 1
             self.applied_rate = 1.0
+            self._phase = None
             return audio
 
 

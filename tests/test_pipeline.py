@@ -292,3 +292,41 @@ def test_stretch_tracks_applied_rate():
     assert abs(len(out) * p.applied_rate - len(x)) / len(x) < 0.05
     p.process(x[:1000], measured_cps=14.0)  # below min_samples -> passthrough
     assert p.applied_rate == 1.0
+
+
+def test_stretch_phase_carry_reduces_join_clicks():
+    """Consecutive stretched chunks are phase-continuous: carrying the
+    vocoder phase across calls must produce a smaller boundary discontinuity
+    than restarting it per chunk (the independent-chunk click the round-3
+    review flagged). Measured: join jump 4.9x the typical sample-to-sample
+    delta uncarried vs ~3.7x carried on a two-tone probe."""
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.pipeline.stretch import SpeechRateAudioProcessor
+
+    t = np.arange(32768) / 16000
+    sig = (0.5 * np.sin(2 * np.pi * 220 * t)
+           + 0.25 * np.sin(2 * np.pi * 447 * t)).astype(np.float32)
+    c1, c2 = sig[:16384], sig[16384:]
+
+    def join_ratio(carry):
+        p = SpeechRateAudioProcessor()
+        o1 = p.process(c1, 14.0)
+        if not carry:
+            p._phase = None  # simulate the per-chunk restart
+        o2 = p.process(c2, 14.0)
+        cat = np.concatenate([o1, o2])
+        j = len(o1)
+        d = np.abs(np.diff(cat))
+        typ = np.median([d[k:k + 128].max() for k in range(1000, j - 2000, 997)])
+        return d[j - 64:j + 64].max() / typ
+
+    carried, restarted = join_ratio(True), join_ratio(False)
+    assert carried < restarted, (carried, restarted)
+    assert carried < 4.5, carried
+    # passthrough breaks the synthetic timeline; the carry must reset
+    p = SpeechRateAudioProcessor()
+    p.process(c1, 14.0)
+    assert p._phase is not None
+    p.process(c1, 10.0)  # normal rate -> passthrough
+    assert p._phase is None
