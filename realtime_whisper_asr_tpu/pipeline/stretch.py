@@ -34,6 +34,13 @@ class SpeechRateAudioProcessor:
         #: a chunk passes through unstretched (raw audio broke the synthetic
         #: timeline anyway).
         self._phase = None
+        #: sub-min_samples accumulator: small session chunks (the CLI default
+        #: read is 0.25 s = 4000 samples < min_samples) are held until a full
+        #: block is available instead of silently passing through unstretched
+        #: — which made the feature inert at default chunking and mixed raw
+        #: and stretched audio in one timeline. Costs ≤min_samples/SR extra
+        #: latency only while stretching is engaged.
+        self._inbuf = np.zeros(0, np.float32)
 
     #: padded input lengths so time_stretch's jitted (length, rate) signature
     #: space stays tiny (CLAUDE.md: every jit input shape comes from a small
@@ -57,11 +64,22 @@ class SpeechRateAudioProcessor:
         """Normalize speech rate; returns original audio on any failure
         (reference's graceful-fallback contract, :216-219 analog)."""
         self.stats["processed"] += 1
+        audio = np.asarray(audio, np.float32)
         rate = self.stretch_rate_for(measured_cps)
-        if abs(rate - 1.0) < 0.05 or len(audio) < self.min_samples:
+        if abs(rate - 1.0) < 0.05:
             self.applied_rate = 1.0
             self._phase = None
+            if len(self._inbuf):  # flush held audio unstretched, in order
+                audio = np.concatenate([self._inbuf, audio])
+                self._inbuf = np.zeros(0, np.float32)
             return audio
+        if len(self._inbuf) + len(audio) < self.min_samples:
+            self._inbuf = np.concatenate([self._inbuf, audio])
+            self.applied_rate = 1.0  # nothing (re)timed was emitted this call
+            return np.zeros(0, np.float32)
+        if len(self._inbuf):
+            audio = np.concatenate([self._inbuf, audio])
+            self._inbuf = np.zeros(0, np.float32)
         try:
             import jax.numpy as jnp
 

@@ -214,7 +214,10 @@ def test_stretch_processor_bounds_and_fallback():
     assert p.stretch_rate_for(2.0) == 1.2    # far too slow -> speed up (clamped)
     assert abs(p.stretch_rate_for(12.5) - 0.8) < 1e-9  # 10/12.5 quantized
     tiny = np.zeros(128, np.float32)
-    assert p.process(tiny, 30.0) is tiny  # too short -> untouched
+    # too short to stretch alone -> held in the accumulator (empty out), not
+    # passed through raw (see test_stretch_accumulates_small_chunks)
+    assert len(p.process(tiny, 30.0)) == 0
+    assert len(p._inbuf) == 128
 
 
 def test_bandpass_separator_attenuates_out_of_band():
@@ -330,3 +333,29 @@ def test_stretch_phase_carry_reduces_join_clicks():
     assert p._phase is not None
     p.process(c1, 10.0)  # normal rate -> passthrough
     assert p._phase is None
+
+
+def test_stretch_accumulates_small_chunks():
+    """Chunks below min_samples are held and stretched as a block instead of
+    silently passing through — at the CLI's default 0.25 s read (4000
+    samples < min_samples 4096) the feature was inert and mixed raw and
+    stretched audio in one timeline (round-3 review)."""
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.pipeline.stretch import SpeechRateAudioProcessor
+
+    p = SpeechRateAudioProcessor()
+    rng = np.random.default_rng(2)
+    chunks = [rng.standard_normal(4000).astype(np.float32) * 0.1 for _ in range(4)]
+    outs = [p.process(c, measured_cps=14.0) for c in chunks]
+    assert len(outs[0]) == 0  # first 0.25 s held (below the block size)
+    total_in = sum(map(len, chunks)) - len(p._inbuf)  # any residue still held
+    total_out = sum(map(len, outs))
+    rate = p.stretch_rate_for(14.0)
+    assert total_out > 0 and abs(total_out - total_in / rate) < 2048
+    # a passthrough call flushes held audio in order, unstretched
+    p2 = SpeechRateAudioProcessor()
+    assert len(p2.process(chunks[0], measured_cps=14.0)) == 0
+    flushed = p2.process(chunks[1], measured_cps=10.0)
+    assert len(flushed) == 8000
+    np.testing.assert_array_equal(flushed[:4000], chunks[0])
