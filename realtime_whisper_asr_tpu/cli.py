@@ -157,12 +157,34 @@ def cmd_stream(args) -> int:
     else:
         stream = MicrophoneStream(device=args.device)
     try:
-        stats = app.record_session(stream, chunk_seconds=args.chunk_seconds,
-                                   max_seconds=args.max_seconds,
-                                   until_exhausted=bool(args.wav))
-        print(f"\nsession: {stats.results} results, {stats.skipped} text-skips, "
-              f"{stats.dedup_skipped} dedup-skips, {stats.recoveries} recoveries, "
-              f"{stats.duration_s:.1f}s audio")
+        # multi-session outer loop (reference 一键…py:2184-2396): Ctrl+C ends
+        # a session, then an interactive menu restarts or switches language —
+        # the loaded model is REUSED across sessions (only streaming state and
+        # per-language config rebuild). WAV feeds and non-TTY runs stay
+        # single-session.
+        while True:
+            stats = app.record_session(stream, chunk_seconds=args.chunk_seconds,
+                                       max_seconds=args.max_seconds,
+                                       until_exhausted=bool(args.wav))
+            print(f"\nsession: {stats.results} results, {stats.skipped} text-skips, "
+                  f"{stats.dedup_skipped} dedup-skips, {stats.recoveries} recoveries, "
+                  f"{stats.duration_s:.1f}s audio")
+            if args.wav or not sys.stdin.isatty():
+                break
+            try:
+                ans = input("new session? [Enter=restart / language code to "
+                            "switch / q=quit]: ").strip().lower()
+            except (EOFError, KeyboardInterrupt):
+                break
+            if ans in ("q", "quit", "n", "no"):
+                break
+            if ans and ans not in ("y", "yes"):
+                if ans in LANGUAGES:
+                    app.change_language(ans)
+                    print(f"language → {ans}")
+                else:
+                    print(f"unknown language {ans!r}; keeping {app.language}")
+            app.processor.init()  # fresh streaming state per session (:1268)
     finally:
         app.shutdown()
     return 0

@@ -204,3 +204,38 @@ def test_cli_transcribe_output_infers_format(tmp_path, monkeypatch):
                    "--config", str(tmp_path / "c.json"),
                    "--output", str(tmp_path / "b.xyz")])
     assert rc == 2
+
+
+def test_cli_stream_multi_session_loop(tmp_path, monkeypatch, capsys):
+    """Reference 一键…py:2184-2396 parity: after a session ends on a TTY the
+    CLI offers restart / language switch / quit, reusing the loaded model.
+    Drives two sessions with a zh switch between them through the real CLI."""
+    import sys
+
+    import numpy as np
+
+    import realtime_whisper_asr_tpu.cli as cli
+    import realtime_whisper_asr_tpu.io as io_mod
+
+    class FakeMic:
+        exhausted = False
+
+        def __init__(self, device=None):
+            pass
+
+        def read(self, n):
+            return np.zeros(n, np.float32), False
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(io_mod, "MicrophoneStream", FakeMic)
+    monkeypatch.setattr(sys.stdin, "isatty", lambda: True)
+    answers = iter(["zh", "q"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers))
+    rc = cli.main(["stream", "--model", "test-tiny", "--language", "en",
+                   "--config", str(tmp_path / "c.json"), "--max-seconds", "0.5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("session:") == 2  # two sessions ran
+    assert "language → zh" in out
