@@ -339,6 +339,10 @@ class StreamingApp:
                 min_ms=ra["min_silence_ms"],
                 max_ms=ra["max_silence_ms"],
                 step_ms=ra["step_ms"],
+                # one timebase: on_result is fed this clock's 'now' as sample
+                # stamps; the default time.time would make read-time expiry
+                # compare monotonic stamps against wall time
+                clock=self.clock,
             )
             if ra["enable"] and cfg["vad"]["enable"]
             else None
@@ -675,8 +679,17 @@ class StreamingApp:
         finally:
             if worker is not None:
                 worker.stop()
-            beg, end, text = self.processor.finish()
-            if text and validate_timestamps(beg, end, text):
+            # finish_all: one finish() hands over only ONE staged VAC
+            # utterance (end+start inside the final chunk) — a single call
+            # here silently dropped the rest (round-3 review; the serving
+            # close path already drained)
+            if hasattr(self.processor, "finish_all"):
+                finishes = self.processor.finish_all()
+            else:
+                finishes = [self.processor.finish()]
+            for beg, end, text in finishes:
+                if not (text and validate_timestamps(beg, end, text)):
+                    continue
                 skip = False
                 if self.skip_detector is not None:
                     skip, _ = self.skip_detector.should_skip(text, self.clock())

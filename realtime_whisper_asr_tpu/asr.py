@@ -446,6 +446,20 @@ class TPUWhisperASR:
             np.float32,
         )
         blob = np.concatenate([p["words"] for p in plans] + [aux_flat, meta])
+        if len(plans) > 1 and blob.size:
+            # the blob's SHAPE is part of every per-row program's jit key —
+            # unpadded, each distinct sum-of-row-buckets total (streams
+            # joining/trimming in different mixes) re-traced all B row
+            # programs mid-serving. Pad to a power-of-two bucket: ≤ ~12
+            # distinct shapes ever, and the row programs never read past
+            # meta, so the tail is inert. (The B==1 fused path's shape is
+            # already pinned by its static (kinds, lens) key.)
+            target = 1024
+            while target < blob.size:
+                target *= 2
+            if target != blob.size:
+                blob = np.concatenate(
+                    [blob, np.zeros(target - blob.size, np.float32)])
         up = jnp.asarray(blob)
         self.counters["h2d_transfers"] += 1
         self.counters["h2d_bytes"] += blob.nbytes
@@ -618,8 +632,14 @@ class TPUWhisperASR:
             )
             segments.extend(segs)
             if self.condition_on_previous_text:
+                # segs.tokens is the SAMPLED region only (decode rows start
+                # past the prompt/sot prefill — _unpack_packed_rows), so this
+                # never re-appends the carried context; < eot also drops
+                # timestamp/special tokens. max(0, ...): a bare negative slice
+                # over-deleted whenever cap/2 < len < cap (kept cap-len
+                # tokens instead of all of them)
                 carry.extend(t for t in segs.tokens if t < self.cfg.eot)
-                del carry[: len(carry) - (self.cfg.n_text_ctx // 2 - 1)]
+                del carry[: max(0, len(carry) - (self.cfg.n_text_ctx // 2 - 1))]
             if segs and segs[-1].end * SAMPLING_RATE > offset + 1:
                 offset = int(segs[-1].end * SAMPLING_RATE)
             else:

@@ -40,15 +40,22 @@ class SpeechRateDetector:
         if duration_s > 0:
             self.samples.append((now, duration_s, len(text.strip())))
 
-    def chars_per_second(self) -> Optional[float]:
+    def chars_per_second(self, current_time: Optional[float] = None) -> Optional[float]:
+        # expire on READ as well: the stretch/adaptive-params path consults
+        # this every chunk, and after a long pause no add_result has fired
+        # yet to evict the stale window — the resumed speech would be
+        # stretched at the minutes-old rate until the first new result
+        now = self.clock() if current_time is None else current_time
+        while self.samples and now - self.samples[0][0] > self.max_age_s:
+            self.samples.popleft()
         if not self.samples:
             return None
         total_t = sum(d for _, d, _ in self.samples)
         total_c = sum(c for _, _, c in self.samples)
         return total_c / total_t if total_t > 0 else None
 
-    def classify(self) -> str:
-        cps = self.chars_per_second()
+    def classify(self, current_time: Optional[float] = None) -> str:
+        cps = self.chars_per_second(current_time)
         if cps is None:
             return "unknown"
         if cps < self.slow_cps:

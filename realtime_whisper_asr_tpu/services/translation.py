@@ -95,9 +95,6 @@ class TranslationManager:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        #: >0 = drain that many items as one-text requests (misalignment
-        #: recovery: a merged request returned the wrong line count)
-        self._single_item_mode = 0
         self.stats = {"added": 0, "deduped": 0, "translated": 0, "failed": 0, "dropped": 0,
                       "requests": 0}
 
@@ -126,12 +123,15 @@ class TranslationManager:
                 return
             # items only ever carry retry_count 0 (fresh) or 1 (one piggyback
             # retry); the failure path below drops them before reaching 2
-            if self._single_item_mode > 0:
-                # alignment recovery: after a merged request came back with
-                # the wrong line count, drain the re-queued items one request
-                # each — a single-text request can't misalign
+            if self._pending[0].get("solo"):
+                # alignment recovery: a misaligned merged request re-queued
+                # its items at the FRONT flagged solo — drain them one
+                # request each (a single-text request can't misalign). A
+                # per-item flag, not a counter: a counter left a stale
+                # single-item throttle behind whenever a solo item was
+                # DROPPED at the retry cap instead of drained (fresh texts
+                # then paid one-interval-each latency for no reason)
                 batch = [self._pending.pop(0)]
-                self._single_item_mode -= 1
             else:
                 batch, self._pending = self._pending, []
         if not batch:
@@ -168,16 +168,16 @@ class TranslationManager:
                 for item in batch:
                     item["retry_count"] += 1
                     if item["retry_count"] < 2:
+                        item["solo"] = True
                         requeued.append(item)
                     else:
                         self.stats["dropped"] += 1
-                # FRONT of the queue, and budget = exactly the re-queued
-                # count: fresh texts queued meanwhile must not consume the
-                # single-item budget, or the leftover retry items get merged
-                # into a multi-text request again and a second misalignment
-                # silently drops them (the loss this path exists to prevent)
+                # FRONT of the queue: fresh texts queued meanwhile must not
+                # delay the solo drain, or the leftover retry items get
+                # merged into a multi-text request again and a second
+                # misalignment silently drops them (the loss this path
+                # exists to prevent). Solo items are always a queue prefix.
                 self._pending[:0] = requeued
-                self._single_item_mode = len(requeued)
             return
         if len(batch) == 1:
             # a single-text request can't misalign; a multi-line answer is

@@ -233,6 +233,12 @@ class OnlineASRProcessor:
                 self.chunk_completed_segment(res)
         return self.to_flush(o)
 
+    def finish_all(self) -> list[tuple[Optional[float], Optional[float], str]]:
+        """Uniform drain protocol with VACOnlineASRProcessor.finish_all —
+        the plain online processor has no staged utterances, so one flush."""
+        ret = self.finish()
+        return [ret] if ret[2] else []
+
     def finish(self) -> tuple[Optional[float], Optional[float], str]:
         """Flush the uncommitted tail at stream end."""
         o = self.transcript_buffer.complete()

@@ -224,6 +224,21 @@ class VACOnlineASRProcessor:
     def apply_result(self, res, proc_delay_s: float = 0.0):
         return self.online.apply_result(res, proc_delay_s)
 
+    def finish_all(self) -> list[tuple[Optional[float], Optional[float], str]]:
+        """Drain the active utterance AND every staged one. ``finish()`` hands
+        over exactly one staged utterance (_pending) per call, so a single
+        finish at session end silently dropped any utterance whose end+start
+        pair landed inside the final chunk (serving.close_stream had this
+        fix; the app path did not — round-3 review)."""
+        out = []
+        for _ in range(64):  # _pending strictly shrinks per call; cap = defense
+            ret = self.finish()
+            if ret[2]:
+                out.append(ret)
+            if not self._pending and self.current_online_chunk_buffer_size == 0:
+                break
+        return out
+
     def finish(self) -> tuple[Optional[float], Optional[float], str]:
         # transcribe any audio that never got a process_iter tick (short
         # utterances can end before reaching online_chunk_size), then flush

@@ -943,6 +943,25 @@ def test_sync_many_per_row_path_matches_and_bounds_traces(asr):
         "permuting plan kinds across batch positions must not mint new "
         "per-row signatures (only a genuinely new (kind, len-bucket) may)"
     )
+
+    # tick 4: a DIFFERENT raw blob total (three grow suffixes instead of two)
+    # from already-seen (kind, len-bucket) pairs. The blob's shape is part of
+    # every row program's jit key — without power-of-two blob padding this
+    # new total re-traced all rows mid-serving even though no new static
+    # signature exists (round-3 review finding).
+    a3 = np.concatenate([a2, mk(4000, 8)])
+    b3 = np.concatenate([b2, mk(4000, 9)])
+    c3 = np.concatenate([c2, mk(4000, 10)])
+    plans = [asr._plan_upload(k, x) for k, x in zip(keys, [a3, b3, c3])]
+    assert [p["kind"] for p in plans] == ["grow", "grow", "grow"]
+    asr._sync_many(keys, [a3, b3, c3], aux)
+    for k, audio in zip(keys, [a3, b3, c3]):
+        buf = np.asarray(asr._buffers[k][0])
+        np.testing.assert_array_equal(buf[: len(audio)], expected(audio))
+    assert A._apply_plan_row_jit._cache_size() == n_sigs_before, (
+        "a new sum-of-row-buckets total within the same power-of-two blob "
+        "bucket must not re-trace the per-row programs"
+    )
     for k in keys:
         asr.drop_stream(k)
 
@@ -1037,3 +1056,40 @@ def test_condition_on_previous_text_across_windows(asr):
         asr._transcribe_window = orig
         asr.condition_on_previous_text = True
         asr.max_tokens_per_second = None
+
+
+def test_windowing_carry_trims_without_overdeletion(asr, monkeypatch):
+    """>30 s windowing carry: `del carry[: len-cap]` with a NEGATIVE index
+    over-deleted whenever cap/2 < len(carry) < cap (kept cap-len tokens
+    instead of all; at len=cap-1 a single token survived) — round-3 review.
+    Locks: below the cap the carry grows monotonically; above it, exactly
+    cap tokens survive, newest-last."""
+    from realtime_whisper_asr_tpu.asr import Segment, TranscriptionResult
+
+    cap = asr.cfg.n_text_ctx // 2 - 1  # 223 on the test config family
+    per_window = 100
+    prompts_seen = []
+    counter = [0]
+
+    def fake_window(audio, init_prompt, time_offset, prefix_ids=None,
+                    draft_ids=None, prompt_ids=None):
+        prompts_seen.append(list(prompt_ids or []))
+        base = counter[0] * per_window
+        counter[0] += 1
+        # distinct, sub-eot token ids; a segment spanning the window keeps
+        # the offset advancing
+        toks = list(range(base, base + per_window))
+        seg = Segment(time_offset, time_offset + 30.0, " x", [])
+        return TranscriptionResult([seg], tokens=toks)
+
+    monkeypatch.setattr(asr, "_transcribe_window", fake_window)
+    import numpy as np
+
+    asr.transcribe(np.zeros(16000 * 95, np.float32))  # 4 windows
+    assert len(prompts_seen) >= 4
+    assert prompts_seen[0] == []
+    assert prompts_seen[1] == list(range(0, 100))
+    # len(carry)=200 < cap: EVERYTHING must survive (the bug kept 23)
+    assert prompts_seen[2] == list(range(0, 200))
+    # len(carry)=300 > cap: exactly the newest cap tokens survive
+    assert prompts_seen[3] == list(range(300 - cap, 300))

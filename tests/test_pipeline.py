@@ -134,11 +134,14 @@ def test_dedup_window_expiry():
 
 
 def test_rate_detector_classifies():
-    det = SpeechRateDetector()
+    # one timebase throughout: classify() also expires by the clock now, so
+    # stamping samples at t=0 while the default wall clock reads "now" would
+    # (correctly) expire everything
+    det = SpeechRateDetector(clock=lambda: 0.0)
     for _ in range(3):
         det.add_result("abcdefghijklmnopqrst", 1.0, 0.0)  # 20 cps
     assert det.classify() == "fast"
-    det2 = SpeechRateDetector()
+    det2 = SpeechRateDetector(clock=lambda: 0.0)
     for _ in range(3):
         det2.add_result("abc", 1.0, 0.0)  # 3 cps
     assert det2.classify() == "slow"
@@ -359,3 +362,20 @@ def test_stretch_accumulates_small_chunks():
     flushed = p2.process(chunks[1], measured_cps=10.0)
     assert len(flushed) == 8000
     np.testing.assert_array_equal(flushed[:4000], chunks[0])
+
+
+def test_speech_rate_window_expires_on_read():
+    """chars_per_second()/classify() are consulted every chunk by the
+    stretch/adaptive-params path; after a long pause the stale fast-speech
+    window must expire at READ time, not only when the next add_result
+    lands (round-3 review)."""
+    from realtime_whisper_asr_tpu.pipeline.speech_rate import SpeechRateDetector
+
+    t = [0.0]
+    det = SpeechRateDetector(clock=lambda: t[0], max_age_s=30.0)
+    det.add_result("x" * 40, 2.0, current_time=0.0)   # 20 cps: fast
+    det.add_result("x" * 40, 2.0, current_time=1.0)
+    assert det.classify() == "fast"
+    t[0] = 300.0  # 5-minute pause; NO new result yet
+    assert det.chars_per_second() is None
+    assert det.classify() == "unknown"

@@ -543,3 +543,34 @@ def test_translation_misalignment_retries_survive_fresh_arrivals():
     tm.process_once()
     assert ("ddd", "t(ddd)") in out and ("eee", "t(eee)") in out
     assert tm.stats["dropped"] == 0
+
+
+def test_translation_solo_drop_does_not_throttle_fresh_texts():
+    """A misalignment-retry item that then FAILS its own single request is
+    dropped at the retry cap — that drop must not leave a stale single-item
+    throttle behind for fresh texts (the old counter did; round-3 review)."""
+    out = []
+    calls = []
+
+    def transport(text, lang):
+        calls.append(text)
+        srcs = text.split("\n")
+        if len(srcs) > 1 and any(s.startswith("bad") for s in srcs):
+            return "merged"  # misalign any batch containing 'bad'
+        if srcs[0].startswith("bad"):
+            raise RuntimeError("boom")  # its solo retry then fails -> dropped
+        return "\n".join(f"t({s})" for s in srcs)
+
+    tm = TranslationManager(output_callback=lambda s, t: out.append((s, t)),
+                            transport=transport)
+    tm.add_text("bad1")
+    tm.add_text("bad2")
+    tm.process_once()   # merged 'bad1\nbad2' misaligns -> both solo-requeued
+    tm.process_once()   # bad1 solo fails -> retry cap -> dropped
+    tm.process_once()   # bad2 solo fails -> dropped
+    assert tm.stats["dropped"] == 2
+    tm.add_text("aaa")
+    tm.add_text("bbb")
+    tm.process_once()   # fresh texts must go out MERGED, not one-per-interval
+    assert ("aaa", "t(aaa)") in out and ("bbb", "t(bbb)") in out
+    assert calls[-1] == "aaa\nbbb"

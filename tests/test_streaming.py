@@ -548,3 +548,37 @@ def test_vac_multiple_staged_utterances_all_transcribed():
     assert "one" in joined, joined
     assert "two" in joined, joined  # dropped entirely by the old single slot
     assert "three" in joined, joined
+
+
+def test_vac_finish_all_drains_staged_utterances():
+    """finish_all: a session that ENDS while utterances are still staged must
+    flush every one of them — one finish() hands over only one (the app's
+    single final finish silently dropped the rest; round-3 review)."""
+    words = [(0.4, 0.8, " one"), (2.4, 2.8, " two"), (4.4, 4.8, " three")]
+    asr = TimecodedFakeASR(words, unstable_tail=False)
+    online = OnlineASRProcessor(asr)
+    vac = VACOnlineASRProcessor(
+        online,
+        VADIterator(ScriptedProbs([(0.2, 1.0), (2.2, 3.0), (4.2, 5.0)]),
+                    min_silence_duration_ms=500, speech_pad_ms=0),
+        online_chunk_size=0.5,
+    )
+    vac.insert_audio_chunk(timecoded_audio(0.0, 1.0))
+    vac.insert_audio_chunk(timecoded_audio(1.0, 2.0))
+    vac.insert_audio_chunk(timecoded_audio(2.0, 6.0))  # u2+u3 staged
+    assert len(vac._pending) == 2
+    # session ends NOW: no process_iter rounds ever run
+    flushed = vac.finish_all()
+    joined = "".join(t for _, _, t in flushed)
+    assert "one" in joined and "two" in joined and "three" in joined, joined
+    assert not vac._pending
+
+
+def test_online_finish_all_single_flush():
+    words = [(0.2, 0.6, " hello")]
+    asr = TimecodedFakeASR(words, unstable_tail=False)
+    online = OnlineASRProcessor(asr)
+    online.insert_audio_chunk(timecoded_audio(0.0, 1.0))
+    online.process_iter()  # hypothesize (agree2 commits nothing yet)
+    out = online.finish_all()
+    assert len(out) == 1 and "hello" in out[0][2]
