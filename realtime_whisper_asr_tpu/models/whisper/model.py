@@ -23,6 +23,7 @@ Weight layout convention: linear weights are (in, out) so application is
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import math
 from typing import Any, Optional
@@ -34,6 +35,37 @@ import numpy as np
 from realtime_whisper_asr_tpu.models.whisper.config import WhisperConfig
 
 Params = dict[str, Any]
+
+#: Megatron-style sequence parallelism: when set (a NamedSharding over
+#: (B, T, D) with the SEQUENCE dim on the tensor-parallel mesh axis, e.g.
+#: P("data", "model", None)), every transformer-block carry in
+#: ``encode``/``decode_full`` is constrained to it. The layernorm/residual
+#: regions then hold only T/tp of the activations per device and XLA lowers
+#: the TP boundary psums into reduce-scatter + all-gather pairs (same bytes
+#: on ICI, 1/tp the activation HBM). Trace-time only — None (the default)
+#: adds nothing to the compiled program. Inference entry points ignore it
+#: (the KV-cached decode carries (B, 1, D) activations; nothing to shard).
+_ACT_SHARDING = None
+
+
+@contextlib.contextmanager
+def activation_sharding(sharding):
+    """Scope under which encode/decode_full sequence-shard their per-layer
+    activations (see _ACT_SHARDING). Pass a ``NamedSharding`` whose spec puts
+    the sequence axis on the mesh's model axis; nest-safe."""
+    global _ACT_SHARDING
+    prev = _ACT_SHARDING
+    _ACT_SHARDING = sharding
+    try:
+        yield
+    finally:
+        _ACT_SHARDING = prev
+
+
+def _constrain_act(x: jnp.ndarray) -> jnp.ndarray:
+    if _ACT_SHARDING is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, _ACT_SHARDING)
 
 
 # ---------------------------------------------------------------------------
@@ -351,9 +383,9 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     def body(h, blk):
         h = _mha_block(blk, h, cfg.n_audio_head, mask=None)
         h = _mlp_block(blk, h)
-        return h, None
+        return _constrain_act(h), None
 
-    x, _ = jax.lax.scan(body, x, enc["blocks"])
+    x, _ = jax.lax.scan(body, _constrain_act(x), enc["blocks"])
     return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"])
 
 
@@ -635,8 +667,8 @@ def decode_full(
         o, _ = _attend(q, k, v, None)
         h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
         h = _mlp_block(blk, h)
-        return h, None
+        return _constrain_act(h), None
 
-    x, _ = jax.lax.scan(body, x, dec["blocks"])
+    x, _ = jax.lax.scan(body, _constrain_act(x), dec["blocks"])
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
     return _logits_head(x, dec["tok_emb"])

@@ -11,4 +11,5 @@ from realtime_whisper_asr_tpu.parallel.sharding import (
     whisper_param_shardings,
     shard_params,
     data_sharding,
+    sequence_sharding,
 )

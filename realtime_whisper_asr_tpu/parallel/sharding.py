@@ -86,3 +86,13 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 def data_sharding(mesh: Mesh, *trailing_none: int) -> NamedSharding:
     """Batch-leading sharding: P('data', None, ...)."""
     return NamedSharding(mesh, P("data", *([None] * (trailing_none[0] if trailing_none else 2))))
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """Megatron-SP activation sharding for (B, T, D) carries: batch on the
+    data axis AND sequence on the model axis. Feed to
+    ``models.whisper.model.activation_sharding`` — the layernorm/residual
+    regions between TP blocks then keep 1/tp of the sequence per device and
+    XLA replaces each TP-boundary all-reduce with a reduce-scatter +
+    all-gather pair (identical ICI bytes, tp× less activation memory)."""
+    return NamedSharding(mesh, P("data", "model", None))

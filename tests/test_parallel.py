@@ -214,3 +214,54 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         # resumed state continues training under the same jitted step
         resumed, loss = step(resumed, batch)
         assert np.isfinite(float(loss)) and int(resumed.step) == 2
+
+
+def test_sequence_parallel_train_step_matches_plain():
+    """Megatron-SP (sequence_parallel=True): per-layer carries constrained to
+    P('data','model',None) must (a) actually enter the lowering as sharding
+    constraints on the scan carries, and (b) leave the step numerically
+    identical to the plain dp×tp step — SP only re-lays-out activations, it
+    must never change the math."""
+    import optax
+
+    from realtime_whisper_asr_tpu.models.whisper import model as M
+    from realtime_whisper_asr_tpu.parallel import sequence_sharding
+
+    mesh = make_mesh(8)  # data=2, model=4
+    cfg = _tiny_cfg(4)
+    batch = _batch(cfg, b=4)
+    with mesh:
+        # (a) the constraint reaches the lowered program (Shardy:
+        # sdy.sharding_constraint; pre-Shardy: @Sharding custom-call) —
+        # encoder + decoder, pre-scan seed + in-scan carry = 4 sites
+        params = jax.tree.map(
+            jax.device_put, W.init_params(cfg, jax.random.PRNGKey(0)),
+            whisper_param_shardings(mesh))
+        with M.activation_sharding(sequence_sharding(mesh)):
+            txt = (
+                jax.jit(loss_fn, static_argnums=1)
+                .lower(params, cfg, batch["mel"], batch["tokens_in"],
+                       batch["tokens_out"], batch["mask"])
+                .as_text()
+            )
+        n_constraints = txt.count("sharding_constraint") + txt.count("@Sharding")
+        assert n_constraints >= 4, f"SP constraints missing from lowering ({n_constraints})"
+
+        # (b) one step each from identical states: same loss, same params
+        sa, _ = make_train_state(cfg, jax.random.PRNGKey(0), mesh=mesh,
+                                 optimizer=optax.adamw(1e-3))
+        sb, _ = make_train_state(cfg, jax.random.PRNGKey(0), mesh=mesh,
+                                 optimizer=optax.adamw(1e-3))
+        step_plain, shard_batch = make_sharded_train_step(cfg, mesh, optax.adamw(1e-3))
+        step_sp, _ = make_sharded_train_step(cfg, mesh, optax.adamw(1e-3),
+                                             sequence_parallel=True)
+        b = shard_batch(batch)
+        sa, la = step_plain(sa, b)
+        sb, lb = step_sp(sb, b)
+        assert abs(float(la) - float(lb)) < 1e-4, (float(la), float(lb))
+        deltas = jax.tree.map(
+            lambda x, y: float(jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32)))),
+            sa.params, sb.params)
+        assert max(jax.tree.leaves(deltas)) < 1e-4
+    # the context restored cleanly
+    assert M._ACT_SHARDING is None

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     ap.add_argument("--warmup-steps", type=int, default=50)
     ap.add_argument("--weight-decay", type=float, default=0.01)
     ap.add_argument("--mesh", default=None, help="DxT data x model mesh, e.g. 2x4")
+    ap.add_argument("--sequence-parallel", action="store_true",
+                    help="Megatron-SP: shard per-layer activations along the "
+                         "sequence over the model axis (tp x less activation "
+                         "memory on long-audio batches; numerically identical)")
     ap.add_argument("--save-every", type=int, default=500, help="steps between train-state saves")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the train state in --out if present")
@@ -126,7 +130,9 @@ def main(argv=None) -> int:
         state = load_train_state(state_dir, state)
         logger.info("resumed at step %d", int(state.step))
 
-    train_step, shard_batch = make_sharded_train_step(cfg, mesh, optimizer)
+    train_step, shard_batch = make_sharded_train_step(
+        cfg, mesh, optimizer, sequence_parallel=args.sequence_parallel
+    )
 
     # ---- data
     pipe = DataPipeline(args.manifest, cfg, tokenizer,
