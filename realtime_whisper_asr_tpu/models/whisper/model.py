@@ -364,6 +364,18 @@ def encoder_flops(cfg: WhisperConfig, n_tokens: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _encoder_stem(enc: Params, mel: jnp.ndarray) -> jnp.ndarray:
+    """Conv stem (k3 s1 + k3 s2, exact GELU) + positional prefix — the
+    pre-transformer part of ``encode``, shared with the pipeline-parallel
+    path (parallel/pipeline.py)."""
+    dn = ("NHC", "HIO", "NHC")
+    x = jax.lax.conv_general_dilated(mel, enc["conv1"]["w"].astype(mel.dtype), (1,), [(1, 1)], dimension_numbers=dn)
+    x = jax.nn.gelu(x + enc["conv1"]["b"].astype(mel.dtype), approximate=False)
+    x = jax.lax.conv_general_dilated(x, enc["conv2"]["w"].astype(mel.dtype), (2,), [(1, 1)], dimension_numbers=dn)
+    x = jax.nn.gelu(x + enc["conv2"]["b"].astype(mel.dtype), approximate=False)
+    return x + enc["pos_emb"][: x.shape[1]].astype(x.dtype)
+
+
 def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     """mel: (B, T, n_mels) -> (B, T//2, d), T ≤ 2*n_audio_ctx.
 
@@ -373,12 +385,7 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
     always padding to 30 s (the re-transcription loop's dominant cost).
     """
     enc = params["encoder"]
-    dn = ("NHC", "HIO", "NHC")
-    x = jax.lax.conv_general_dilated(mel, enc["conv1"]["w"].astype(mel.dtype), (1,), [(1, 1)], dimension_numbers=dn)
-    x = jax.nn.gelu(x + enc["conv1"]["b"].astype(mel.dtype), approximate=False)
-    x = jax.lax.conv_general_dilated(x, enc["conv2"]["w"].astype(mel.dtype), (2,), [(1, 1)], dimension_numbers=dn)
-    x = jax.nn.gelu(x + enc["conv2"]["b"].astype(mel.dtype), approximate=False)
-    x = x + enc["pos_emb"][: x.shape[1]].astype(x.dtype)
+    x = _encoder_stem(enc, mel)
 
     def body(h, blk):
         h = _mha_block(blk, h, cfg.n_audio_head, mask=None)
@@ -643,6 +650,22 @@ def decode_span(
     return logits, new_cache, xattn
 
 
+def _decoder_block_full(
+    blk: Params, h: jnp.ndarray, xa: jnp.ndarray, n_head: int, causal: jnp.ndarray
+) -> jnp.ndarray:
+    """One decoder block in the full-sequence (teacher-forced) form: causal
+    self-attention, full cross-attention over ``xa``, MLP. Shared by
+    ``decode_full`` and the pipeline-parallel path (parallel/pipeline.py)."""
+    h = _mha_block(blk, h, n_head, causal)
+    hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
+    q = _split_heads(_linear(hn, blk["cross"]["wq"], blk["cross"]["bq"]), n_head)
+    k = _split_heads(_linear(xa, blk["cross"]["wk"], None), n_head)
+    v = _split_heads(_linear(xa, blk["cross"]["wv"], blk["cross"]["bv"]), n_head)
+    o, _ = _attend(q, k, v, None)
+    h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
+    return _mlp_block(blk, h)
+
+
 def decode_full(
     params: Params, cfg: WhisperConfig, tokens: jnp.ndarray, xa: jnp.ndarray
 ) -> jnp.ndarray:
@@ -658,16 +681,7 @@ def decode_full(
     causal = jnp.triu(jnp.full((t, t), -1e9, jnp.float32), k=1)[None, None]
 
     def body(h, blk):
-        h = _mha_block(blk, h, n_head, causal)
-        # cross attention (full sequence)
-        hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])
-        q = _split_heads(_linear(hn, blk["cross"]["wq"], blk["cross"]["bq"]), n_head)
-        k = _split_heads(_linear(xa, blk["cross"]["wk"], None), n_head)
-        v = _split_heads(_linear(xa, blk["cross"]["wv"], blk["cross"]["bv"]), n_head)
-        o, _ = _attend(q, k, v, None)
-        h = h + _linear(_merge_heads(o), blk["cross"]["wo"], blk["cross"]["bo"])
-        h = _mlp_block(blk, h)
-        return _constrain_act(h), None
+        return _constrain_act(_decoder_block_full(blk, h, xa, n_head, causal)), None
 
     x, _ = jax.lax.scan(body, _constrain_act(x), dec["blocks"])
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])

@@ -13,3 +13,12 @@ from realtime_whisper_asr_tpu.parallel.sharding import (
     data_sharding,
     sequence_sharding,
 )
+from realtime_whisper_asr_tpu.parallel.pipeline import (
+    make_pp_mesh,
+    make_pp_train_state,
+    make_pp_train_step,
+    pipeline_blocks,
+    pp_decode_full,
+    pp_encode,
+    pp_param_shardings,
+)

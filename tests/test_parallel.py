@@ -265,3 +265,66 @@ def test_sequence_parallel_train_step_matches_plain():
         assert max(jax.tree.leaves(deltas)) < 1e-4
     # the context restored cleanly
     assert M._ACT_SHARDING is None
+
+
+def test_pipeline_parallel_matches_scan():
+    """GPipe over the stacked layer axis (parallel/pipeline.py): 4 stages ×
+    2 microbatches must be token-exact with the plain lax.scan stacks in
+    forward, and one pp train step must match the plain single-device train
+    step (same optimizer, same batch) — the pipeline only reschedules the
+    same per-layer float ops."""
+    import optax
+
+    from realtime_whisper_asr_tpu.parallel import (
+        make_pp_mesh,
+        make_pp_train_state,
+        make_pp_train_step,
+        pipeline_blocks,
+        pp_decode_full,
+        pp_encode,
+    )
+    from realtime_whisper_asr_tpu.train import make_train_state
+
+    cfg = dataclasses.replace(
+        _tiny_cfg(2), name="pp-test", n_audio_state=32, n_text_state=32,
+        n_audio_layer=4, n_text_layer=4)
+    mesh = make_pp_mesh(4)
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    batch = _batch(cfg, b=4)
+
+    xa_ref = W.encode(params, cfg, batch["mel"])
+    logits_ref = W.decode_full(params, cfg, batch["tokens_in"], xa_ref)
+    xa_pp = pp_encode(params, cfg, batch["mel"], mesh, n_micro=2)
+    logits_pp = pp_decode_full(params, cfg, batch["tokens_in"], xa_pp, mesh, n_micro=2)
+    np.testing.assert_array_equal(np.asarray(xa_ref), np.asarray(xa_pp))
+    np.testing.assert_array_equal(np.asarray(logits_ref), np.asarray(logits_pp))
+
+    # one pp train step == one plain single-device step
+    state_pp, _ = make_pp_train_state(cfg, jax.random.PRNGKey(0), mesh, optax.adamw(1e-3))
+    assert state_pp.params["encoder"]["blocks"]["mlp"]["w1"].sharding.spec == P("stage")
+    step_pp, shard_batch = make_pp_train_step(cfg, mesh, n_micro=2, optimizer=optax.adamw(1e-3))
+    b = shard_batch(batch)
+    state_pp, loss_pp = step_pp(state_pp, b)
+
+    state_ref, _ = make_train_state(cfg, jax.random.PRNGKey(0), optimizer=optax.adamw(1e-3))
+
+    @jax.jit
+    def step_ref(st, bb):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            st.params, cfg, bb["mel"], bb["tokens_in"], bb["tokens_out"], bb["mask"])
+        upd, _ = optax.adamw(1e-3).update(grads, st.opt_state, st.params)
+        import optax as ox
+        return ox.apply_updates(st.params, upd), loss
+
+    ref_params, loss_ref = step_ref(state_ref, b)
+    assert abs(float(loss_pp) - float(loss_ref)) < 1e-5
+    deltas = jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(x - y))), state_pp.params, ref_params)
+    assert max(jax.tree.leaves(deltas)) < 1e-4
+
+    # layer count must split evenly across stages; batch across microbatches
+    with pytest.raises(ValueError, match="divisible"):
+        pipeline_blocks(mesh, lambda h, blk: h,
+                        jnp.zeros((2, 1, 4)), jnp.zeros((3, 2)))  # 3 layers, 4 stages
+    with pytest.raises(ValueError, match="divisible"):
+        pp_encode(params, cfg, batch["mel"], mesh, n_micro=3)  # b=4 % 3
