@@ -192,3 +192,53 @@ def test_finetune_recipe_end_to_end(tmp_path, cfg, tok):
         "--max-steps", "1", "--save-every", "0", "--log-every", "1",
     ])
     assert rc == 0
+
+
+def test_finetune_pipeline_parallel(tmp_path, cfg, tok):
+    """tools/finetune.py --pipeline-stages: the GPipe path trains, saves a
+    resumable state, and produces a loadable inference checkpoint (2 stages x
+    2 microbatches on the virtual-device CPU backend)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.finetune import main as finetune_main
+
+    rng = np.random.default_rng(0)
+    manifest = tmp_path / "train.jsonl"
+    with open(manifest, "w") as f:
+        for i in range(4):
+            wav = tmp_path / f"p{i}.wav"
+            write_wav(str(wav), rng.standard_normal(SR).astype(np.float32) * 0.1)
+            f.write(json.dumps({"wav": str(wav), "text": f"w{i}"}) + "\n")
+
+    out = tmp_path / "pprun"
+    rc = finetune_main([
+        "--manifest", str(manifest), "--model", "test-tiny", "--out", str(out),
+        "--epochs", "1", "--batch-size", "4", "--lr", "1e-4",
+        "--pipeline-stages", "2", "--microbatches", "2",
+        "--max-steps", "2", "--save-every", "1", "--log-every", "1",
+    ])
+    assert rc == 0
+    assert (out / "checkpoint").is_dir()
+
+    import jax.numpy as jnp
+
+    from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+
+    asr = TPUWhisperASR(checkpoint_dir=str(out / "checkpoint"), dtype=jnp.float32)
+    asr.transcribe_kargs["max_total_tokens"] = 8
+    segs = asr.transcribe(rng.standard_normal(SR).astype(np.float32) * 0.1)
+    assert isinstance(segs.tokens, list)
+
+    # guard-rails: incompatible flag combos fail fast
+    with pytest.raises(SystemExit):
+        finetune_main([
+            "--manifest", str(manifest), "--model", "test-tiny",
+            "--out", str(out), "--pipeline-stages", "2", "--mesh", "2x2",
+        ])
+    with pytest.raises(SystemExit):
+        finetune_main([
+            "--manifest", str(manifest), "--model", "test-tiny",
+            "--out", str(out), "--pipeline-stages", "2",
+            "--batch-size", "4", "--microbatches", "3",
+        ])

@@ -51,6 +51,13 @@ def main(argv=None) -> int:
                     help="Megatron-SP: shard per-layer activations along the "
                          "sequence over the model axis (tp x less activation "
                          "memory on long-audio batches; numerically identical)")
+    ap.add_argument("--pipeline-stages", type=int, default=None,
+                    help="GPipe pipeline parallelism: split the layer stacks "
+                         "across N stage devices (layer counts must divide by "
+                         "N; mutually exclusive with --mesh/--sequence-parallel)")
+    ap.add_argument("--microbatches", type=int, default=2,
+                    help="microbatches per step under --pipeline-stages "
+                         "(batch-size must divide evenly)")
     ap.add_argument("--save-every", type=int, default=500, help="steps between train-state saves")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the train state in --out if present")
@@ -85,15 +92,30 @@ def main(argv=None) -> int:
     )
 
     # ---- mesh
-    if args.mesh:
-        d, t = (int(x) for x in args.mesh.lower().split("x"))
-    else:
+    pp = args.pipeline_stages
+    if pp:
+        if args.mesh or args.sequence_parallel:
+            raise SystemExit("--pipeline-stages is mutually exclusive with "
+                             "--mesh / --sequence-parallel")
+        if args.batch_size % args.microbatches:
+            raise SystemExit(f"--batch-size {args.batch_size} must divide by "
+                             f"--microbatches {args.microbatches}")
+        from realtime_whisper_asr_tpu.parallel import make_pp_mesh
+
         d, t = 1, 1
-    devs = np.array(jax.devices()[: d * t])
-    if devs.size < d * t:
-        raise SystemExit(f"mesh {d}x{t} needs {d * t} devices, have {len(jax.devices())}")
-    mesh = Mesh(devs.reshape(d, t), ("data", "model"))
-    logger.info("mesh: data=%d model=%d on %s", d, t, devs[0].platform)
+        mesh = make_pp_mesh(pp)
+        logger.info("pipeline mesh: stages=%d microbatches=%d on %s", pp,
+                    args.microbatches, jax.devices()[0].platform)
+    else:
+        if args.mesh:
+            d, t = (int(x) for x in args.mesh.lower().split("x"))
+        else:
+            d, t = 1, 1
+        devs = np.array(jax.devices()[: d * t])
+        if devs.size < d * t:
+            raise SystemExit(f"mesh {d}x{t} needs {d * t} devices, have {len(jax.devices())}")
+        mesh = Mesh(devs.reshape(d, t), ("data", "model"))
+        logger.info("mesh: data=%d model=%d on %s", d, t, devs[0].platform)
 
     # ---- model init
     if args.init_checkpoint:
@@ -116,29 +138,52 @@ def main(argv=None) -> int:
         optax.clip_by_global_norm(1.0),
         optax.adamw(schedule, weight_decay=args.weight_decay),
     )
-    state, optimizer = make_train_state(
-        cfg, jax.random.PRNGKey(args.seed), mesh=mesh, optimizer=optimizer
-    )
-    if params is not None:
-        from realtime_whisper_asr_tpu.parallel.sharding import whisper_param_shardings
+    if pp:
+        from realtime_whisper_asr_tpu.parallel import (
+            make_pp_train_state,
+            make_pp_train_step,
+            pp_param_shardings,
+        )
 
-        params = jax.tree.map(jax.device_put, params, whisper_param_shardings(mesh))
-        state = TrainState(params, optimizer.init(params), state.step)
+        for nm, nl in (("encoder", cfg.n_audio_layer), ("decoder", cfg.n_text_layer)):
+            if nl % pp:
+                raise SystemExit(f"{nm} has {nl} layers, not divisible by "
+                                 f"--pipeline-stages {pp}")
+        state, optimizer = make_pp_train_state(
+            cfg, jax.random.PRNGKey(args.seed), mesh, optimizer=optimizer
+        )
+        if params is not None:
+            params = jax.tree.map(jax.device_put, params,
+                                  pp_param_shardings(mesh, params))
+            state = TrainState(params, optimizer.init(params), state.step)
+        train_step, shard_batch = make_pp_train_step(
+            cfg, mesh, n_micro=args.microbatches, optimizer=optimizer
+        )
+    else:
+        state, optimizer = make_train_state(
+            cfg, jax.random.PRNGKey(args.seed), mesh=mesh, optimizer=optimizer
+        )
+        if params is not None:
+            from realtime_whisper_asr_tpu.parallel.sharding import whisper_param_shardings
+
+            params = jax.tree.map(jax.device_put, params, whisper_param_shardings(mesh))
+            state = TrainState(params, optimizer.init(params), state.step)
+        train_step, shard_batch = make_sharded_train_step(
+            cfg, mesh, optimizer, sequence_parallel=args.sequence_parallel
+        )
 
     state_dir = os.path.join(args.out, "train_state")
     if args.resume and os.path.isdir(state_dir):
         state = load_train_state(state_dir, state)
         logger.info("resumed at step %d", int(state.step))
 
-    train_step, shard_batch = make_sharded_train_step(
-        cfg, mesh, optimizer, sequence_parallel=args.sequence_parallel
-    )
-
     # ---- data
     pipe = DataPipeline(args.manifest, cfg, tokenizer,
                         batch_size=args.batch_size, seed=args.seed)
     # dp sharding needs B % data == 0; drop stragglers when sharded
-    pipe.drop_last = d > 1
+    # dp needs B % data == 0; pp needs B % microbatches == 0 — both hold only
+    # for full batches, so drop stragglers when either is sharded
+    pipe.drop_last = d > 1 or bool(pp)
 
     eval_loss = jax.jit(
         lambda p, mel, ti, to, m: loss_fn(p, cfg, mel, ti, to, m)
