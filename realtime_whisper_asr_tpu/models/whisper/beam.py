@@ -13,10 +13,14 @@ The reference exposes beam_size 1–5 through faster-whisper/CTranslate2
 - int8 KV caches (``kv_quant``) supported: scale rows tile/gather alongside,
 - EOT beams freeze (propagate EOT with score unchanged) — standard
   "finished beams ride along" semantics with length-penalized final pick,
-- word timestamps: the winning sequence is re-prefilled ONCE with
-  cross-attention capture INSIDE the beam program (the winner is selected
-  device-side; capture rides uint8-packed in the same download — cheaper
-  than capturing per beam per step, and no mid-tick host roundtrip),
+- word timestamps: cross-attention is captured IN the decode loop for all K
+  beams (a (K, max_new, audio_ctx) buffer reordered with the cache on beam
+  reselect, + the shared prefill rows at batch 1) and the winner's rows ride
+  uint8-packed in the same download. Round 3 re-prefilled the winning span
+  in a second decode_span pass inside the program — that paid a second
+  cross-KV precompute (~315 GFLOP at large-v3) plus a full span pass every
+  tick; in-loop capture costs only the per-step softmax-weight row and a
+  ~MB-scale buffer gather (VERDICT r3 #4),
 - the whisper quality-retry temperature ladder lives in asr.py and applies
   after beam exactly as after greedy.
 
@@ -107,8 +111,15 @@ def _beam_core(
     last_ts0 = aux[D.AUX_TOK + 2].astype(jnp.int32)
     max_initial_index = round(opts.max_initial_timestamp / 0.02)
 
+    amask_or_none = amask if capture else None
     cache1 = M.init_cache(params, cfg, xa[None], text_ctx=cache_len, kv_quant=kv_quant)
-    pre_logits, cache1, _ = M.decode_span(params, cfg, initial_tokens, jnp.int32(0), cache1)
+    # the prefill's cross-attention rows (init tokens' own query passes) are
+    # beam-independent: captured ONCE at batch 1, reused for whichever beam
+    # wins (same rows the retired re-prefill pass recomputed every tick)
+    pre_logits, cache1, pre_xattn = M.decode_span(
+        params, cfg, initial_tokens, jnp.int32(0), cache1,
+        alignment_mask=amask_or_none,
+    )
     sot_logits = jax.lax.dynamic_index_in_dim(pre_logits, sot_index_arr, axis=1, keepdims=False)
     no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), -1)[0, cfg.no_speech]
     cache = _tile_beams(cache1, k)
@@ -157,10 +168,10 @@ def _beam_core(
         return jnp.where(force_ts, -jnp.inf, logits)
 
     def cond(state):
-        tokens, pos, finished, cache, scores, last_ts = state
+        tokens, pos, finished, cache, scores, last_ts, xcap = state
         return (~jnp.all(finished)) & (pos < total)
 
-    def expand(logits, tokens, pos, finished, cache, scores, last_ts):
+    def expand(logits, tokens, pos, finished, cache, scores, last_ts, xcap):
         """One beam expansion from already-computed logits at ``pos``."""
         flogits = filters(logits, tokens, pos, last_ts)
         logprobs = jax.nn.log_softmax(flogits.astype(jnp.float32), axis=-1)  # (K,V)
@@ -177,20 +188,34 @@ def _beam_core(
         last_ts = last_ts[parent]
         finished = finished[parent]
         cache = _gather_beams(cache, parent)
+        if capture:
+            # a beam's captured rows must follow its token history on reselect
+            # (a few-MB gather, vs the ~315 GFLOP re-prefill this replaced)
+            xcap = xcap[parent]
         tok = jnp.where(finished, cfg.eot, tok)
         tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], pos, axis=1)
         last_ts = jnp.where((tok >= ts0) & ~finished, tok, last_ts)
         finished = finished | (tok == cfg.eot)
-        return tokens, finished, cache, top_scores, last_ts
+        return tokens, finished, cache, top_scores, last_ts, xcap
 
     def body(state):
-        tokens, pos, finished, cache, scores, last_ts = state
+        tokens, pos, finished, cache, scores, last_ts, xcap = state
         cur = jax.lax.dynamic_index_in_dim(tokens, pos - 1, axis=1, keepdims=False)
-        logits, cache, _ = M.decode_step(params, cfg, cur, pos - 1, cache)
-        tokens, finished, cache, scores, last_ts = expand(
-            logits, tokens, pos, finished, cache, scores, last_ts
+        logits, cache, xw = M.decode_step(
+            params, cfg, cur, pos - 1, cache, alignment_mask=amask_or_none
         )
-        return (tokens, pos + 1, finished, cache, scores, last_ts)
+        if capture:
+            # same slot convention as the greedy loop (decode.py body): the
+            # step at ``pos`` captures the query row of token pos-1, stored at
+            # index pos-p; slot 0 is never written (position p-1's row lives
+            # in pre_xattn)
+            xcap = jax.lax.dynamic_update_slice_in_dim(
+                xcap, xw[:, None, :].astype(jnp.float32), pos - p, axis=1
+            )
+        tokens, finished, cache, scores, last_ts, xcap = expand(
+            logits, tokens, pos, finished, cache, scores, last_ts, xcap
+        )
+        return (tokens, pos + 1, finished, cache, scores, last_ts, xcap)
 
     # seed the FIRST expansion from the prefill's last logits row — the span
     # pass already computed the distribution for position p, and its KV rows
@@ -198,6 +223,8 @@ def _beam_core(
     # re-stream the full decoder weights once per tick for identical numbers
     # (mirrors _greedy_loop's choices[0] seeding, decode.py). lax.cond guards
     # the (cap == 0) edge where the loop would never have run.
+    audio_ctx = int(xa.shape[0])
+    xcap0 = jnp.zeros((k, max_new if capture else 1, audio_ctx), jnp.float32)
     state0 = (
         tokens0,
         jnp.int32(p),
@@ -205,18 +232,21 @@ def _beam_core(
         cache,
         scores0,
         jnp.broadcast_to(last_ts0, (k,)),
+        xcap0,
     )
 
     def _seeded(state):
-        tokens, pos, finished, cache, scores, last_ts = state
+        tokens, pos, finished, cache, scores, last_ts, xcap = state
         logits0 = jnp.broadcast_to(pre_logits[0, p - 1], (k, cfg.n_vocab))
-        tokens, finished, cache, scores, last_ts = expand(
-            logits0, tokens, pos, finished, cache, scores, last_ts
+        tokens, finished, cache, scores, last_ts, xcap = expand(
+            logits0, tokens, pos, finished, cache, scores, last_ts, xcap
         )
-        return (tokens, pos + 1, finished, cache, scores, last_ts)
+        return (tokens, pos + 1, finished, cache, scores, last_ts, xcap)
 
     state = jax.lax.cond(total > p, _seeded, lambda s: s, state0)
-    tokens, pos, finished, cache, scores, last_ts = jax.lax.while_loop(cond, body, state)
+    tokens, pos, finished, cache, scores, last_ts, xcap = jax.lax.while_loop(
+        cond, body, state
+    )
     # length-penalized pick: score / length**penalty over sampled region.
     # +1 counts the EOT token only when one was actually sampled — a beam that
     # hits the loop bound has no EOT, and counting a phantom one would skew the
@@ -235,18 +265,16 @@ def _beam_core(
          lengths[best].astype(jnp.float32)[None], no_speech_prob[None]]
     )
     if capture:
-        # device-side winner alignment capture: the winning span (bucketed
-        # init + EOT-padded samples, identical to the old host-rebuilt span)
-        # is re-prefilled with cross-attention capture INSIDE this program,
-        # so a beam tick pays ONE download — no packed-download → host-parse
-        # → span-upload → capture-download roundtrip (was +~30 ms sync +
-        # serialization per tick on this rig). uint8-packed like the greedy
-        # path's capture (4 values per f32 word).
-        span = jnp.concatenate([initial_tokens[0], sampled[best]])[None]
-        ccache = M.init_cache(params, cfg, xa[None], text_ctx=int(span.shape[1]))
-        _, _, cap = M.decode_span(
-            params, cfg, span, jnp.int32(0), ccache, alignment_mask=amask
-        )
+        # assemble the winner's span-ordered capture from the in-loop buffer:
+        # rows 0..p-1 come from the prefill (beam-independent), sampled token
+        # j's row sits at xcap[best][j+1] (slot convention above), and the
+        # final row repeat-pads exactly like the greedy host realignment —
+        # identical layout to the retired re-prefill pass, so
+        # _unpack_capture_rows is unchanged. uint8-packed like the greedy
+        # path's capture (4 values per f32 word); still ONE download/tick.
+        w_stored = xcap[best]  # (max_new, audio_ctx)
+        gen = jnp.concatenate([w_stored[1:], w_stored[-1:]], axis=0)
+        cap = jnp.concatenate([pre_xattn[0], gen], axis=0)  # (p+max_new, A)
         q = jnp.clip(jnp.round(cap.reshape(-1) * 255.0), 0, 255).astype(jnp.uint8)
         pad = (-q.shape[0]) % 4
         if pad:

@@ -197,9 +197,13 @@ def test_beam_with_forced_prefix(asr):
 
 
 def test_beam_fused_capture_matches_eager_span(asr):
-    """The winner's alignment capture is computed INSIDE the beam program
-    (device-side winner selection, uint8-packed download). It must equal an
-    eager decode_span capture of the same winning span to uint8 resolution."""
+    """The winner's alignment capture is accumulated IN the decode loop
+    (per-step rows gathered with the cache on beam reselect, prefill rows
+    reused at batch 1 — round 4 retired the second re-prefill pass, VERDICT
+    r3 #4). Every row except the last must equal an eager decode_span capture
+    of the same winning span to uint8 resolution; the final row follows the
+    greedy convention (repeat-padded at the loop bound / zeros when every
+    beam froze before the EOT query step, decode.py _unpack_packed_rows)."""
     import jax.numpy as jnp2
 
     from realtime_whisper_asr_tpu.models.whisper import decode as D2
@@ -231,7 +235,13 @@ def test_beam_fused_capture_matches_eager_span(asr):
     got = res.xattn[0]
     assert got.shape == ref.shape, (got.shape, ref.shape)
     # uint8 quantization: half a step + float slack
-    np.testing.assert_allclose(got, ref, atol=1.0 / 255.0)
+    np.testing.assert_allclose(got[:-1], ref[:-1], atol=1.0 / 255.0)
+    last_ok = (
+        np.allclose(got[-1], ref[-1], atol=1.0 / 255.0)  # loop computed it
+        or np.allclose(got[-1], got[-2], atol=1.0 / 255.0)  # repeat-padded
+        or not got[-1].any()  # all beams froze before the EOT query step
+    )
+    assert last_ok
 
 
 def test_beam_batch_matches_sequential(asr):
