@@ -139,36 +139,75 @@ DEFAULT_CONFIG: dict[str, Any] = {
         # fallback, 一键实时识别麦克风.py:1138-1175)
         "auto_downgrade": True,
     },
-    "language_specific": {
-        # per-language tuning (reference config.json:110-727 covers the same set)
-        lang: {}
-        for lang in ["zh", "en", "ja", "ko", "es", "fr", "de", "ru", "it", "pt",
-                     "ar", "hi", "th", "vi", "id", "nl", "pl", "tr"]
-    },
+    "language_specific": {},  # filled from _LANGUAGE_TABLE below
 }
 
-# built-in per-language overrides (same spirit as the reference's blocks:
-# CJK text repeats differently → tighter similarity; fast-syllable languages
-# get shorter silence)
-DEFAULT_CONFIG["language_specific"]["zh"] = {
-    # reference config.json zh block: agreement_n=3, vad_threshold=0.6,
-    # min_silence 400 ms (mapped onto this schema's streaming/vad sections)
-    "skip_detector": {"similarity_threshold": 0.90, "min_length": 2},
-    "speech_rate_adaptive": {"fast_cps": 8.0, "slow_cps": 2.5},
-    "streaming": {"agreement_n": 3},
-    "vad": {"threshold": 0.6, "min_silence_duration_ms": 400},
+# Per-language tuning table covering the reference's 18 languages
+# (config.json:110-727 tunes skip_detector / speech_rate_adaptive /
+# asr_optimization per language; this maps the same dimensions onto this
+# schema's sections, with values derived from script + prosody families
+# rather than copied):
+#
+# - sim / min_len (skip_detector): logographic & unspaced scripts (zh/ja,
+#   and th which writes without word spaces) carry meaning in 1-2 chars and
+#   real repeats are near-identical strings → tighter similarity, short
+#   min_length. Alphabet scripts need ~4+ chars before a "duplicate" verdict
+#   is meaningful and inflect heavily → looser similarity.
+# - agree_n (streaming): scripts without whitespace word boundaries (CJK,
+#   th) plus abjads/abugidas with unstable romanization-era tokenizations
+#   (ar/hi) destabilize LocalAgreement-2 word matching → require 3-way
+#   agreement before commit (reference ships agreement_n=3 for the same set).
+# - cps bands (speech_rate_adaptive): chars/sec of COMMITTED TEXT, so the
+#   band depends on script density — a zh char ≈ a syllable (normal speech
+#   ~5-6 chars/s) while Latin text runs ~12-15 chars/s incl. spaces; slavic/
+#   germanic words are longer but speech is slower, landing lower than es/it.
+# - silence (vad.min_silence_duration_ms + adaptive band): syllable-timed
+#   fast-turnaround languages (zh/ko/es/it) tolerate shorter utterance-final
+#   silences; stress-timed languages with long phrase-final lengthening
+#   (fr/de/ru/nl/pl) get a longer floor so mid-sentence pauses don't split
+#   utterances.
+#
+# Columns: (sim, min_len, agree_n, slow_cps, fast_cps, min_sil_ms,
+#           max_sil_ms, vad_min_sil_ms, vad_threshold)
+_LANGUAGE_TABLE: dict[str, tuple] = {
+    # CJK / unspaced scripts — dense chars, 3-way agreement, short silences
+    "zh": (0.90, 2, 3, 2.5, 8.0, 300, 1000, 400, 0.6),
+    "ja": (0.90, 2, 3, 3.0, 9.0, 350, 1100, 450, 0.55),
+    "ko": (0.88, 2, 3, 3.0, 9.0, 350, 1100, 450, 0.55),
+    "th": (0.88, 2, 3, 3.5, 10.0, 400, 1200, 500, 0.55),
+    # abjad / abugida — medium-density scripts, less stable word splits
+    "ar": (0.86, 3, 3, 4.0, 11.0, 400, 1300, 500, 0.55),
+    "hi": (0.86, 3, 3, 4.0, 11.0, 400, 1300, 500, 0.55),
+    # vi: Latin script but syllable-per-word with tone marks — short units
+    "vi": (0.86, 3, 3, 4.5, 12.0, 400, 1200, 500, 0.5),
+    # romance — fast syllable rate, fairly short pauses
+    "en": (0.82, 4, 2, 5.0, 15.0, 400, 1400, 500, 0.5),
+    "es": (0.82, 4, 2, 5.5, 16.0, 350, 1300, 450, 0.5),
+    "it": (0.82, 4, 2, 5.5, 16.0, 350, 1300, 450, 0.5),
+    "pt": (0.82, 4, 2, 5.0, 15.0, 400, 1400, 500, 0.5),
+    "id": (0.82, 4, 2, 5.0, 14.0, 400, 1400, 500, 0.5),
+    "tr": (0.82, 4, 2, 4.5, 14.0, 400, 1400, 500, 0.5),
+    # stress-timed germanic/slavic + fr — longer words, longer pauses
+    "fr": (0.82, 4, 2, 4.5, 13.0, 450, 1600, 550, 0.5),
+    "de": (0.82, 5, 2, 4.5, 13.0, 450, 1600, 550, 0.5),
+    "nl": (0.82, 4, 2, 4.5, 13.0, 450, 1600, 550, 0.5),
+    "ru": (0.82, 4, 2, 4.0, 13.0, 450, 1600, 550, 0.5),
+    "pl": (0.82, 4, 2, 4.0, 13.0, 450, 1600, 550, 0.5),
 }
-DEFAULT_CONFIG["language_specific"]["ja"] = {
-    "skip_detector": {"similarity_threshold": 0.90},
-    "speech_rate_adaptive": {"fast_cps": 9.0, "slow_cps": 3.0},
-}
-DEFAULT_CONFIG["language_specific"]["ko"] = {
-    "skip_detector": {"similarity_threshold": 0.88},
-    "speech_rate_adaptive": {"fast_cps": 9.0, "slow_cps": 3.0},
-}
-DEFAULT_CONFIG["language_specific"]["en"] = {
-    "speech_rate_adaptive": {"fast_cps": 15.0, "slow_cps": 5.0},
-}
+
+for _lang, (_sim, _mlen, _an, _scps, _fcps, _mns, _mxs, _vms, _vth) in (
+    _LANGUAGE_TABLE.items()
+):
+    DEFAULT_CONFIG["language_specific"][_lang] = {
+        "skip_detector": {"similarity_threshold": _sim, "min_length": _mlen},
+        "streaming": {"agreement_n": _an},
+        "speech_rate_adaptive": {
+            "slow_cps": _scps, "fast_cps": _fcps,
+            "min_silence_ms": _mns, "max_silence_ms": _mxs,
+            "initial_silence_ms": _vms,
+        },
+        "vad": {"threshold": _vth, "min_silence_duration_ms": _vms},
+    }
 
 # validation ranges: dotted path -> (min, max)
 _VALIDATION: dict[str, tuple[float, float]] = {
