@@ -78,8 +78,29 @@ def whisper_param_shardings(mesh: Mesh) -> Any:
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def _adapt_to_quantized(sharding: Any, params: Any) -> Any:
+    """Walk ``params`` alongside the dense sharding tree, expanding each
+    sharding leaf that meets an int8 ``{"q", "s"}`` pair (quant.py) into
+    shardings for both members: ``q`` keeps the dense weight's spec and the
+    per-output-column scales ``s`` drop the contraction (second-to-last)
+    axis — e.g. a (L, in, out) wq at P(None, None, 'model') gives s (L, out)
+    at P(None, 'model'); a 'model'-input-sharded wo leaves s replicated; the
+    (V,) per-vocab-row tok_emb scales replicate. This is what lets the
+    int8/int8-all serving artifacts shard over the same Megatron rules as
+    the dense checkpoint."""
+    if isinstance(params, dict):
+        if set(params) == {"q", "s"} and not isinstance(sharding, dict):
+            axes = tuple(sharding.spec)
+            # pad to q's rank (PartitionSpec may omit trailing None entries)
+            axes = axes + (None,) * (params["q"].ndim - len(axes))
+            s_spec = P(*(axes[:-2] + axes[-1:])) if len(axes) >= 2 else P()
+            return {"q": sharding, "s": NamedSharding(sharding.mesh, s_spec)}
+        return {k: _adapt_to_quantized(sharding[k], v) for k, v in params.items()}
+    return sharding
+
+
 def shard_params(params: Any, mesh: Mesh) -> Any:
-    shardings = whisper_param_shardings(mesh)
+    shardings = _adapt_to_quantized(whisper_param_shardings(mesh), params)
     return jax.tree.map(jax.device_put, params, shardings)
 
 

@@ -72,9 +72,15 @@ def test_checkpoint_drill_end_to_end(tmp_path):
     assert rc == 0
     rep = json.load(open(report_path))
     assert rep["ok"], rep
-    assert set(rep["steps"]) == {"convert", "reload", "decode_parity", "stream"}
+    assert set(rep["steps"]) == {"convert", "reload", "decode_parity",
+                                 "prequant_artifact", "beam5", "stream"}
     # conversion is lossless at the token level
     assert rep["steps"]["decode_parity"]["ok"]
+    # VERDICT r3 #9 legs: the int8-all artifact is detected + token-identical
+    # to quantize-at-load, and beam=5 decodes identically native-vs-HF
+    assert rep["steps"]["prequant_artifact"]["ok"]
+    assert rep["steps"]["prequant_artifact"]["detected"] == "int8-all"
+    assert rep["steps"]["beam5"]["ok"]
     # sidecars survived conversion: real tokenizer + alignment heads on reload
     assert rep["steps"]["reload"]["real_tokenizer"], rep["steps"]["reload"]
     assert rep["steps"]["reload"]["alignment_heads"], rep["steps"]["reload"]

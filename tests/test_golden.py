@@ -45,3 +45,22 @@ def test_agreement_metric_matches_recorded(golden):
     recorded, clips = golden
     for rec, cur in zip(recorded["clips"], clips):
         assert cur["agreement_wer"] == pytest.approx(rec["agreement_wer"], abs=1e-6)
+
+
+def test_feature_matrix_reproduces_exactly():
+    """The whole feature surface is determinism-locked, not just greedy
+    offline+streaming (VERDICT r3 #6): beam=5, task=translate, >30 s
+    windowing, int8-all, the pre-quantized artifact (token-identical to
+    quantize-at-load), VAC-gated commits, diarization labels."""
+    import golden as G
+
+    with open(FIXTURE) as f:
+        recorded = json.load(f)
+    assert "matrix" in recorded, "fixture predates the matrix; re-record"
+    current = G.run_matrix()
+    assert set(current) == set(recorded["matrix"])
+    for key, rec in recorded["matrix"].items():
+        assert current[key] == rec, f"matrix[{key}] drifted from the golden"
+    assert recorded["matrix"]["prequant"]["matches_int8all"] is True
+    assert recorded["matrix"]["vac"]["commits"] >= 1, "VAC never committed"
+    assert len(set(recorded["matrix"]["diarize"]["labels"])) >= 2

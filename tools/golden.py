@@ -2,8 +2,11 @@
 
 ``python tools/golden.py record`` writes tests/fixtures/golden/:
   - params.npz           (test-tiny Whisper weights, f16 — ~7 MB, committed)
-  - transcripts.json     (offline token ids + texts, streaming commits, and
-                          streaming-vs-offline agreement per clip)
+  - transcripts.json     (offline token ids + texts, streaming commits,
+                          streaming-vs-offline agreement per clip, and the
+                          feature-surface determinism matrix: beam5 /
+                          translate / long-window / int8-all / pre-quantized
+                          artifact / VAC / diarization — VERDICT r3 #6)
 
 tests/test_golden.py replays the same clips through the CURRENT code and
 asserts exact token equality — locking decode behavior across refactors (the
@@ -40,7 +43,7 @@ def golden_audio(idx: int, seconds: float = 8.0) -> np.ndarray:
     return (0.4 * out / np.max(np.abs(out))).astype(np.float32)
 
 
-def build_asr(word_timestamps: bool = True):
+def build_asr(word_timestamps: bool = True, quantization: str | None = None):
     import jax.numpy as jnp
 
     from realtime_whisper_asr_tpu.asr import TPUWhisperASR
@@ -58,7 +61,7 @@ def build_asr(word_timestamps: bool = True):
             node = node.setdefault(pc, {})
         node[parts[-1]] = jnp.asarray(data[k], jnp.float32)
     asr = TPUWhisperASR(cfg=cfg, params=params, dtype=jnp.float32,
-                        word_timestamps=word_timestamps)
+                        word_timestamps=word_timestamps, quantization=quantization)
     asr.transcribe_kargs["max_total_tokens"] = 24  # random weights never EOT
     return asr
 
@@ -107,6 +110,106 @@ def run_clips(asr):
     return clips
 
 
+def golden_vac_audio() -> np.ndarray:
+    """Two VAD-detectable utterances separated by silence (the trained
+    silero_like VAD fires on synth_speech; tests/test_vad.py integration)."""
+    from realtime_whisper_asr_tpu.models.vad.synthetic import synth_speech
+
+    rng = np.random.default_rng(2024)
+    a, _ = synth_speech(rng, 3.0)
+    b, _ = synth_speech(rng, 3.0)
+    gap = np.zeros(int(1.2 * SR), np.float32)
+    lead = np.zeros(int(0.4 * SR), np.float32)
+    return np.concatenate([lead, a, gap, b, gap]).astype(np.float32)
+
+
+def run_matrix() -> dict:
+    """Feature-surface determinism matrix (VERDICT r3 #6): beam=5, translate,
+    VAC gating, >30 s windowing, int8-all + pre-quantized artifact parity,
+    diarization labels — each row a deterministic CPU output of the committed
+    test-tiny fixture, recorded once and replayed exactly by
+    tests/test_golden.py and tools/run_eval.py."""
+    import tempfile
+
+    rows: dict = {}
+    audio = golden_audio(0)
+
+    def _row(res):
+        return {"tokens": [int(t) for t in res.tokens],
+                "text": "".join(s.text for s in res).strip()}
+
+    asr = build_asr()
+    asr.beam_size = 5
+    rows["beam5"] = _row(asr.transcribe(audio))
+
+    asr = build_asr()
+    asr.set_translate_task()
+    rows["translate"] = _row(asr.transcribe(audio))
+
+    # >30 s input: sequential windowing + condition_on_previous_text carry
+    asr = build_asr()
+    long_audio = np.concatenate([golden_audio(i) for i in range(5)])  # 40 s
+    rows["long_window"] = _row(asr.transcribe(long_audio))
+
+    # int8-all quantize-at-load, and the pre-quantized checkpoint artifact
+    # must be token-IDENTICAL to it (the deployment claim, quant.py)
+    asr8 = build_asr(quantization="int8-all")
+    rows["int8all"] = _row(asr8.transcribe(audio))
+    from realtime_whisper_asr_tpu.models.whisper.checkpoint import save_checkpoint
+
+    with tempfile.TemporaryDirectory() as d:
+        save_checkpoint(d, asr8.params, asr8.cfg)
+        import jax.numpy as jnp
+
+        from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+
+        asr_pq = TPUWhisperASR(checkpoint_dir=d, dtype=jnp.float32)
+        asr_pq.transcribe_kargs["max_total_tokens"] = 24
+        pq = _row(asr_pq.transcribe(audio))
+    rows["prequant"] = dict(pq, matches_int8all=pq["tokens"] == rows["int8all"]["tokens"])
+
+    # VAC mode: VAD-gated streaming commits over utterances with real gaps
+    from realtime_whisper_asr_tpu.models.vad import SileroLikeVAD
+    from realtime_whisper_asr_tpu.streaming import (
+        OnlineASRProcessor,
+        VACOnlineASRProcessor,
+        VADIterator,
+    )
+
+    asr = build_asr()
+    vac = VACOnlineASRProcessor(
+        OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0)),
+        VADIterator(SileroLikeVAD(), threshold=0.5,
+                    min_silence_duration_ms=500, speech_pad_ms=100),
+        online_chunk_size=0.5,
+    )
+    vaudio = golden_vac_audio()
+    pieces = []
+    step = SR // 2
+    for pos in range(0, len(vaudio), step):
+        vac.insert_audio_chunk(vaudio[pos : pos + step])
+        _, _, txt = vac.process_iter()
+        if txt:
+            pieces.append(txt)
+    _, _, txt = vac.finish()
+    if txt:
+        pieces.append(txt)
+    rows["vac"] = {"text": asr.sep.join(pieces).strip(), "commits": len(pieces)}
+
+    # diarization: online speaker labels over alternating synthetic voices
+    from realtime_whisper_asr_tpu.models.speaker import SpeakerTracker
+
+    tracker = SpeakerTracker()
+    labels = []
+    for i in range(6):
+        base = golden_audio(10 + (i % 2), seconds=2.0)
+        noise = 0.01 * np.random.default_rng(3000 + i).standard_normal(len(base))
+        sid, _ = tracker.assign((base + noise).astype(np.float32))
+        labels.append(int(sid))
+    rows["diarize"] = {"labels": labels, "turns": int(tracker.turns)}
+    return rows
+
+
 def record() -> int:
     import jax
     import jax.numpy as jnp
@@ -120,11 +223,15 @@ def record() -> int:
 
     asr = build_asr()
     clips = run_clips(asr)
+    matrix = run_matrix()
     with open(os.path.join(FIXTURE_DIR, "transcripts.json"), "w") as f:
-        json.dump({"model": "test-tiny", "seed": 7, "clips": clips}, f, indent=1)
+        json.dump({"model": "test-tiny", "seed": 7, "clips": clips,
+                   "matrix": matrix}, f, indent=1)
     for c in clips:
         print(f"clip {c['idx']}: {len(c['offline_tokens'])} tokens, "
               f"agreement wer {c['agreement_wer']}")
+    for k, v in matrix.items():
+        print(f"matrix[{k}]: {json.dumps(v)[:100]}")
     return 0
 
 

@@ -57,14 +57,24 @@ def main(argv=None) -> int:
         "cer_identity": cer("abc", "abc"),
     }
 
+    # feature-surface determinism matrix (VERDICT r3 #6): replay each recorded
+    # row (beam5 / translate / long-window / int8-all / pre-quantized artifact
+    # / VAC / diarization) through the current code
+    matrix_rows = []
+    if "matrix" in recorded:
+        current_matrix = G.run_matrix()
+        for key, rec in recorded["matrix"].items():
+            matrix_rows.append({"row": key, "reproduced": current_matrix.get(key) == rec})
+
     out = {
         "model": recorded["model"],
         "fixture": "tests/fixtures/golden (committed checkpoint + transcripts)",
         "clips": entries,
+        "matrix": matrix_rows,
         "all_reproduced": all(
             e["offline_tokens_reproduced"] and e["streaming_commits_reproduced"]
             for e in entries
-        ),
+        ) and all(m["reproduced"] for m in matrix_rows),
         "harness_selfcheck": harness,
         "note": (
             "random-init weights (no network): WER vs human references is not "
