@@ -90,11 +90,18 @@ def _adapt_to_quantized(sharding: Any, params: Any) -> Any:
     the dense checkpoint."""
     if isinstance(params, dict):
         if set(params) == {"q", "s"} and not isinstance(sharding, dict):
+            q, s = params["q"], params["s"]
             axes = tuple(sharding.spec)
             # pad to q's rank (PartitionSpec may omit trailing None entries)
-            axes = axes + (None,) * (params["q"].ndim - len(axes))
-            s_spec = P(*(axes[:-2] + axes[-1:])) if len(axes) >= 2 else P()
-            return {"q": sharding, "s": NamedSharding(sharding.mesh, s_spec)}
+            axes = axes + (None,) * (q.ndim - len(axes))
+            if s.shape == tuple(q.shape[:-2]) + tuple(q.shape[-1:]):
+                s_axes = axes[:-2] + axes[-1:]  # per-output-column (linears)
+            elif s.shape == tuple(q.shape[:-1]):
+                s_axes = axes[:-1]  # per-row (tok_emb vocab scales)
+            else:  # unknown layout: replicate the (tiny) scales
+                s_axes = (None,) * s.ndim
+            return {"q": sharding,
+                    "s": NamedSharding(sharding.mesh, P(*s_axes))}
         return {k: _adapt_to_quantized(sharding[k], v) for k, v in params.items()}
     return sharding
 

@@ -196,15 +196,21 @@ def run_matrix() -> dict:
         pieces.append(txt)
     rows["vac"] = {"text": asr.sep.join(pieces).strip(), "commits": len(pieces)}
 
-    # diarization: online speaker labels over alternating synthetic voices
+    # diarization: online speaker labels over alternating synthetic speakers
+    # (same voice model the embedder was trained against)
     from realtime_whisper_asr_tpu.models.speaker import SpeakerTracker
+    from realtime_whisper_asr_tpu.models.vad.synthetic import (
+        sample_speaker,
+        synth_speaker_utterance,
+    )
 
+    rng = np.random.default_rng(31)
+    spk_a, spk_b = sample_speaker(rng), sample_speaker(rng)
     tracker = SpeakerTracker()
     labels = []
     for i in range(6):
-        base = golden_audio(10 + (i % 2), seconds=2.0)
-        noise = 0.01 * np.random.default_rng(3000 + i).standard_normal(len(base))
-        sid, _ = tracker.assign((base + noise).astype(np.float32))
+        utt = synth_speaker_utterance(rng, spk_a if i % 2 == 0 else spk_b, seconds=2.0)
+        sid, _ = tracker.assign(utt.astype(np.float32))
         labels.append(int(sid))
     rows["diarize"] = {"labels": labels, "turns": int(tracker.turns)}
     return rows
