@@ -132,10 +132,13 @@ def run_scenario(n: int) -> int:
                            # headline and hardware.recommend_quantization)
                            "streaming.prefix_policy": "last",
                            "model.quantization": "int8-all",
-                           # the 40 KB mask net runs in ~ms on host BLAS; on this
-                           # tunneled rig the per-chunk device round-trip (~60 ms)
-                           # would otherwise dominate the separation cost
-                           "vocal_separation.use_device": False})),
+                           # round 4: separation fused into the jitted
+                           # logmel+encode program (encode prologue) — zero
+                           # host conv cost, zero extra transfers. The round-3
+                           # host path (use_device=False + one-ahead worker)
+                           # still cost ~26 ms/tick of host CPU on this 1-core
+                           # rig (scenario5 rtf 0.0821 vs headline 0.0558)
+                           "vocal_separation.fuse_encode": True})),
     }
     s = setups[n]
     if DEGRADED:  # CPU fallback: scenario models are fixed per BASELINE

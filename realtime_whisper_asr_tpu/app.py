@@ -306,6 +306,25 @@ class StreamingApp:
             if sep_cfg["enable"]
             else None
         )
+        #: fused separation (TPU-first default): the trained mask net runs on
+        #: the decode window INSIDE the jitted logmel+encode program instead
+        #: of per-chunk on the host hot loop (the reference's ordering,
+        #: 一键实时识别麦克风.py:1474-1482) — zero host conv cost, zero extra
+        #: transfers, no chunk-boundary STFT artifacts. Trade-off: host
+        #: stages that read raw audio (VAD gate, dedup features) see the
+        #: unseparated signal; set vocal_separation.fuse_encode=false for the
+        #: reference's separate-before-everything order.
+        self.fused_separation = False
+        if (
+            self.separator is not None
+            and sep_cfg.get("fuse_encode", True)
+            and getattr(self.separator, "name", "") == "neural"
+            and getattr(self.separator, "trained", False)
+            and hasattr(self.asr, "set_separation_frontend")
+        ):
+            self.asr.set_separation_frontend(self.separator.params)
+            self.fused_separation = True
+            self.separator = None  # the hot loop must not separate twice
         dd = cfg["audio_deduplication"]
         self.deduplicator = (
             AudioDeduplicator(

@@ -282,18 +282,31 @@ class TPUWhisperASR:
         # ring-slice + Pallas log-mel + stack + encode as ONE jitted program:
         # run eagerly these were 4-6 separate dispatches per tick, each paying
         # host-dispatch latency on a tunneled backend, and XLA couldn't
-        # schedule mel against the encoder prologue
-        def _logmel_encode_impl(params, cfg, bufs, nb):
+        # schedule mel against the encoder prologue. ``sep``/``sep_dil``: the
+        # optional fused vocal-separation frontend (set_separation_frontend) —
+        # the mask net runs on each stream's decode window INSIDE this
+        # program, so separation costs zero host CPU and zero extra transfers
+        # (the reference runs Demucs per-chunk on the host hot loop,
+        # vocal_separation.py:187-213; TPU-first this is an encode prologue)
+        def _logmel_encode_impl(params, cfg, bufs, nb, sep, sep_dil):
             from realtime_whisper_asr_tpu.ops import log_mel_spectrogram
 
-            mels = [
-                log_mel_spectrogram(jax.lax.slice(b, (0,), (nb,)), n_mels=cfg.n_mels)
-                for b in bufs
-            ]
+            windows = [jax.lax.slice(b, (0,), (nb,)) for b in bufs]
+            if sep is not None:
+                from realtime_whisper_asr_tpu.models.separation_nn import (
+                    separate_vocals,
+                )
+
+                windows = [separate_vocals(sep, w, dil=sep_dil) for w in windows]
+            mels = [log_mel_spectrogram(w, n_mels=cfg.n_mels) for w in windows]
             mel = jnp.stack(mels).astype(self.params_dtype)
             return W.encode(params, cfg, mel)
 
-        self._logmel_encode = jax.jit(_logmel_encode_impl, static_argnames=("cfg", "nb"))
+        self._logmel_encode = jax.jit(
+            _logmel_encode_impl, static_argnames=("cfg", "nb", "sep_dil")
+        )
+        #: fused separation frontend: (device params, static dilations) or None
+        self._sep_frontend = None
         # device-resident rolling audio buffers, one per stream (multi-stream
         # serving shares one model; each stream keeps its own window mirror)
         self._buffers: dict = {}
@@ -551,7 +564,32 @@ class TPUWhisperASR:
             keys
         ) * encoder_flops(self.cfg, nb // (2 * 160))
         bufs = tuple(self._buffers[k][0] for k in keys)
-        return self._logmel_encode(self.params, self.cfg, bufs, nb)
+        sep, sep_dil = self._sep_frontend or (None, None)
+        return self._logmel_encode(self.params, self.cfg, bufs, nb, sep,
+                                   sep_dil=sep_dil)
+
+    def set_separation_frontend(self, sep_params) -> None:
+        """Fuse a trained spectral-mask separator (models/separation_nn) into
+        the jitted logmel+encode program: every decode window is separated
+        on-device as an encode prologue. TPU-first replacement for the
+        reference's per-chunk host-loop Demucs call
+        (vocal_separation.py:187-213, 一键实时识别麦克风.py:1474-1482) — zero
+        host CPU, zero extra transfers, and full-window separation has no
+        chunk-boundary STFT artifacts. ``None`` removes the frontend. NOTE:
+        host-side stages that read raw audio (VAD gate, dedup features) see
+        the UNseparated signal in this mode; use the host separator path
+        (vocal_separation.fuse_encode=false) to preserve the reference's
+        separate-before-everything ordering."""
+        if sep_params is None:
+            self._sep_frontend = None
+            return
+        from realtime_whisper_asr_tpu.models.separation_nn import arch_of
+
+        dil, _ = arch_of(sep_params)
+        self._sep_frontend = (
+            {k: jnp.asarray(v) for k, v in sep_params.items()},
+            tuple(tuple(d) for d in dil),
+        )
 
     def _load_alignment_heads(self, checkpoint_dir) -> Optional[np.ndarray]:
         if not checkpoint_dir:

@@ -245,7 +245,7 @@ def cmd_wizard(args) -> int:
         # the recommender's variant/use_device picks ride along when the user
         # kept its method (reference demucs-variant write-back, :824-828)
         if sep_method == sep["method"]:
-            for k in ("variant", "use_device"):
+            for k in ("variant", "use_device", "fuse_encode"):
                 if k in sep:
                     cm.set(f"vocal_separation.{k}", sep[k])
     cm.save_config()

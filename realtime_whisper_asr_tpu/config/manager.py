@@ -74,6 +74,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
         # or on host BLAS (False — wins on tunneled backends where every
         # device round-trip pays ~30 ms)
         "use_device": True,
+        # neural: fuse the mask net into the jitted logmel+encode program
+        # (separation as an encode prologue on the decode window — zero host
+        # cost, zero extra transfers). False restores the reference's
+        # separate-before-everything chunk ordering (host VAD/dedup then see
+        # separated audio). Ignored for non-neural methods.
+        "fuse_encode": True,
         # neural: packaged model variant — default (quality, +13.5 dB held-out)
         # | small/fast (~2.6x fewer MACs, the degraded-CPU / many-stream pick);
         # reference parity with the Demucs model family + VRAM-based pick

@@ -50,8 +50,17 @@ VARIANT_WEIGHTS = {
     "small": os.path.join(
         os.path.dirname(__file__), "weights", "separation_nn_small.npz"
     ),
+    "4stem": os.path.join(
+        os.path.dirname(__file__), "weights", "separation_nn_4stem.npz"
+    ),
 }
 VARIANT_ALIASES = {"quality": "default", "hq": "default", "fast": "small"}
+
+#: 4-stem head order. The reference's Demucs path separates
+#: drums/bass/other/vocals and picks vocals at index 3
+#: (vocal_separation.py:187-213); here vocals lead so every n-stem net's
+#: channel 0 is the ASR frontend's target.
+STEM_NAMES = ("vocals", "drums", "bass", "other")
 
 
 def init_separator_params(key: jax.Array, dtype=jnp.float32) -> dict:
@@ -75,7 +84,12 @@ V2_SMALL_CHANNELS = (8, 12, 16, 12)
 
 
 def init_separator_params_v2(key: jax.Array, dtype=jnp.float32,
-                             channels: tuple = V2_CHANNELS) -> dict:
+                             channels: tuple = V2_CHANNELS,
+                             n_stems: int = 1) -> dict:
+    """v2 trunk + mask head. ``n_stems=1`` → sigmoid vocal mask (2-stem by
+    complement); ``n_stems=4`` → softmax stem partition (drums/bass/other/
+    vocals capability of the reference's Demucs family,
+    vocal_separation.py:98-129)."""
     keys = jax.random.split(key, len(channels) + 1)
     params: dict = {}
     c_in = 2  # log-mag ‖ freq coordinate
@@ -84,9 +98,16 @@ def init_separator_params_v2(key: jax.Array, dtype=jnp.float32,
         params[f"enc{i}_w"] = (jax.random.normal(keys[i], (3, 3, c_in, c)) * s).astype(dtype)
         params[f"enc{i}_b"] = jnp.zeros((c,), dtype)
         c_in = c
-    params["out_w"] = (jax.random.normal(keys[-1], (3, 3, c_in, 1)) * (9 * c_in) ** -0.5).astype(dtype)
-    params["out_b"] = jnp.zeros((1,), dtype)
+    params["out_w"] = (
+        jax.random.normal(keys[-1], (3, 3, c_in, n_stems)) * (9 * c_in) ** -0.5
+    ).astype(dtype)
+    params["out_b"] = jnp.zeros((n_stems,), dtype)
     return params
+
+
+def n_stems_of(params: dict) -> int:
+    """1 = sigmoid vocal mask; >1 = softmax stem partition (shape-only)."""
+    return int(params["out_w"].shape[-1])
 
 
 def arch_of(params: dict) -> tuple[tuple[tuple[int, int], ...], int]:
@@ -101,31 +122,44 @@ def arch_of(params: dict) -> tuple[tuple[tuple[int, int], ...], int]:
     return ((1, 1),) * (n_layers + 1), in_ch
 
 
+#: HOP divides N_FFT, so framing/OLA decompose into R shifted static slices
+#: of a (rows, HOP) grid — XLA lowers those to pads/adds instead of the
+#: (T × N_FFT)-element gather/scatter the index formulation would emit (TPU
+#: scatter is serial; this runs inside the fused logmel+encode tick program
+#: when the separation frontend is on, see asr.set_separation_frontend)
+_R = N_FFT // HOP
+
+
 def _stft(audio: jnp.ndarray):
     window = jnp.asarray(np.hanning(N_FFT).astype(np.float32))
     pad = N_FFT // 2
     x = jnp.pad(audio, (pad, pad), mode="reflect")
     n_frames = 1 + (x.shape[0] - N_FFT) // HOP
-    idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
-    return jnp.fft.rfft(x[idx] * window, axis=-1), window  # (T, F)
+    rows = x[: (n_frames + _R - 1) * HOP].reshape(n_frames + _R - 1, HOP)
+    # frame i = rows i..i+R-1 concatenated (static shifted slices, no gather)
+    frames = jnp.concatenate([rows[p : p + n_frames] for p in range(_R)], axis=1)
+    return jnp.fft.rfft(frames * window, axis=-1), window  # (T, F)
 
 
 def _istft(spec: jnp.ndarray, window: jnp.ndarray, out_len: int):
     frames = jnp.fft.irfft(spec, N_FFT, axis=-1) * window
     n_frames = spec.shape[0]
-    out = jnp.zeros(n_frames * HOP + N_FFT, jnp.float32)
-    acc = jnp.zeros_like(out)
-    pos = jnp.arange(n_frames) * HOP
-    out = out.at[pos[:, None] + jnp.arange(N_FFT)[None, :]].add(frames)
-    acc = acc.at[pos[:, None] + jnp.arange(N_FFT)[None, :]].add(window * window)
-    out = out / jnp.maximum(acc, 1e-6)
+    n_rows = n_frames + _R - 1
+    fr = frames.reshape(n_frames, _R, HOP)
+    w2 = (window * window).reshape(_R, HOP)
+    out = jnp.zeros((n_rows, HOP), jnp.float32)
+    acc = jnp.zeros((n_rows, HOP), jnp.float32)
+    for p in range(_R):  # R shifted adds via pad (no scatter)
+        padcfg = ((p, n_rows - n_frames - p), (0, 0))
+        out = out + jnp.pad(fr[:, p], padcfg)
+        acc = acc + jnp.pad(jnp.broadcast_to(w2[p], (n_frames, HOP)), padcfg)
+    res = out.reshape(-1) / jnp.maximum(acc.reshape(-1), 1e-6)
     pad = N_FFT // 2
-    return out[pad : pad + out_len]
+    return res[pad : pad + out_len]
 
 
-@functools.partial(jax.jit, static_argnames=("dil",))
-def separate_vocals(params: dict, audio: jnp.ndarray, dil=None) -> jnp.ndarray:
-    """(N,) float32 -> vocals (N,). Static per input length (callers bucket).
+def _mask_logits(params: dict, audio: jnp.ndarray, dil=None):
+    """Shared trunk: (N,) float32 -> (spec (T,F), window, logits (T,F,C)).
 
     ``dil``: per-conv (time, freq) dilations incl. the output conv (static;
     None = arch_of default). v2 nets take a 2-channel input with a normalized
@@ -156,8 +190,43 @@ def separate_vocals(params: dict, audio: jnp.ndarray, dil=None) -> jnp.ndarray:
         x, params["out_w"].astype(x.dtype), (1, 1),
         [(dt, dt), (df, df)], rhs_dilation=(dt, df), dimension_numbers=dn,
     )
-    mask = jax.nn.sigmoid(x[0, :, :, 0] + params["out_b"][0])  # (T, F)
+    return spec, window, x[0] + params["out_b"]  # (T, F, C)
+
+
+@functools.partial(jax.jit, static_argnames=("dil",))
+def separate_vocals(params: dict, audio: jnp.ndarray, dil=None) -> jnp.ndarray:
+    """(N,) float32 -> vocals (N,). Static per input length (callers bucket).
+
+    1-stem nets apply a sigmoid vocal mask; n-stem nets take the softmax
+    partition's vocals channel (STEM_NAMES[0]) — either way this is the ASR
+    frontend's voice estimate."""
+    spec, window, logits = _mask_logits(params, audio, dil)
+    if logits.shape[-1] == 1:
+        mask = jax.nn.sigmoid(logits[:, :, 0])  # (T, F)
+    else:
+        mask = jax.nn.softmax(logits, axis=-1)[:, :, 0]
     return _istft(spec * mask.astype(spec.dtype), window, audio.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("dil",))
+def separate_stems_device(params: dict, audio: jnp.ndarray, dil=None) -> jnp.ndarray:
+    """(N,) float32 -> (C, N) stems. Softmax masks sum to 1 per TF bin, so
+    the stems PARTITION the mixture: sum(stems) == mix up to OLA error —
+    mixture consistency by construction (the reference's Demucs 4-stem
+    capability, vocal_separation.py:187-213)."""
+    spec, window, logits = _mask_logits(params, audio, dil)
+    if logits.shape[-1] == 1:
+        masks = jnp.stack(
+            [jax.nn.sigmoid(logits[:, :, 0])], axis=-1
+        )
+    else:
+        masks = jax.nn.softmax(logits, axis=-1)  # (T, F, C)
+    return jnp.stack(
+        [
+            _istft(spec * masks[:, :, c].astype(spec.dtype), window, audio.shape[0])
+            for c in range(masks.shape[-1])
+        ]
+    )
 
 
 _torch_mod = 0  # lazy: 0 = not probed, None = unavailable, module otherwise
@@ -176,10 +245,10 @@ def _torch():
 
 
 def _conv_stack_torch(torch, params: dict, h0: np.ndarray, dil) -> np.ndarray:
-    """(T, F, Cin) -> sigmoid-input (T, F) via torch.conv2d (oneDNN). On the
-    1-core host this rig provides, the direct conv beats the 9-shifted-matmul
-    numpy formulation ~2x (62 vs 134 ms for a 1 s chunk, v2 net); numerics
-    match numpy to ~2e-7."""
+    """(T, F, Cin) -> mask logits (T, F, Cout) via torch.conv2d (oneDNN). On
+    the 1-core host this rig provides, the direct conv beats the
+    9-shifted-matmul numpy formulation ~2x (62 vs 134 ms for a 1 s chunk, v2
+    net); numerics match numpy to ~2e-7."""
     F = torch.nn.functional
     n_layers = len([k for k in params if k.startswith("enc") and k.endswith("_w")])
     h = torch.from_numpy(np.ascontiguousarray(h0.transpose(2, 0, 1))[None])  # (1,C,T,F)
@@ -191,19 +260,11 @@ def _conv_stack_torch(torch, params: dict, h0: np.ndarray, dil) -> np.ndarray:
     w = torch.from_numpy(params["out_w"]).permute(3, 2, 0, 1)
     dt, df = dil[n_layers]
     h = F.conv2d(h, w, None, padding=(dt, df), dilation=(dt, df))
-    return h[0, 0].numpy() + params["out_b"][0]
+    return h[0].permute(1, 2, 0).numpy() + params["out_b"]
 
 
-def separate_vocals_np(params: dict, audio: np.ndarray) -> np.ndarray:
-    """Host mirror of separate_vocals — bit-for-bit the same network. On
-    backends where every device round-trip pays tens of ms of tunnel latency
-    (this rig: ~28 ms each way), the host path beats shipping the audio to the
-    chip and back per chunk. Selected by ``NeuralSeparator(use_device=False)``
-    / config ``vocal_separation.use_device``. The conv stack runs through
-    torch's CPU conv2d when torch imports (2x faster on one core), else
-    through 9-shifted-slice BLAS matmuls — identical numerics either way.
-    """
-    x = np.asarray(audio, np.float32)
+def _mask_logits_np(params: dict, x: np.ndarray):
+    """Host trunk mirror: (N,) f32 -> (spec (T,F), logits (T,F,C))."""
     window = np.hanning(N_FFT).astype(np.float32)
     pad = N_FFT // 2
     xp = np.pad(x, (pad, pad), mode="reflect")
@@ -241,17 +302,23 @@ def separate_vocals_np(params: dict, audio: np.ndarray) -> np.ndarray:
     n_layers = len([k for k in p if k.startswith("enc") and k.endswith("_w")])
     torch = _torch()
     if torch is not None:
-        pre = _conv_stack_torch(torch, p, h, dil)
+        logits = _conv_stack_torch(torch, p, h, dil)
     else:
         for i in range(n_layers):
             h = conv3x3(h, p[f"enc{i}_w"], p[f"enc{i}_b"], relu=True,
                         dt=dil[i][0], df=dil[i][1])
-        h = conv3x3(h, p["out_w"], np.zeros(1, np.float32), relu=False,
+        n_out = p["out_w"].shape[-1]
+        h = conv3x3(h, p["out_w"], np.zeros(n_out, np.float32), relu=False,
                     dt=dil[n_layers][0], df=dil[n_layers][1])
-        pre = h[:, :, 0] + p["out_b"][0]
-    mask = 1.0 / (1.0 + np.exp(-pre))  # (T, F)
+        logits = h + p["out_b"]
+    return spec, logits
 
-    frames = np.fft.irfft(spec * mask, N_FFT, axis=-1).astype(np.float32) * window
+
+def _istft_np(spec_masked: np.ndarray, out_len: int) -> np.ndarray:
+    window = np.hanning(N_FFT).astype(np.float32)
+    pad = N_FFT // 2
+    n_frames = spec_masked.shape[0]
+    frames = np.fft.irfft(spec_masked, N_FFT, axis=-1).astype(np.float32) * window
     # overlap-add without np.add.at (scalar scatter, ~40 ms for 66k adds):
     # HOP divides N_FFT, so frame i covers grid rows i..i+R-1 of a (row=HOP)
     # layout — R strided vector adds do the whole accumulation
@@ -263,7 +330,43 @@ def separate_vocals_np(params: dict, audio: np.ndarray) -> np.ndarray:
         grid[p : p + n_frames] += frames[:, p * HOP : (p + 1) * HOP]
         accg[p : p + n_frames] += w2[p]
     out = grid.reshape(-1) / np.maximum(accg.reshape(-1), 1e-6)
-    return out[pad : pad + len(x)]
+    return out[pad : pad + out_len]
+
+
+def _softmax_np(z: np.ndarray) -> np.ndarray:
+    e = np.exp(z - z.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def separate_vocals_np(params: dict, audio: np.ndarray) -> np.ndarray:
+    """Host mirror of separate_vocals — bit-for-bit the same network. On
+    backends where every device round-trip pays tens of ms of tunnel latency
+    (this rig: ~28 ms each way), the host path beats shipping the audio to the
+    chip and back per chunk. Selected by ``NeuralSeparator(use_device=False)``
+    / config ``vocal_separation.use_device``. The conv stack runs through
+    torch's CPU conv2d when torch imports (2x faster on one core), else
+    through 9-shifted-slice BLAS matmuls — identical numerics either way.
+    """
+    x = np.asarray(audio, np.float32)
+    spec, logits = _mask_logits_np(params, x)
+    if logits.shape[-1] == 1:
+        mask = 1.0 / (1.0 + np.exp(-logits[:, :, 0]))  # (T, F)
+    else:
+        mask = _softmax_np(logits)[:, :, 0]
+    return _istft_np(spec * mask, len(x))
+
+
+def separate_stems_np(params: dict, audio: np.ndarray) -> np.ndarray:
+    """Host mirror of separate_stems_device: (N,) -> (C, N)."""
+    x = np.asarray(audio, np.float32)
+    spec, logits = _mask_logits_np(params, x)
+    if logits.shape[-1] == 1:
+        masks = (1.0 / (1.0 + np.exp(-logits)))
+    else:
+        masks = _softmax_np(logits)
+    return np.stack(
+        [_istft_np(spec * masks[:, :, c], len(x)) for c in range(masks.shape[-1])]
+    )
 
 
 class NeuralSeparator:
@@ -337,14 +440,64 @@ class NeuralSeparator:
             return audio
 
     def separate_stems(self, audio: np.ndarray) -> dict:
-        """{"vocals", "accompaniment"} — the accompaniment is the exact
-        time-domain complement of the masked vocal estimate (ISTFT(S·(1−m)) ==
-        mix − ISTFT(S·m) up to OLA reconstruction error). 2-stem parity with
-        the reference's (vocals, background) returns
-        (vocal_separation.py:195-213, :280-293)."""
+        """Named stems. 1-stem (sigmoid) nets return {"vocals",
+        "accompaniment"} — the accompaniment is the exact time-domain
+        complement of the masked vocal estimate (ISTFT(S·(1−m)) == mix −
+        ISTFT(S·m) up to OLA error; reference 2-stem returns,
+        vocal_separation.py:195-213, :280-293). 4-stem nets return
+        {"vocals","drums","bass","other"} from the softmax partition (the
+        reference's Demucs 4-stem capability, vocal_separation.py:187-213)
+        plus "accompaniment" = mix − vocals for 2-stem API compatibility."""
         x = np.asarray(audio, np.float32)
-        vocals = np.asarray(self.separate(x), np.float32)
-        return {"vocals": vocals, "accompaniment": x - vocals}
+        n_stems = n_stems_of(self.params)
+        if n_stems == 1 or len(x) < N_FFT:
+            vocals = np.asarray(self.separate(x), np.float32)
+            return {"vocals": vocals, "accompaniment": x - vocals}
+        stems = self._stems_array(x)  # (C, N)
+        out = {name: stems[i] for i, name in enumerate(STEM_NAMES[:n_stems])}
+        out["accompaniment"] = x - out["vocals"]
+        return out
+
+    def _stems_array(self, x: np.ndarray) -> np.ndarray:
+        """(N,) -> (C, N) with the same bucket/window discipline as
+        ``separate``; windows crossfade per stem."""
+        n = len(x)
+        if not self.use_device:
+            one = lambda seg: separate_stems_np(self.params, seg)  # noqa: E731
+        else:
+            if self._params_dev is None:
+                self._params_dev = {k: jnp.asarray(v) for k, v in self.params.items()}
+            from realtime_whisper_asr_tpu.utils.transfer import device_get
+
+            def one(seg: np.ndarray) -> np.ndarray:
+                m = len(seg)
+                nb = next(b for b in self._buckets if m <= b)
+                padded = np.zeros(nb, np.float32)
+                padded[:m] = seg
+                out = device_get(separate_stems_device(self._params_dev, jnp.asarray(padded)))
+                return np.asarray(out[:, :m])
+
+        if n <= self._buckets[-1]:
+            return one(x)
+        block, overlap = self._buckets[-1], 4096
+        n_stems = n_stems_of(self.params)
+        out = np.zeros((n_stems, n), np.float32)
+        acc = np.zeros(n, np.float32)
+        ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)
+        step = block - overlap
+        for start in range(0, n, step):
+            piece = one(x[start : start + block])  # (C, m)
+            m = piece.shape[1]
+            w = np.ones(m, np.float32)
+            if start > 0:
+                w[: min(overlap, m)] = ramp[: min(overlap, m)]
+            if start + m < n and m > overlap:
+                w[-overlap:] *= ramp[::-1]
+            out[:, start : start + m] += piece * w[None, :]
+            acc[start : start + m] += w
+            if start + block >= n:
+                break
+        return out / np.maximum(acc, 1e-9)[None, :]
 
     def save_npz(self, path: str):
         np.savez(path, **{k: np.asarray(v) for k, v in self.params.items()})

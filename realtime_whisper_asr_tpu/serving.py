@@ -128,6 +128,20 @@ class StreamServer:
         #: Separators are stateless apart from a stats dict, so one shared
         #: instance serves all streams; prefer a host-path separator
         #: (use_device=False) so feed() never touches the accelerator.
+        #: Trained neural separators fuse into the shared ASR's jitted
+        #: logmel+encode program instead (zero host cost per stream, batched
+        #: on-device with the tick's encode — see asr.set_separation_frontend);
+        #: feed() then passes audio through untouched.
+        self.fused_separation = False
+        if (
+            separator is not None
+            and getattr(separator, "name", "") == "neural"
+            and getattr(separator, "trained", False)
+            and hasattr(asr, "set_separation_frontend")
+        ):
+            asr.set_separation_frontend(separator.params)
+            self.fused_separation = True
+            separator = None
         self.separator = separator
         # one shared (stateless) speaker embedder; per-stream trackers
         self._speaker_embedder = None
@@ -533,7 +547,9 @@ class StreamServer:
                 "streams": len([s for s in self.streams.values() if not s.closed]),
                 "total_streams": len(self.streams),
                 "group_failures": self.group_failures,
-                "separator": self.separator.get_stats() if self.separator else None,
+                "separator": (self.separator.get_stats() if self.separator
+                              else {"fused": True} if self.fused_separation
+                              else None),
                 "monitor": self.monitor.get_status(),
                 "per_stream": {
                     sid: {"ticks": s.ticks, "shed": s.skipped_ticks,

@@ -127,17 +127,19 @@ def recommend_separation_config(hw: dict[str, Any], model: str,
                 "reason": "CPU session: small host-path mask net (~15 ms/chunk) "
                           "beats band-pass quality at a filter-like cost"}
     if streams > 4:
-        # separation runs per stream on the host feed path (use_device False:
-        # per-chunk device round-trips would contend with the decode tick);
-        # at many streams the full net's ~35 ms/chunk/stream stops fitting
-        # one core
-        return {"method": "neural", "variant": "small", "use_device": False,
-                "reason": f"{streams} concurrent streams: the small host-path "
-                          "variant keeps per-stream separation ~2.6x cheaper"}
+        # fused on-device separation rides the batched tick encode, so the
+        # per-stream cost is device compute only (no host conv per stream,
+        # no extra transfers); the small variant keeps that prologue cheap
+        # at high batch
+        return {"method": "neural", "variant": "small", "fuse_encode": True,
+                "reason": f"{streams} concurrent streams: small mask net "
+                          "fused into the batched tick encode (zero host "
+                          "cost per stream)"}
     if gib >= model_gib * 3 + 1:
-        return {"method": "neural", "variant": "default",
+        return {"method": "neural", "variant": "default", "fuse_encode": True,
                 "reason": f"{gib:.0f} GiB HBM leaves headroom for the trained "
-                          "on-device spectral-mask separator (best quality)"}
+                          "spectral-mask separator fused into the encode "
+                          "program (best quality, zero host cost)"}
     return {"method": "filter",
             "reason": "tight memory: 85-3400 Hz band-pass (reference default, ~1-5 ms)"}
 

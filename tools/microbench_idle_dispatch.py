@@ -27,6 +27,17 @@ time. Variants:
   sleep_sync like sleep, but a tiny synced matmul right before the tick
            (does a cheap pre-warm recover the cost?)
 
+Round-4 finding hunt: the first sweep (compute-only tick, no transfers)
+measured NO idle-gap effect — but the REAL paced tick uploads ~34 KB at
+insert time right after the sleep and downloads ~KBs at the end. If the
+relay rides TCP, net.ipv4.tcp_slow_start_after_idle collapses the
+congestion window during a ~1 s sleep, and a 34 KB upload then pays extra
+round trips (cwnd10 ≈ 14.6 KB ⇒ 2-3 RTTs instead of 1 ≈ the observed
++20 ms/tick). The upload variants isolate that leg:
+  upload_sleep      sleep gap → 34 KB h2d → tick → fetch (times each leg)
+  upload_keepalive  same, but 100 ms keep-alive slices each push a ~1.5 KB
+                    h2d during the gap (keeps cwnd warm — candidate fix)
+
 Usage: python tools/microbench_idle_dispatch.py   (quiet host; serialize
 with other TPU work). Writes /tmp/microbench_idle_dispatch.json.
 """
@@ -82,46 +93,68 @@ def main():
         while time.perf_counter() < end:
             pass
 
+    # ~the headline tick's h2d payload (33.6 KB counted in BENCH_r03) and a
+    # keep-alive-sized crumb (one TCP segment's worth)
+    up_payload = rng.standard_normal(8600).astype(np.float32)  # 34.4 KB
+    crumb = np.ones(380, np.float32)  # ~1.5 KB
+
+    @jax.jit
+    def consume(u):
+        return jnp.sum(u)  # force the upload to be consumed by a program
+
     def rep(variant: str, gap_ms: float) -> tuple[float, float, float]:
-        """One idle gap + one tick; returns (tick_ms, oversleep_ms)."""
+        """One idle gap + one tick; returns (tick_ms, oversleep_ms, upload_ms)."""
         gap = gap_ms / 1e3
         t0 = time.perf_counter()
         if variant == "spin":
             spin(gap)
-        elif variant == "keepalive":
+        elif variant in ("keepalive", "upload_keepalive"):
             end = t0 + gap
             while True:
                 left = end - time.perf_counter()
                 if left <= 0:
                     break
                 time.sleep(min(0.1, left))
-                pulse(tiny)  # dispatch only; no sync
+                if variant == "upload_keepalive":
+                    consume(jnp.asarray(crumb))  # small h2d keeps cwnd warm
+                else:
+                    pulse(tiny)  # dispatch only; no sync
         else:
             time.sleep(gap)
         oversleep = (time.perf_counter() - t0 - gap) * 1e3
         if variant == "sleep_sync":
             np.asarray(pulse(tiny))
+        up_ms = 0.0
         t1 = time.perf_counter()
+        if variant.startswith("upload"):
+            u = jnp.asarray(up_payload)  # the tick-shaped h2d leg
+            consume(u)
+            up_ms = (time.perf_counter() - t1) * 1e3
         out = tick(x, ws)
         _ = np.asarray(out)
-        return (time.perf_counter() - t1) * 1e3, oversleep
+        return (time.perf_counter() - t1) * 1e3, oversleep, up_ms
 
     reps = 15
     for gap_ms in (0, 50, 200, 500, 940):
-        for variant in ("sleep", "spin", "keepalive", "sleep_sync"):
-            if gap_ms == 0 and variant != "sleep":
+        for variant in ("sleep", "spin", "keepalive", "sleep_sync",
+                        "upload_sleep", "upload_keepalive"):
+            if gap_ms == 0 and variant not in ("sleep", "upload_sleep"):
                 continue
-            ts, overs = [], []
+            ts, overs, ups = [], [], []
             for _ in range(reps):
-                ms, ov = rep(variant, gap_ms)
-                ts.append(ms); overs.append(ov)
+                ms, ov, up = rep(variant, gap_ms)
+                ts.append(ms); overs.append(ov); ups.append(up)
             med = float(np.median(ts)); p90 = float(np.percentile(ts, 90))
-            omed = float(np.median(overs))
+            omed = float(np.median(overs)); umed = float(np.median(ups))
             results[f"{variant}_{gap_ms}ms"] = med
             results[f"{variant}_{gap_ms}ms_p90"] = p90
             results[f"{variant}_{gap_ms}ms_oversleep"] = omed
-            print(f"{variant:10s} gap={gap_ms:4d}ms: tick median {med:6.1f} ms "
-                  f"(p90 {p90:6.1f}) oversleep {omed:5.2f} ms", flush=True)
+            if variant.startswith("upload"):
+                results[f"{variant}_{gap_ms}ms_upload"] = umed
+            print(f"{variant:16s} gap={gap_ms:4d}ms: tick median {med:6.1f} ms "
+                  f"(p90 {p90:6.1f}) oversleep {omed:5.2f} ms"
+                  + (f" upload {umed:5.1f} ms" if variant.startswith("upload") else ""),
+                  flush=True)
 
     print(json.dumps(results))
     with open("/tmp/microbench_idle_dispatch.json", "w") as f:
