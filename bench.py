@@ -610,6 +610,12 @@ def main() -> int:
     # lands in the dead time between chunks, and the measured tick shows the
     # product's true busy time. rtf stays sum(process_iter)/audio.
     paced = os.environ.get("BENCH_PACED", "") not in ("", "0")
+    if paced and hasattr(asr, "start_idle_keepalive"):
+        # the ~1 s sleeps collapse the tunnel's TCP window (slow-start after
+        # idle) and the next tick's upload pays it back (+14 ms/tick measured,
+        # headline_paced_phases r4); tiny idle pings keep the window open.
+        # RWA_KEEPALIVE_MS=0 is the A/B control.
+        asr.start_idle_keepalive()
     d2h_before = D.TRANSFER_STATS["d2h"]
     d2h_block_before = D.TRANSFER_STATS["d2h_block_s"]
     h2d_before = asr.counters["h2d_transfers"]

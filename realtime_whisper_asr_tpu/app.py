@@ -639,6 +639,11 @@ class StreamingApp:
                 sep = self.separator.separate(chunk)
             return chunk, sep, recovered
 
+        # realtime sessions sleep most of each chunk interval in stream.read;
+        # idle keep-alive pings stop the tunnel's TCP window from collapsing
+        # during those gaps (paced upload tax, asr.start_idle_keepalive)
+        if self.asr is not None and hasattr(self.asr, "start_idle_keepalive"):
+            self.asr.start_idle_keepalive()
         worker = None
         pending = False
         if self.separator is not None:
@@ -698,6 +703,8 @@ class StreamingApp:
         finally:
             if worker is not None:
                 worker.stop()
+            if self.asr is not None and hasattr(self.asr, "stop_idle_keepalive"):
+                self.asr.stop_idle_keepalive()
             # finish_all: one finish() hands over only ONE staged VAC
             # utterance (end+start inside the final chunk) — a single call
             # here silently dropped the rest (round-3 review; the serving

@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import os
 import time
 from typing import Optional, Sequence
 
@@ -333,6 +334,11 @@ class TPUWhisperASR:
         #: decode-throughput counters (tokens/s, MFU estimation in bench.py)
         self.counters = {"new_tokens": 0, "ticks": 0, "encoded_frames": 0,
                          "h2d_transfers": 0, "h2d_bytes": 0}
+        # idle keep-alive (start_idle_keepalive): tiny h2d pings while the
+        # session sleeps between realtime chunks
+        self._keepalive_thread = None
+        self._keepalive_stop = None
+        self._last_h2d_t = 0.0
         try:
             self._extra_suppress = tuple(self.tokenizer.non_speech_ids())
         except AttributeError:
@@ -458,6 +464,7 @@ class TPUWhisperASR:
             [p["pos"] or 0 for p in plans] + [p["shift_k"] for p in plans],
             np.float32,
         )
+        self._last_h2d_t = time.monotonic()
         blob = np.concatenate([p["words"] for p in plans] + [aux_flat, meta])
         if len(plans) > 1 and blob.size:
             # the blob's SHAPE is part of every per-row program's jit key —
@@ -539,6 +546,73 @@ class TPUWhisperASR:
 
     def drop_stream(self, key) -> None:
         self._buffers.pop(key, None)
+
+    # ----------------------------------------------------------- keep-alive
+
+    def start_idle_keepalive(self, interval_s: Optional[float] = None) -> bool:
+        """Ping the device with a tiny async upload whenever the host→device
+        path has been idle for ``interval_s``.
+
+        Why: a realtime session sleeps ~1 s between chunks. On a tunneled
+        (TCP-relayed) backend that idle gap lets the transport's congestion
+        window collapse (RFC 2861 slow-start-after-idle), so the first upload
+        of the next tick pays extra round trips — measured as the paced-mode
+        upload tax (+14 ms/tick in BENCH_r04 headline_paced_phases: upload
+        16.9 ms paced vs 2.5 ms as-fast; tools/microbench_idle_dispatch.py
+        isolates it). A 512-byte ping every ~250 ms of idleness keeps the
+        window open for ~4 ms/s of overhead. On non-tunneled backends the
+        pings are harmless dispatch noise. The reference has no analog (its
+        GPU is host-local); this is rig-transport engineering, not model work.
+
+        ``interval_s`` defaults from ``RWA_KEEPALIVE_MS`` (250; ``0`` disables
+        and makes this a no-op, the A/B control). Idempotent; returns whether
+        the pump is running. ``stop_idle_keepalive()`` joins the thread.
+        """
+        if interval_s is None:
+            try:
+                interval_s = float(os.environ.get("RWA_KEEPALIVE_MS", "250")) / 1e3
+            except ValueError:
+                interval_s = 0.25
+        if interval_s <= 0:
+            return False
+        if self._keepalive_thread is not None and self._keepalive_thread.is_alive():
+            return True
+        import threading
+
+        stop = threading.Event()
+        counters = self.counters
+
+        def _pump():
+            seq = 0
+            scratch = np.zeros(128, np.float32)  # 128-aligned: fast-path size
+            while not stop.wait(interval_s / 2):
+                if time.monotonic() - self._last_h2d_t < interval_s:
+                    continue
+                seq += 1
+                scratch[0] = seq  # defeat any value-dedup in the runtime
+                try:
+                    jax.device_put(scratch)  # async; result dropped on purpose
+                except Exception:
+                    logger.exception("idle keepalive ping failed; stopping pump")
+                    return
+                self._last_h2d_t = time.monotonic()
+                counters["keepalive_h2d"] = counters.get("keepalive_h2d", 0) + 1
+
+        self._keepalive_stop = stop
+        self._keepalive_thread = threading.Thread(
+            target=_pump, name="rwa-keepalive", daemon=True
+        )
+        self._keepalive_thread.start()
+        return True
+
+    def stop_idle_keepalive(self) -> None:
+        if self._keepalive_stop is not None:
+            self._keepalive_stop.set()
+        t = self._keepalive_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=2.0)
+        self._keepalive_thread = None
+        self._keepalive_stop = None
 
     def _window_bucket(self, n_samples: int) -> int:
         for b in self.WINDOW_BUCKETS_S:

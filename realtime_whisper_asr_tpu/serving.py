@@ -523,9 +523,19 @@ class StreamServer:
         self._inflight = []
 
     def serve_forever(self, idle_sleep: float = 0.01) -> None:
-        while not self._stop.is_set():
-            if not self.step():
-                time.sleep(idle_sleep)
+        # realtime streams deliver ~1 chunk/s each; a lightly loaded server
+        # idles between arrivals and the tunnel's TCP window collapses —
+        # idle keep-alive pings keep the next tick's upload at full rate
+        # (asr.start_idle_keepalive; no-op on non-TPU backends)
+        if hasattr(self.asr, "start_idle_keepalive"):
+            self.asr.start_idle_keepalive()
+        try:
+            while not self._stop.is_set():
+                if not self.step():
+                    time.sleep(idle_sleep)
+        finally:
+            if hasattr(self.asr, "stop_idle_keepalive"):
+                self.asr.stop_idle_keepalive()
 
     def start(self) -> None:
         if self._thread is None or not self._thread.is_alive():

@@ -1103,3 +1103,34 @@ def test_windowing_carry_trims_without_overdeletion(asr, monkeypatch):
     assert prompts_seen[2] == list(range(0, 200))
     # len(carry)=300 > cap: exactly the newest cap tokens survive
     assert prompts_seen[3] == list(range(300 - cap, 300))
+
+
+def test_idle_keepalive_pings_when_idle(asr, monkeypatch):
+    """start_idle_keepalive pumps tiny h2d pings only across idle gaps, never
+    inflates the tick-upload counters, and stops cleanly. The pump defeats the
+    tunnel's TCP slow-start-after-idle (paced upload tax, BENCH r4
+    headline_paced_phases: upload 16.9 ms paced vs 2.5 ms as-fast)."""
+    import time as _t
+
+    asr.counters.pop("keepalive_h2d", None)
+    h2d_before = asr.counters["h2d_transfers"]
+    monkeypatch.setenv("RWA_KEEPALIVE_MS", "30")
+    assert asr.start_idle_keepalive()
+    assert asr.start_idle_keepalive()  # idempotent while running
+    deadline = _t.monotonic() + 5.0
+    while asr.counters.get("keepalive_h2d", 0) < 3 and _t.monotonic() < deadline:
+        _t.sleep(0.01)
+    assert asr.counters.get("keepalive_h2d", 0) >= 3
+    # a busy h2d path suppresses pings (no contention with tick uploads)
+    asr._last_h2d_t = _t.monotonic() + 60.0
+    n = asr.counters["keepalive_h2d"]
+    _t.sleep(0.12)
+    assert asr.counters["keepalive_h2d"] == n
+    asr.stop_idle_keepalive()
+    assert asr._keepalive_thread is None
+    # pings never count as tick uploads
+    assert asr.counters["h2d_transfers"] == h2d_before
+    # disabled via env: no-op
+    monkeypatch.setenv("RWA_KEEPALIVE_MS", "0")
+    assert not asr.start_idle_keepalive()
+    assert asr._keepalive_thread is None
