@@ -15,8 +15,9 @@ reference 一键实时识别麦克风.py:282) — values > 1 are that many times
 
 Env knobs: BENCH_MODEL (default large-v3), BENCH_SECONDS (default 24),
 BENCH_CHUNK (s, default 1.0), BENCH_MAX_NEW (default 96), BENCH_QUANT
-(int8|int8-all|int8-kv|none; default int8-all, the shipped recommendation
-for ≥medium models), BENCH_PHASES=1 (sync-floor-corrected phase
+(int8|int8-all|int8-kv|int4|int4-all|none; default int8-all, the shipped
+recommendation for ≥medium models; int4* = nibble-packed g128 decoder
+weights — half the int8 HBM residency), BENCH_PHASES=1 (sync-floor-corrected phase
 split), BENCH_STREAMS=N (multi-stream serving capacity), BENCH_SCENARIO
 (1..5 runs a BASELINE.json scenario through the full StreamingApp product
 path instead of the headline loop):
@@ -223,6 +224,8 @@ def _tree_bytes_count(tree) -> tuple[int, int]:
     import jax
 
     leaves = jax.tree.leaves(tree)
+    # int4 weights are nibble-packed into int8 storage (quant._pack_int4), so
+    # plain itemsize already counts the true HBM footprint the roofline streams
     return (sum(l.size * l.dtype.itemsize for l in leaves), sum(int(l.size) for l in leaves))
 
 
@@ -328,7 +331,7 @@ def perf_extras(asr, audio_s: float, quant: str, h2d_before: int,
             extras["encode_ms"] = round(
                 max(rep_enc.get("mean_ms", 0.0) - extras["sync_floor_ms"], 0.0), 2
             )
-            peak = 394e12 if quant == "int8-all" else V5E_PEAK_BF16
+            peak = 394e12 if quant in ("int8-all", "int4-all") else V5E_PEAK_BF16
             extras["encode_tflops_est"] = round(enc_flops / enc_s / 1e12, 1)
             extras["encode_mfu_est"] = round(enc_flops / enc_s / peak, 3)
 

@@ -226,7 +226,8 @@ class TPUWhisperASR:
                 # a pre-quantized artifact cannot be weakened: the f32 weights
                 # are gone, so e.g. int8-all prequant + requested "int8" would
                 # RUN int8-all while reporting int8. Report what actually runs.
-                rank = {"int8": 1, "int8-all": 2, "int8-kv": 2}
+                rank = {"int8": 1, "int8-all": 2, "int8-kv": 2,
+                        "int4": 3, "int4-all": 4}
                 if rank.get(pre_quant, 0) > rank.get(quantization, 0):
                     logger.warning(
                         "checkpoint is pre-quantized %s; requested %r cannot "
@@ -242,6 +243,20 @@ class TPUWhisperASR:
             from realtime_whisper_asr_tpu.models.whisper.quant import quantize_all
 
             self.params = quantize_all(self.params)
+        elif quantization == "int4":
+            # int4-g128 decoder blocks (nibble-packed) + int8 logits head:
+            # half the int8 tier's HBM residency and checkpoint size at
+            # measured step-time parity — the multi-stream capacity tier
+            # beyond the reference's CTranslate2 int8 (asr_components.py:264)
+            from realtime_whisper_asr_tpu.models.whisper.quant import (
+                quantize_decoder_int4,
+            )
+
+            self.params = quantize_decoder_int4(self.params)
+        elif quantization == "int4-all":
+            from realtime_whisper_asr_tpu.models.whisper.quant import quantize_all_int4
+
+            self.params = quantize_all_int4(self.params)
         elif quantization not in (None, "", "none"):
             raise ValueError(f"unknown quantization {quantization!r}")
         self.quantization = quantization if quantization not in ("", "none") else None

@@ -32,10 +32,13 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--config", default="config.json", help="config file path")
     p.add_argument("--dtype", default=None, choices=["bfloat16", "float32"])
     p.add_argument("--quantization", default=None,
-                   choices=["int8", "int8-all", "int8-kv", "none"],
+                   choices=["int8", "int8-all", "int8-kv", "int4", "int4-all",
+                            "none"],
                    help="int8 = decoder weights; int8-all = +encoder+logits "
                         "head (single-stream recommendation); int8-kv = +KV "
-                        "caches (opt-in, loses below multi-chip batch sizes)")
+                        "caches (opt-in, loses below multi-chip batch sizes); "
+                        "int4 = decoder int4-g128 + int8 head (half the int8 "
+                        "HBM/checkpoint footprint); int4-all = +int8 encoder")
     p.add_argument("--prefix-policy", default=None, choices=["agree2", "last"],
                    help="incremental decode mode (last = SimulStreaming-style)")
     p.add_argument("--diarize", action="store_true",

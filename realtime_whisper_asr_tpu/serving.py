@@ -77,6 +77,34 @@ class _Stream:
         self._prev_utt_ends = 0  # consumed VAC end-event count (diarizer)
 
 
+def _hbm_safe_batch(cfg, param_bytes: int, hbm_bytes: Optional[int]) -> Optional[int]:
+    """Largest per-dispatch decode batch whose working set fits device HBM,
+    or None when the device's HBM size is unknown (CPU tests, hosts without
+    memory_stats).
+
+    The pipelined scheduler keeps up to TWO dispatched tick groups alive on
+    the device at once (step() dispatches round N+1 before finalizing round
+    N), and each batch row of a dispatched tick holds bf16 cross-attention KV
+    for the full encoder context plus self-KV and encoder transients.
+    Measured round 4 on a 16 GB v5e: batch 16 serves large-v3 int8-all fine;
+    batch 32 RESOURCE_EXHAUSTEDs every tick — two concurrent groups' cross-KV
+    alone is 2 × 32 × 246 MB ≈ 15.7 GB. The reference never hits this wall
+    (CTranslate2 serves one stream per process); a TPU server must budget it.
+    """
+    if not hbm_bytes or cfg is None:
+        return None
+    d = cfg.n_text_state
+    cross_kv = 2 * cfg.n_text_layer * cfg.n_audio_ctx * d * 2
+    self_kv = 2 * cfg.n_text_layer * 256 * d * 2  # conservative decode ctx
+    enc_transient = 4 * cfg.n_audio_ctx * d * 2
+    per_row = cross_kv + self_kv + enc_transient
+    # 15% HBM held back for XLA workspace/fragmentation + a flat 2 GiB for
+    # program buffers; calibrated so large-v3 int8-all on 16 GB lands at the
+    # measured-safe 16
+    budget = int(hbm_bytes * 0.85) - int(param_bytes) - 2 * 2**30
+    return max(1, budget // (2 * per_row))
+
+
 class StreamServer:
     def __init__(
         self,
@@ -93,6 +121,37 @@ class StreamServer:
         separator=None,
         clock: Callable[[], float] = time.monotonic,
     ):
+        #: HBM-derived ceiling on the per-dispatch batch (None = unknown HBM).
+        #: Oversized max_batch requests are CLAMPED, not honored-then-OOM: the
+        #: scheduler still serves every stream by splitting each round into
+        #: cap-sized groups, trading a little aggregate latency for not losing
+        #: 100% of ticks to RESOURCE_EXHAUSTED resets (measured round 4:
+        #: 32 streams × large-v3 on v5e decoded 0 ticks before this clamp).
+        self.device_batch_cap = None
+        try:
+            cfg = getattr(asr, "cfg", None)
+            params = getattr(asr, "params", None)
+            if cfg is not None and params is not None:
+                import jax
+
+                from realtime_whisper_asr_tpu.utils.hardware import detect_hardware
+
+                pbytes = sum(
+                    l.size * l.dtype.itemsize for l in jax.tree.leaves(params)
+                )
+                self.device_batch_cap = _hbm_safe_batch(
+                    cfg, pbytes, detect_hardware().get("hbm_bytes")
+                )
+        except Exception:  # sizing is best-effort; never block serving
+            logger.exception("HBM batch sizing failed; max_batch unclamped")
+        if self.device_batch_cap is not None and max_batch > self.device_batch_cap:
+            logger.warning(
+                "max_batch %d exceeds the HBM-safe decode batch %d for this "
+                "model/device; clamping (streams beyond the cap are served in "
+                "additional per-round groups)",
+                max_batch, self.device_batch_cap,
+            )
+            max_batch = self.device_batch_cap
         self.max_batch = max_batch
         self.max_consecutive_sheds = max_consecutive_sheds
         self.asr = asr
@@ -557,6 +616,8 @@ class StreamServer:
                 "streams": len([s for s in self.streams.values() if not s.closed]),
                 "total_streams": len(self.streams),
                 "group_failures": self.group_failures,
+                "max_batch": self.max_batch,
+                "device_batch_cap": self.device_batch_cap,
                 "separator": (self.separator.get_stats() if self.separator
                               else {"fused": True} if self.fused_separation
                               else None),

@@ -459,6 +459,67 @@ def test_convert_checkpoint_tool(tmp_path):
     assert isinstance(leaf, dict) and leaf["q"].dtype == jnp.int8
 
 
+def test_prequantized_int4_checkpoint_token_exact(tmp_path):
+    """int4-g128 deployment artifact: a checkpoint saved AFTER
+    quantize_decoder_int4 restores with nibble-packed int8 payloads + f32
+    grouped scales intact under the bf16 load cast, is detected as 'int4',
+    and decodes token-identically to quantize-at-load (mirrors the int8-all
+    prequant contract; the CT2-style artifact at the tier beyond
+    CTranslate2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from realtime_whisper_asr_tpu.asr import TPUWhisperASR
+    from realtime_whisper_asr_tpu.models import whisper as W
+    from realtime_whisper_asr_tpu.models.whisper.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from realtime_whisper_asr_tpu.models.whisper.quant import (
+        detect_quantization,
+        quantize_all_int4,
+        quantize_decoder_int4,
+    )
+
+    cfg = W.get_config("test-tiny")
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    q4 = quantize_decoder_int4(params)
+    assert detect_quantization(q4) == "int4"
+    assert detect_quantization(quantize_all_int4(params)) == "int4-all"
+    # idempotent (the load path re-applies the requested quantization blindly)
+    for a, b in zip(jax.tree.leaves(q4), jax.tree.leaves(quantize_decoder_int4(q4))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    path = str(tmp_path / "q4ckpt")
+    save_checkpoint(path, q4, cfg)
+    cfg2, restored = load_checkpoint(path, dtype=jnp.bfloat16)
+    blk = restored["decoder"]["blocks"]["attn"]["wq"]
+    ref = q4["decoder"]["blocks"]["attn"]["wq"]
+    # nibble-packed storage: int8 payload at HALF the input dim, scales with
+    # the SAME rank as the payload (the grouped layout that marks int4)
+    assert blk["q"].dtype == jnp.int8 and blk["s"].dtype == jnp.float32
+    assert blk["s"].ndim == blk["q"].ndim
+    assert blk["q"].shape[-2] * 2 == params["decoder"]["blocks"]["attn"]["wq"].shape[-2]
+    np.testing.assert_array_equal(np.asarray(blk["q"]), np.asarray(ref["q"]))
+    np.testing.assert_array_equal(np.asarray(blk["s"]), np.asarray(ref["s"]))
+
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    a_mem = TPUWhisperASR(cfg=cfg, params=quantize_decoder_int4(params),
+                          model_size="test-tiny", dtype=jnp.float32,
+                          word_timestamps=False)
+    a_disk = TPUWhisperASR(checkpoint_dir=path, dtype=jnp.float32,
+                           word_timestamps=False)
+    assert a_disk.quantization == "int4"
+    assert a_mem.transcribe(audio).tokens == a_disk.transcribe(audio).tokens
+
+    # an int4 artifact cannot be weakened to a requested int8: report actual
+    a_weak = TPUWhisperASR(checkpoint_dir=path, dtype=jnp.float32,
+                           quantization="int8", word_timestamps=False)
+    assert a_weak.quantization == "int4"
+
+
 def test_prequantized_checkpoint_requested_weaker_reports_actual(tmp_path):
     """An int8-all prequant artifact loaded with quantization='int8' cannot be
     weakened (the f32 weights are gone): the ASR must run — and REPORT —

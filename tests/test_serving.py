@@ -577,3 +577,52 @@ def test_serving_separation_frontend():
     assert server.get_stats()["separator"]["processed"] == 4
     text = "".join(r.text for r in outs)
     assert "one" in text and "three" in text
+
+
+def test_hbm_safe_batch_sizing():
+    """The HBM-derived dispatch-batch ceiling: calibrated to the round-4
+    measurement that batch 16 serves large-v3 int8-all on a 16 GB v5e while
+    batch 32 RESOURCE_EXHAUSTEDs every tick (two pipelined groups' cross-KV
+    alone ≈ 15.7 GB). The formula must admit the measured-safe 16, refuse 32,
+    and stay out of the way when HBM is unknown."""
+    from realtime_whisper_asr_tpu.models import whisper as W
+    from realtime_whisper_asr_tpu.serving import _hbm_safe_batch
+
+    cfg = W.get_config("large-v3")
+    int8all_bytes = 1_600_000_000  # ≈ int8-all large-v3 (decoder 910 MB + enc)
+    cap = _hbm_safe_batch(cfg, int8all_bytes, 16 * 2**30)
+    assert cap is not None and 14 <= cap <= 20, cap
+    assert cap >= 16  # the measured-safe batch must not be refused
+    assert cap < 32  # the measured-OOM batch must be refused
+    assert _hbm_safe_batch(cfg, int8all_bytes, None) is None
+    assert _hbm_safe_batch(None, 0, 16 * 2**30) is None
+    # tiny models on big HBM: effectively uncapped for sane stream counts
+    assert _hbm_safe_batch(W.get_config("tiny"), 80_000_000, 16 * 2**30) > 64
+    # pathological squeeze still returns a usable batch, never 0/negative
+    assert _hbm_safe_batch(cfg, 15 * 2**30, 16 * 2**30) == 1
+
+
+def test_server_clamps_oversized_max_batch(monkeypatch):
+    """StreamServer must clamp an over-HBM max_batch at construction (and
+    surface both numbers in get_stats) instead of dispatching groups that
+    OOM on every tick. The fake ASR carries a real large-v3 config + a fake
+    params tree; the device HBM probe is pinned to a 16 GB v5e."""
+    import jax.numpy as jnp
+
+    from realtime_whisper_asr_tpu.models import whisper as W
+    from realtime_whisper_asr_tpu.utils import hardware
+
+    monkeypatch.setattr(hardware, "detect_hardware",
+                        lambda: {"hbm_bytes": 16 * 2**30})
+
+    words = [(0.5, 0.9, " one")]
+    asr = PerStreamFakeASR({1: words})
+    asr.cfg = W.get_config("large-v3")
+    asr.params = {"w": jnp.zeros(1_600_000_000 // 4, jnp.float32)}
+    server = StreamServer(asr, use_vad=False, max_batch=32)
+    stats = server.get_stats()
+    assert stats["device_batch_cap"] == server.max_batch
+    assert 14 <= server.max_batch <= 20
+    # within-cap requests are honored untouched
+    server2 = StreamServer(asr, use_vad=False, max_batch=4)
+    assert server2.max_batch == 4

@@ -156,3 +156,92 @@ def test_int8_all_and_logits_head_parity(hf_and_jax):
     quant = np.asarray(W.decode_full(qall, cfg, jnp.asarray(tokens), xa_q))
     assert np.abs(quant - dense).max() / denom < 0.12
     assert (dense.argmax(-1) == quant.argmax(-1)).mean() > 0.6
+
+
+def test_int4_decoder_quantization_parity(hf_and_jax):
+    """int4-g128 decoder (quant.quantize_decoder_int4): logits track dense
+    within 4-bit weight tolerance (RTN-g128 on random weights ≈ 3× the int8
+    error), qkv-fusion stays EXACT on the grouped layout (scales concat on
+    the output axis; groups partition the shared input axis), and requantizing
+    an int8 artifact down to int4 behaves like quantizing dense directly."""
+    from realtime_whisper_asr_tpu.models.whisper.quant import (
+        fuse_qkv,
+        quantize_decoder,
+        quantize_decoder_int4,
+    )
+
+    _, cfg, params = hf_and_jax
+    mel = _mel(seed=11)
+    xa = W.encode(params, cfg, jnp.asarray(mel))
+    tokens = np.array([[cfg.sot, cfg.lang_token("en"), cfg.transcribe, 400, 500]], np.int32)
+    dense = np.asarray(W.decode_full(params, cfg, jnp.asarray(tokens), xa))
+    denom = np.maximum(np.abs(dense).max(), 1.0)
+
+    q4 = quantize_decoder_int4(params)
+    l4 = np.asarray(W.decode_full(q4, cfg, jnp.asarray(tokens), xa))
+    rel4 = np.abs(l4 - dense).max() / denom
+    assert rel4 < 0.25, f"int4 relative logits error {rel4}"
+
+    # grouped-scale fusion is a pure layout rewrite: bit-identical logits
+    lf = np.asarray(W.decode_full(fuse_qkv(q4), cfg, jnp.asarray(tokens), xa))
+    np.testing.assert_array_equal(lf, l4)
+
+    # int8 -> int4 requantization (prequant-artifact downgrade path) lands in
+    # the same error band as direct dense -> int4
+    l84 = np.asarray(
+        W.decode_full(quantize_decoder_int4(quantize_decoder(params)), cfg,
+                      jnp.asarray(tokens), xa)
+    )
+    assert np.abs(l84 - dense).max() / denom < rel4 * 1.5 + 0.02
+
+
+def test_int4_pack_roundtrip_and_no_s4_leaves():
+    """The packed-int4 storage contract: (a) _pack_int4/_unpack_int4 are exact
+    inverses over the full [-7,7] value range, and (b) quantize_*_int4 produce
+    NO S4-dtype leaves anywhere — S4 arrays cannot cross host↔device or ride
+    as jit args on the axon TPU backend (device_put relayout recursion,
+    measured round 4), so S4 may only ever exist INSIDE a jitted program."""
+    import jax
+    from realtime_whisper_asr_tpu.models.whisper.quant import (
+        _pack_int4,
+        _unpack_int4,
+        quantize_all_int4,
+    )
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.integers(-7, 8, (6, 256, 64)).astype(np.int8))
+    np.testing.assert_array_equal(np.asarray(_unpack_int4(_pack_int4(q))),
+                                  np.asarray(q))
+
+    cfg = W.get_config("test-tiny")
+    params = W.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    leaves = jax.tree.leaves(quantize_all_int4(params))
+    assert all(str(l.dtype) not in ("int4", "uint4") for l in leaves)
+
+
+def test_int4_group_scales_beat_per_column():
+    """The g128 grouping exists for accuracy: on a (256,128) weight with
+    outlier rows, per-group-of-128 scales must reconstruct strictly better
+    than one per-column scale over the full input dim (the flat int4
+    alternative). Guards the INT4_GROUP=128 design choice."""
+    from realtime_whisper_asr_tpu.models.whisper.quant import (
+        INT4_GROUP,
+        _dequant,
+        _quantize_weight_int4,
+    )
+
+    assert INT4_GROUP == 128  # one MXU K-tile per scale group
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    w[7] *= 40.0  # outlier input row poisons a full-column scale
+
+    grouped = np.asarray(_dequant(_quantize_weight_int4(jnp.asarray(w))))
+    flat_s = np.maximum(np.abs(w).max(0, keepdims=True) / 7.0, 1e-12)
+    flat = np.clip(np.round(w / flat_s), -7, 7) * flat_s
+
+    # the outlier poisons its OWN 128-row group either way; the win is that
+    # grouped scales quarantine it — rows in the other group stay clean,
+    # where a single full-input-dim scale drags them all down with it
+    clean = slice(128, 256)
+    assert (np.abs(grouped[clean] - w[clean]).max()
+            < np.abs(flat[clean] - w[clean]).max() / 2)
