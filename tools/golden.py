@@ -168,6 +168,12 @@ def run_matrix() -> dict:
         pq = _row(asr_pq.transcribe(audio))
     rows["prequant"] = dict(pq, matches_int8all=pq["tokens"] == rows["int8all"]["tokens"])
 
+    # int4-g128 (nibble-packed): quantize-at-load and the pre-quantized
+    # artifact must be token-identical (same contract as int8-all above,
+    # one tier down; tests/test_services.py locks the artifact side)
+    asr4 = build_asr(quantization="int4")
+    rows["int4"] = _row(asr4.transcribe(audio))
+
     # VAC mode: VAD-gated streaming commits over utterances with real gaps
     from realtime_whisper_asr_tpu.models.vad import SileroLikeVAD
     from realtime_whisper_asr_tpu.streaming import (

@@ -58,8 +58,13 @@ run headline_paced         BENCH_QUANT=int8-all BENCH_PACED=1
 run headline_phases        BENCH_QUANT=int8-all BENCH_PHASES=1
 run headline_paced_phases  BENCH_QUANT=int8-all BENCH_PACED=1 BENCH_PHASES=1
 run headline_beam5         BENCH_QUANT=int8-all BENCH_BEAM=5
+run headline_beam5_phases  BENCH_QUANT=int8-all BENCH_BEAM=5 BENCH_PHASES=1
 run headline_beam5_kv      BENCH_QUANT=int8-kv  BENCH_BEAM=5
 run headline_2s_int8all    BENCH_QUANT=int8-all BENCH_CHUNK=2.0
+# int4 tier (nibble-packed g128): measured for the record — step-time parity
+# with int8 expected (XLA materializes the S4 convert); the win is residency
+run headline_int4all       BENCH_QUANT=int4-all
+run headline_int4all_phases BENCH_QUANT=int4-all BENCH_PHASES=1
 
 # --- B: scenarios (3/5 + phases first: they gate round-4 fixes) ------------
 run scenario5              BENCH_SCENARIO=5
@@ -76,5 +81,8 @@ for q in int8-all int8 int8-kv; do
     run "streams${n}_${q//-/}" BENCH_STREAMS=$n BENCH_QUANT=$q
   done
 done
+# int4 at the capacity point: halved weight residency frees HBM for streams
+run streams16_int4 BENCH_STREAMS=16 BENCH_QUANT=int4
+run streams32_int4 BENCH_STREAMS=32 BENCH_QUANT=int4
 
 echo "sweep complete: $DIR" >&2
