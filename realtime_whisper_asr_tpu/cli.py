@@ -85,6 +85,33 @@ def cmd_devices(args) -> int:
     return 0
 
 
+def cmd_separate(args) -> int:
+    """Stem extraction to WAV files — the reference's Demucs/Spleeter stem
+    output as a first-class command (vocal_separation.py:187-213 separates
+    drums/bass/other/vocals; its 2-stem paths return vocals+accompaniment).
+    1-stem (sigmoid) variants write vocals + accompaniment; the 4stem variant
+    writes all four named stems (+ accompaniment for 2-stem compatibility)."""
+    import os
+
+    from realtime_whisper_asr_tpu.io import read_wav
+    from realtime_whisper_asr_tpu.io.wav import write_wav
+    from realtime_whisper_asr_tpu.models.separation_nn import NeuralSeparator
+
+    audio = read_wav(args.audio)
+    sep = NeuralSeparator(variant=args.variant, use_device=not args.cpu)
+    if not sep.trained:
+        print(f"⚠️ no trained weights for variant {args.variant!r}; "
+              "running random-init (tools/train_separator.py trains one)")
+    stems = sep.separate_stems(audio)
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.audio))[0]
+    for name, wav in stems.items():
+        path = os.path.join(args.out_dir, f"{base}.{name}.wav")
+        write_wav(path, wav)
+        print(f"🎵 {name}: {path}")
+    return 0
+
+
 def cmd_transcribe(args) -> int:
     import jax.numpy as jnp
 
@@ -296,6 +323,16 @@ def main(argv=None) -> int:
 
     pd = sub.add_parser("devices", help="list audio input devices")
     pd.set_defaults(fn=cmd_devices)
+
+    px = sub.add_parser("separate", help="extract stems from a WAV file")
+    px.add_argument("audio", help="input WAV path")
+    px.add_argument("--variant", default="4stem",
+                    choices=["default", "small", "4stem", "quality", "fast"],
+                    help="separator variant (4stem = drums/bass/other/vocals)")
+    px.add_argument("--out-dir", default=".", help="where stem WAVs are written")
+    px.add_argument("--cpu", action="store_true",
+                    help="host-path separation (no accelerator round trips)")
+    px.set_defaults(fn=cmd_separate)
 
     ph = sub.add_parser("detect", help="hardware detection report")
     ph.set_defaults(fn=cmd_detect)

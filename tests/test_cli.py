@@ -239,3 +239,25 @@ def test_cli_stream_multi_session_loop(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert out.count("session:") == 2  # two sessions ran
     assert "language → zh" in out
+
+
+def test_cli_separate_writes_stem_wavs(tmp_path):
+    """`cli separate` writes one WAV per stem (vocals + accompaniment for the
+    trained 2-stem default; drums/bass/other too once the 4stem weights are
+    packaged) whose lengths match the input — the reference's Demucs stem
+    output as a command (vocal_separation.py:187-213)."""
+    import numpy as np
+
+    from realtime_whisper_asr_tpu import cli
+    from realtime_whisper_asr_tpu.io import read_wav, write_wav
+
+    rng = np.random.default_rng(0)
+    wav = tmp_path / "mix.wav"
+    write_wav(str(wav), (rng.standard_normal(SR := 16000) * 0.1).astype(np.float32))
+    rc = cli.main(["separate", str(wav), "--variant", "default", "--cpu",
+                   "--out-dir", str(tmp_path / "stems")])
+    assert rc == 0
+    vocals = read_wav(str(tmp_path / "stems" / "mix.vocals.wav"))
+    acc = read_wav(str(tmp_path / "stems" / "mix.accompaniment.wav"))
+    assert len(vocals) == len(acc) == SR
+    assert float(np.abs(vocals).max()) > 0
