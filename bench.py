@@ -152,6 +152,10 @@ def run_scenario(n: int) -> int:
     cm.set("performance.display_interval_s", 1e9)
     for k, v in s["overrides"].items():
         cm.set(k, v)
+    if os.environ.get("BENCH_NOVAD", "") not in ("", "0"):
+        # diagnostic A/B: isolates the VAC layer's cost (utterance staging /
+        # re-prompting churn on music-backed audio) from the asr tick itself
+        cm.set("vad.enable", False)
     app = StreamingApp(config=cm, language=s["language"], task=s.get("task", "transcribe"))
     app.asr.transcribe_kargs.update(max_new_tokens=96, max_total_tokens=96)
     # realistic transcript density for the random-weight emulation: real

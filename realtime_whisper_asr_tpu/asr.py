@@ -599,7 +599,17 @@ class TPUWhisperASR:
 
         def _pump():
             seq = 0
-            scratch = np.zeros(128, np.float32)  # 128-aligned: fast-path size
+            # ping payload size: RFC 2861 congestion-window validation DECAYS
+            # cwnd for application-limited senders, so a 512 B ping only
+            # prevents the full reset-to-initial-cwnd; RWA_KEEPALIVE_KB can
+            # size pings near the tick upload (~34 KB) to hold the window at
+            # transfer scale (A/B'd in the round-4 paced sweep)
+            try:
+                kb = float(os.environ.get("RWA_KEEPALIVE_KB", "0.5"))
+            except ValueError:
+                kb = 0.5
+            n = max(128, (int(kb * 1024) // 4) // 128 * 128)
+            scratch = np.zeros(n, np.float32)  # 128-aligned: fast-path size
             while not stop.wait(interval_s / 2):
                 if time.monotonic() - self._last_h2d_t < interval_s:
                     continue

@@ -98,10 +98,11 @@ def _hbm_safe_batch(cfg, param_bytes: int, hbm_bytes: Optional[int]) -> Optional
     self_kv = 2 * cfg.n_text_layer * 256 * d * 2  # conservative decode ctx
     enc_transient = 4 * cfg.n_audio_ctx * d * 2
     per_row = cross_kv + self_kv + enc_transient
-    # 15% HBM held back for XLA workspace/fragmentation + a flat 2 GiB for
-    # program buffers; calibrated so large-v3 int8-all on 16 GB lands at the
-    # measured-safe 16
-    budget = int(hbm_bytes * 0.85) - int(param_bytes) - 2 * 2**30
+    # 15% HBM held back for XLA workspace/fragmentation + a flat 3 GiB for
+    # program buffers; calibrated against round-4 measurements on 16 GB v5e,
+    # large-v3 int8-all: 2×16 live rows serve fine, 2×17 RESOURCE_EXHAUSTEDs
+    # in the batched encode — the formula must land exactly at 16 there
+    budget = int(hbm_bytes * 0.85) - int(param_bytes) - 3 * 2**30
     return max(1, budget // (2 * per_row))
 
 

@@ -55,6 +55,9 @@ run() {
 run headline_int8all       BENCH_QUANT=int8-all
 run headline_noasync       BENCH_QUANT=int8-all RWA_NO_ASYNC_D2H=1
 run headline_paced         BENCH_QUANT=int8-all BENCH_PACED=1
+# paced-tax diagnosis: faster pings / upload-sized pings (cwnd decay, RFC 2861)
+run headline_paced_ka100   BENCH_QUANT=int8-all BENCH_PACED=1 RWA_KEEPALIVE_MS=100
+run headline_paced_ka32k   BENCH_QUANT=int8-all BENCH_PACED=1 RWA_KEEPALIVE_MS=100 RWA_KEEPALIVE_KB=32
 run headline_phases        BENCH_QUANT=int8-all BENCH_PHASES=1
 run headline_paced_phases  BENCH_QUANT=int8-all BENCH_PACED=1 BENCH_PHASES=1
 run headline_beam5         BENCH_QUANT=int8-all BENCH_BEAM=5
@@ -69,6 +72,7 @@ run headline_int4all_phases BENCH_QUANT=int4-all BENCH_PHASES=1
 # --- B: scenarios (3/5 + phases first: they gate round-4 fixes) ------------
 run scenario5              BENCH_SCENARIO=5
 run scenario5_phases       BENCH_SCENARIO=5 BENCH_PHASES=1
+run scenario5_novad        BENCH_SCENARIO=5 BENCH_NOVAD=1
 run scenario3              BENCH_SCENARIO=3
 run scenario3_phases       BENCH_SCENARIO=3 BENCH_PHASES=1
 run scenario1              BENCH_SCENARIO=1
