@@ -105,14 +105,28 @@ def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray]) -> jnp.ndarray:
             lead = x.shape[:-1]
             half, dout = w["q"].shape
             g = w["s"].shape[0]
-            w4 = jax.lax.bitcast_convert_type(w["q"], jnp.int4)  # (in/2,out,2)
-            wg = w4.reshape(g, half // g, dout, 2)  # (G, k/2, out, 2)
-            xg = xq.reshape(-1, g, half // g, 2)  # (M, G, k/2, 2)
-            p = jax.lax.dot_general(
-                xg, wg, (((2, 3), (1, 3)), ((1,), (0,))),
-                preferred_element_type=jnp.int32,
-            )  # (G, M, out) int32 partials
-            y = (p.astype(jnp.float32) * w["s"].astype(jnp.float32)[:, None, :]).sum(0)
+            xq2 = xq.reshape(-1, 2 * half)
+            from realtime_whisper_asr_tpu.ops.int4_matmul import (
+                int4_matmul,
+                use_pallas_int4,
+            )
+
+            if use_pallas_int4(xq2.shape[0], half, dout, g):
+                # Pallas path: streams the PACKED bytes HBM→VMEM and unpacks
+                # at the MXU's doorstep — true 4-bit weight traffic. The XLA
+                # formulation below materializes the S4→S8 convert in HBM
+                # (measured: step-time parity with int8), so decode-sized M
+                # on TPU takes the kernel.
+                y = int4_matmul(xq2, w["q"], w["s"].astype(jnp.float32))
+            else:
+                w4 = jax.lax.bitcast_convert_type(w["q"], jnp.int4)  # (in/2,out,2)
+                wg = w4.reshape(g, half // g, dout, 2)  # (G, k/2, out, 2)
+                xg = xq2.reshape(-1, g, half // g, 2)  # (M, G, k/2, 2)
+                p = jax.lax.dot_general(
+                    xg, wg, (((2, 3), (1, 3)), ((1,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )  # (G, M, out) int32 partials
+                y = (p.astype(jnp.float32) * w["s"].astype(jnp.float32)[:, None, :]).sum(0)
             y = (y * sx.reshape(-1, 1)).reshape(*lead, dout).astype(x.dtype)
         else:
             y = jax.lax.dot_general(

@@ -245,3 +245,42 @@ def test_int4_group_scales_beat_per_column():
     clean = slice(128, 256)
     assert (np.abs(grouped[clean] - w[clean]).max()
             < np.abs(flat[clean] - w[clean]).max() / 2)
+
+
+def test_int4_pallas_kernel_matches_xla_path():
+    """The Pallas packed-int4 matmul (ops/int4_matmul.py, interpret mode on
+    CPU) must agree with model._linear's XLA grouped-int32 formulation to
+    the kernel's bf16 scale-fold tolerance (one rounding of q*s, <=0.4%
+    relative per weight; 2% bound here) across decode-shaped cases: M=1
+    greedy, M=5 beam, multi-group K, and the fused-qkv N. Also locks the
+    routing predicate: decode-sized aligned shapes take the kernel ON TPU
+    ONLY, prefill M and misaligned test-tiny dims stay on XLA everywhere."""
+    import jax
+
+    from realtime_whisper_asr_tpu.models.whisper.quant import _quantize_weight_int4
+    from realtime_whisper_asr_tpu.ops.int4_matmul import int4_matmul, use_pallas_int4
+
+    rng = np.random.default_rng(7)
+    for m, k, n in ((1, 256, 256), (5, 512, 768), (8, 1280, 512)):
+        w = rng.standard_normal((k, n)).astype(np.float32)
+        d = _quantize_weight_int4(jnp.asarray(w))
+        xq = jnp.asarray(rng.integers(-127, 128, (m, k), dtype=np.int8))
+        y_k = np.asarray(int4_matmul(xq, d["q"], d["s"], interpret=True))
+
+        half, dout = d["q"].shape
+        g = d["s"].shape[0]
+        w4 = jax.lax.bitcast_convert_type(d["q"], jnp.int4)
+        wg = w4.reshape(g, half // g, dout, 2)
+        xg = xq.reshape(-1, g, half // g, 2)
+        p = jax.lax.dot_general(
+            xg, wg, (((2, 3), (1, 3)), ((1,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        y_x = np.asarray((p.astype(jnp.float32) * jnp.asarray(d["s"])[:, None, :]).sum(0))
+        denom = max(np.abs(y_x).max(), 1.0)
+        assert np.abs(y_k - y_x).max() / denom < 0.02, (m, k, n)
+
+    # routing: CPU backend -> always XLA; the shape gates hold regardless
+    assert not use_pallas_int4(1, 640, 1280, 10)  # would be True on TPU
+    assert not use_pallas_int4(128, 640, 1280, 10)  # prefill M: XLA
+    assert not use_pallas_int4(1, 32, 192, 1)  # test-tiny dims: XLA
