@@ -579,15 +579,19 @@ class TPUWhisperASR:
         pings are harmless dispatch noise. The reference has no analog (its
         GPU is host-local); this is rig-transport engineering, not model work.
 
-        ``interval_s`` defaults from ``RWA_KEEPALIVE_MS`` (250; ``0`` disables
-        and makes this a no-op, the A/B control). Idempotent; returns whether
-        the pump is running. ``stop_idle_keepalive()`` joins the thread.
+        ``interval_s`` defaults from ``RWA_KEEPALIVE_MS`` (100; ``0`` disables
+        and makes this a no-op, the A/B control). 100 ms measured round 4:
+        paced RTF 0.0595 vs 0.0718 at the original 250 ms — pings must beat
+        the transport's RTO (~200 ms) or the idle window still collapses
+        between them; at 100 ms paced equals the as-fast loop (+1%).
+        Idempotent; returns whether the pump is running.
+        ``stop_idle_keepalive()`` joins the thread.
         """
         if interval_s is None:
             try:
-                interval_s = float(os.environ.get("RWA_KEEPALIVE_MS", "250")) / 1e3
+                interval_s = float(os.environ.get("RWA_KEEPALIVE_MS", "100")) / 1e3
             except ValueError:
-                interval_s = 0.25
+                interval_s = 0.1
         if interval_s <= 0:
             return False
         if self._keepalive_thread is not None and self._keepalive_thread.is_alive():
