@@ -3,9 +3,8 @@
 Usage:
     python tools/publish_bench.py SWEEP_DIR [--round N]
 
-Reads the one-line JSON outputs bench.py wrote under SWEEP_DIR
-(headline.json, headline_phases.json, scenario1..5.json, streams{2,4,8}.json;
-missing files are skipped with a warning), then writes:
+Reads EVERY one-line JSON row bench.py wrote under SWEEP_DIR (``*.json``,
+skipping empty files), then writes:
 
 - BENCH_SCENARIOS_r{N}.json — every result, keyed by run name;
 - BASELINE.json — fills the ``published`` block with the headline + scenario
@@ -22,24 +21,10 @@ Pass --replace for the old wholesale-rewrite behavior.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
-
-RUNS = (
-    "headline", "headline_phases",
-    "headline_pre_asyncd2h", "headline_phases_pre_asyncd2h",
-    "headline_int8all_pre_asyncd2h", "headline_noasyncd2h", "headline_threadd2h",
-    "headline_int8", "headline_paced_int8all_pre_asyncd2h",
-    "headline_int8all", "headline_2s_int8all", "headline_turbo",
-    "headline_int8all_prequant",
-    "headline_phases_int8all", "headline_phases_int8all_run2", "headline_60s",
-    "headline_beam5", "headline_paced_int8all",
-    "scenario1", "scenario2", "scenario3", "scenario4", "scenario5",
-    "scenario3_phases", "scenario4_phases",
-    "streams2", "streams4", "streams4_mixedlang", "streams8", "streams16",
-    "streams16_int8all", "streams16_int8kv", "streams32",
-)
 
 
 def main(argv=None) -> int:
@@ -57,17 +42,18 @@ def main(argv=None) -> int:
     if not args.replace and os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f)
-    for run in RUNS:
-        path = os.path.join(args.sweep_dir, f"{run}.json")
-        if not os.path.exists(path):
-            print(f"warning: {path} missing; skipped", file=sys.stderr)
-            continue
+    for path in sorted(glob.glob(os.path.join(args.sweep_dir, "*.json"))):
+        run = os.path.splitext(os.path.basename(path))[0]
         with open(path) as f:
             text = f.read().strip()
         if not text:
             print(f"warning: {path} empty; skipped", file=sys.stderr)
             continue
-        results[run] = json.loads(text.splitlines()[-1])
+        try:
+            results[run] = json.loads(text.splitlines()[-1])
+        except json.JSONDecodeError as e:
+            print(f"warning: {path} unparseable ({e}); skipped", file=sys.stderr)
+            continue
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
@@ -77,7 +63,9 @@ def main(argv=None) -> int:
     with open(baseline_path) as f:
         baseline = json.load(f)
     pub: dict = {"hardware": "1x TPU v5e via tunneled axon backend", "round": args.round}
-    h = results.get("headline")
+    # the headline row is the shipped default config: int8-all, 1 s chunks,
+    # as-fast feed; round <4 sweeps named it plain "headline"
+    h = results.get("headline_int8all") or results.get("headline")
     if h:
         pub["large_v3_streaming_rtf"] = h.get("rtf")
         pub["large_v3_p50_chunk_to_text_ms"] = h.get("value")
@@ -120,14 +108,11 @@ def main(argv=None) -> int:
             "unexplained_gap_pct": round(100.0 * (rtf - predicted) / rtf, 1)
             if rtf else None,
         }
-    hpa = results.get("headline_phases_int8all")
-    if hpa:
-        pub["large_v3_compute_rtf_int8all"] = hpa.get("compute_rtf")
-        hpa2 = results.get("headline_phases_int8all_run2")
-        if hpa2:
-            # run-to-run variance on the tunneled chip is ~±20%; publish both
-            pub["large_v3_compute_rtf_int8all_run2"] = hpa2.get("compute_rtf")
-        pub["large_v3_transfer_rtf_corrected"] = hpa.get("transfer_rtf")
+    # paced realtime feed (deployment mode): prefer the keep-alive-tuned row
+    hpaced = results.get("headline_paced_ka100") or results.get("headline_paced")
+    if hpaced:
+        pub["large_v3_paced_streaming_rtf"] = hpaced.get("rtf")
+        pub["large_v3_paced_p50_ms"] = hpaced.get("value")
     h2 = results.get("headline_2s_int8all")
     if h2:
         pub["large_v3_rtf_2s_chunks_int8all"] = h2.get("rtf")
@@ -146,18 +131,23 @@ def main(argv=None) -> int:
     sm = results.get("streams4_mixedlang")
     if sm:
         pub["aggregate_rtf_4_streams_two_language_groups_pipelined"] = sm.get("value")
+    # multi-stream capacity grid: streams{N}[_{quant}] rows
     for n in (2, 4, 8, 16, 32):
         s = results.get(f"streams{n}")
         if s:
             pub[f"aggregate_rtf_{n}_streams"] = s.get("value")
-    for variant in ("int8all", "int8kv"):
-        s = results.get(f"streams16_{variant}")
-        if s:
-            pub[f"aggregate_rtf_16_streams_{variant}"] = s.get("value")
+        for variant in ("int8", "int8all", "int8kv", "int4"):
+            s = results.get(f"streams{n}_{variant}")
+            if s:
+                pub[f"aggregate_rtf_{n}_streams_{variant}"] = s.get("value")
     hb = results.get("headline_beam5")
     if hb:
         pub["large_v3_beam5_rtf"] = hb.get("rtf")
         pub["large_v3_beam5_p50_ms"] = hb.get("value")
+    hi4 = results.get("headline_int4all")
+    if hi4:
+        pub["large_v3_int4_streaming_rtf"] = hi4.get("rtf")
+        pub["large_v3_int4_decoder_param_bytes"] = hi4.get("decoder_param_bytes")
     baseline["published"] = pub
     with open(baseline_path, "w") as f:
         json.dump(baseline, f, indent=2)
