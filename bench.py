@@ -573,8 +573,17 @@ def main() -> int:
     asr.transcribe_kargs["max_total_tokens"] = max_new
     asr.max_tokens_per_second = float(os.environ.get("BENCH_TOKENS_PER_S", "4"))
     prefix_policy = os.environ.get("BENCH_PREFIX_POLICY", "last")
+    # BENCH_PACED=1 measures the latency-optimal deployment loop (synchronous
+    # ticks: a mic session has idle between chunks, so nothing to pipeline);
+    # the as-fast headline measures the throughput loop (pipeline=True:
+    # dispatch tick N, finalize tick N-1 — token-exact with the sync loop,
+    # test_pipelined_online_matches_sync) the way file transcription and
+    # catch-up-after-stall run. BENCH_PIPELINE=0/1 overrides.
+    paced_env = os.environ.get("BENCH_PACED", "") not in ("", "0")
+    pipelined = os.environ.get(
+        "BENCH_PIPELINE", "0" if paced_env else "1") not in ("", "0")
     online = OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0),
-                                prefix_policy=prefix_policy)
+                                prefix_policy=prefix_policy, pipeline=pipelined)
     vac = VACOnlineASRProcessor(
         online, VADIterator(EnergyVAD(), min_silence_duration_ms=500), online_chunk_size=0.5
     )
@@ -616,7 +625,7 @@ def main() -> int:
     # tick's encode; with realtime pacing (= a deployed mic) that transit
     # lands in the dead time between chunks, and the measured tick shows the
     # product's true busy time. rtf stays sum(process_iter)/audio.
-    paced = os.environ.get("BENCH_PACED", "") not in ("", "0")
+    paced = paced_env
     if paced and hasattr(asr, "start_idle_keepalive"):
         # the ~1 s sleeps collapse the tunnel's TCP window (slow-start after
         # idle) and the next tick's upload pays it back (+14 ms/tick measured,
@@ -646,7 +655,10 @@ def main() -> int:
             proc_total += dt
             if txt:
                 results += 1
-                lat.append(dt)
+                # pipelined mode: the per-call time only covers drain+dispatch;
+                # the true chunk→text span of the tick that PRODUCED this text
+                # is its dispatch→apply latency, tracked by the processor
+                lat.append(online.last_apply_latency_s if pipelined else dt)
             if paced:
                 time.sleep(max(0.0, chunk_s - (time.perf_counter() - t_chunk0)))
         t0 = time.perf_counter()
@@ -690,6 +702,7 @@ def main() -> int:
         "max_new_tokens": max_new,
         "beam_size": beam,
         "paced_realtime_feed": paced,
+        "pipelined_ticks": pipelined,
         **extras,
         **DEGRADED,
         "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download) and BENCH_PHASES=1 publishes the corrected split",

@@ -934,6 +934,51 @@ class TPUWhisperASR:
             pt.lap("host_parse")
         return out
 
+    def transcribe_dispatch(
+        self,
+        audio: np.ndarray,
+        init_prompt: str = "",
+        prefix_ids: Optional[list[int]] = None,
+        draft_ids: Optional[list[int]] = None,
+        key=None,
+    ) -> dict:
+        """Non-blocking half of ``transcribe`` for ≤30 s windows: plan + upload
+        + encode + enqueue the decode loop, returning a handle for
+        ``transcribe_finalize``.
+
+        This is the single-stream face of the dispatch/finalize pair that
+        powers the streaming pipeline (OnlineASRProcessor(pipeline=True)):
+        the tick loop dispatches tick N and THEN finalizes tick N-1, so the
+        ~26-31 ms tunnel round trip of N-1's result download travels while
+        N's decode runs on the chip instead of serializing in front of it.
+        Shares ``_transcribe_window``'s planning code exactly (same buckets,
+        same traces, token-identical results — the batched path's prompt
+        re-bucketing left-pads the prefill and is NOT position-preserving, so
+        it is deliberately not used here). Falls back to a synchronous call
+        (result wrapped in the handle) for >30 s windows, which are
+        sequentially windowed by construction.
+        """
+        audio = np.asarray(audio, np.float32)
+        if len(audio) > WINDOW_SAMPLES:
+            return {"sync_result": self.transcribe(audio, init_prompt, prefix_ids, draft_ids)}
+        prev = self._active_stream
+        if key is not None and key != prev:
+            self.set_active_stream(key)
+        try:
+            return self._transcribe_window_dispatch(
+                audio, init_prompt, 0.0, prefix_ids, draft_ids
+            )
+        finally:
+            if key is not None and key != prev:
+                self._active_stream = prev
+
+    def transcribe_finalize(self, st: dict) -> TranscriptionResult:
+        """Blocking half of ``transcribe_dispatch`` (one device→host
+        transfer + host parse)."""
+        if "sync_result" in st:
+            return st["sync_result"]
+        return self._transcribe_window_finalize(st)
+
     def _transcribe_window(
         self,
         audio: np.ndarray,
@@ -943,6 +988,25 @@ class TPUWhisperASR:
         draft_ids: Optional[list[int]] = None,
         prompt_ids: Optional[list[int]] = None,  # overrides init_prompt (carry)
     ) -> TranscriptionResult:
+        return self._transcribe_window_finalize(
+            self._transcribe_window_dispatch(
+                audio, init_prompt, time_offset, prefix_ids, draft_ids, prompt_ids
+            )
+        )
+
+    def _transcribe_window_dispatch(
+        self,
+        audio: np.ndarray,
+        init_prompt: str,
+        time_offset: float,
+        prefix_ids: Optional[list[int]] = None,
+        draft_ids: Optional[list[int]] = None,
+        prompt_ids: Optional[list[int]] = None,  # overrides init_prompt (carry)
+    ) -> dict:
+        """Non-blocking half of ``_transcribe_window``: plan + ONE bundled
+        upload + encode + enqueue the decode loop. Identical planning (and
+        traces) to the synchronous path — the pipelined streaming loop relies
+        on this for token-exactness with the non-pipelined loop."""
         t0 = time.perf_counter()
         opts = self._make_opts()
         if prompt_ids is None:
@@ -977,34 +1041,60 @@ class TPUWhisperASR:
         if pt is not None:
             jax.block_until_ready(xa)
             pt.lap("encode")
-        decode_fn = D.greedy_decode
         if opts.beam_size > 1:
-            from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode
+            from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode_dispatch
 
-            decode_fn = beam_decode
-        result = decode_fn(
-            self.params, self.cfg, xa, opts,
-            prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
-            extra_suppress=self._extra_suppress, aux_device=aux_dev,
-            alignment_heads=self.alignment_heads,
-            kv_quant=self._kv_quant,
-            **({"draft_tokens": draft_ids} if opts.beam_size == 1 else {}),
-            **({"phase_timer": pt} if pt is not None else {}),
-        )
+            handle = beam_decode_dispatch(
+                self.params, self.cfg, xa, opts,
+                prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
+                extra_suppress=self._extra_suppress, aux_device=aux_dev,
+                alignment_heads=self.alignment_heads,
+                kv_quant=self._kv_quant,
+                **({"phase_timer": pt} if pt is not None else {}),
+            )
+        else:
+            handle = D.greedy_decode_dispatch(
+                self.params, self.cfg, xa, opts,
+                prompt_tokens=prompt_ids, prefix_tokens=prefix_ids,
+                extra_suppress=self._extra_suppress, aux_device=aux_dev,
+                alignment_heads=self.alignment_heads,
+                kv_quant=self._kv_quant,
+                draft_tokens=draft_ids,
+                **({"phase_timer": pt} if pt is not None else {}),
+            )
+        return {
+            "decode_handle": handle, "beam": opts.beam_size > 1,
+            "xa": xa, "opts": opts, "prompt_ids": prompt_ids,
+            "prefix_ids": prefix_ids, "audio_len": len(audio),
+            "time_offset": time_offset, "t0": t0,
+        }
+
+    def _transcribe_window_finalize(self, st: dict) -> TranscriptionResult:
+        """Blocking half of ``_transcribe_window``: ONE result download, then
+        counters, optional quality-retry ladder, and segment parsing."""
+        opts, prefix_ids = st["opts"], st["prefix_ids"]
+        if st["beam"]:
+            from realtime_whisper_asr_tpu.models.whisper.beam import beam_decode_finalize
+
+            result = beam_decode_finalize(st["decode_handle"])
+        else:
+            result = D.greedy_decode_finalize(st["decode_handle"])
         self.counters["ticks"] += 1
         self.counters["new_tokens"] += int(result.lengths[0]) - (len(prefix_ids or []))
-        self.counters["encoded_frames"] += min(len(audio) // (2 * 160), self.cfg.n_audio_ctx)
+        self.counters["encoded_frames"] += min(st["audio_len"] // (2 * 160), self.cfg.n_audio_ctx)
         if self.temperature_fallback and opts.temperature == 0.0:
-            result = self._quality_retry(result, xa, opts, prompt_ids, prefix_ids)
-        n_frames = min(len(audio) // (2 * 160), self.cfg.n_audio_ctx)
-        segs = self._parse_segments(result, n_frames, time_offset)
+            result = self._quality_retry(result, st["xa"], opts, st["prompt_ids"], prefix_ids)
+        n_frames = min(st["audio_len"] // (2 * 160), self.cfg.n_audio_ctx)
+        segs = self._parse_segments(result, n_frames, st["time_offset"])
         logger.debug(
             "transcribe window %.1fs in %.0f ms -> %d segments",
-            len(audio) / SAMPLING_RATE, 1e3 * (time.perf_counter() - t0), len(segs),
+            st["audio_len"] / SAMPLING_RATE, 1e3 * (time.perf_counter() - st["t0"]),
+            len(segs),
         )
         ids = result.tokens[0][: result.lengths[0]].tolist()
         if ids and ids[-1] == self.cfg.eot:
             ids = ids[:-1]
+        pt = self.phase_timer
         if pt is not None:
             pt.lap("host_parse")
         return TranscriptionResult(segs, tokens=ids)

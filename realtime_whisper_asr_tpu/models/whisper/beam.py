@@ -447,7 +447,14 @@ def beam_decode_batch(params, cfg, xa, opts, requests, **kw) -> list[D.DecodeRes
     )
 
 
-def beam_decode(
+def beam_decode(params, cfg, xa, opts, **kw) -> D.DecodeResult:
+    """Beam search with the greedy API shape (batch 1; same compiled trace as
+    the batched path at B=1). Split into dispatch/finalize halves like
+    greedy_decode so the streaming pipeline overlaps the result download."""
+    return beam_decode_finalize(beam_decode_dispatch(params, cfg, xa, opts, **kw))
+
+
+def beam_decode_dispatch(
     params,
     cfg: WhisperConfig,
     xa: jnp.ndarray,
@@ -459,9 +466,8 @@ def beam_decode(
     aux_device: Optional[jnp.ndarray] = None,
     kv_quant: bool = False,
     phase_timer=None,
-) -> D.DecodeResult:
-    """Beam search with the greedy API shape (batch 1; same compiled trace as
-    the batched path at B=1)."""
+) -> dict:
+    """Non-blocking half of ``beam_decode``: plan + enqueue the beam loop."""
     assert xa.shape[0] == 1, "single-stream API; use beam_decode_batch for B>1"
     init, sot_index, n_prefix = D.build_initial_tokens(cfg, opts, prompt_tokens, prefix_tokens)
     prefix_arr = init[len(init) - n_prefix :] if n_prefix else np.zeros(0, np.int32)
@@ -489,17 +495,28 @@ def beam_decode(
         capture=bool(opts.word_timestamps),
     )
     D.enqueue_d2h(packed)
+    return {
+        "packed": packed, "cfg": cfg, "p": p, "max_new": max_new,
+        "capture": bool(opts.word_timestamps), "audio_ctx": int(xa.shape[1]),
+        "init_rows": [{"prefix_arr": prefix_arr, "init": init}],
+        "phase_timer": phase_timer,
+    }
+
+
+def beam_decode_finalize(handle: dict) -> D.DecodeResult:
+    """Blocking half of ``beam_decode_dispatch``: fetch + parse the winner."""
+    cfg, p, max_new = handle["cfg"], handle["p"], handle["max_new"]
+    init_rows, phase_timer = handle["init_rows"], handle["phase_timer"]
     if phase_timer is not None:
-        packed.block_until_ready()
+        handle["packed"].block_until_ready()
         phase_timer.lap("decode")
     D.TRANSFER_STATS["d2h"] += 1
-    out = D.fetch_d2h(packed)
+    out = D.fetch_d2h(handle["packed"])
     if phase_timer is not None:
         phase_timer.lap("download")
-    init_rows = [{"prefix_arr": prefix_arr, "init": init}]
     (result,) = _parse_beam_rows(cfg, out, max_new, init_rows)
-    if opts.word_timestamps:
+    if handle["capture"]:
         _unpack_capture_rows(
-            cfg, out, p, max_new, int(xa.shape[1]), init_rows, [result]
+            cfg, out, p, max_new, handle["audio_ctx"], init_rows, [result]
         )
     return result

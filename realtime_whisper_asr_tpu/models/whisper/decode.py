@@ -577,16 +577,7 @@ def greedy_decode(
     cfg: WhisperConfig,
     xa: jnp.ndarray,
     opts: DecodeOptions,
-    prompt_tokens: Optional[list[int]] = None,
-    prefix_tokens: Optional[list[int]] = None,
-    extra_suppress: tuple[int, ...] = (),
-    alignment_heads: Optional[np.ndarray] = None,
-    aux_device: Optional[jnp.ndarray] = None,
-    seed: int = 0,
-    phase_timer=None,
-    bucket: Optional[int] = None,
-    draft_tokens: Optional[list[int]] = None,
-    kv_quant: bool = False,
+    **kw,
 ) -> DecodeResult:
     """Host wrapper: builds initial tokens/masks, runs the jitted loop.
 
@@ -597,7 +588,33 @@ def greedy_decode(
     hypothesis's tail beyond the forced prefix) enables the lossless
     self-speculative fast path; callers passing a prepacked ``aux_device``
     must pass the same draft here so the static draft bucket matches.
+
+    Split into ``greedy_decode_dispatch`` (plan + enqueue, non-blocking) and
+    ``greedy_decode_finalize`` (fetch + unpack) so the streaming pipeline can
+    overlap the result download with the next tick's device compute.
     """
+    return greedy_decode_finalize(greedy_decode_dispatch(params, cfg, xa, opts, **kw))
+
+
+def greedy_decode_dispatch(
+    params,
+    cfg: WhisperConfig,
+    xa: jnp.ndarray,
+    opts: DecodeOptions,
+    prompt_tokens: Optional[list[int]] = None,
+    prefix_tokens: Optional[list[int]] = None,
+    extra_suppress: tuple[int, ...] = (),
+    alignment_heads: Optional[np.ndarray] = None,
+    aux_device: Optional[jnp.ndarray] = None,
+    seed: int = 0,
+    phase_timer=None,
+    bucket: Optional[int] = None,
+    draft_tokens: Optional[list[int]] = None,
+    kv_quant: bool = False,
+) -> dict:
+    """Non-blocking half of ``greedy_decode``: identical planning (and
+    therefore identical traces — no prompt re-bucketing like the batched
+    path), stopping after the decode loop + eager D2H are enqueued."""
     init, sot_index, n_prefix = build_initial_tokens(
         cfg, opts, prompt_tokens, prefix_tokens, bucket=bucket
     )
@@ -648,17 +665,30 @@ def greedy_decode(
         kv_quant=kv_quant,
     )
     enqueue_d2h(packed)
+    return {
+        "packed": packed, "cfg": cfg, "b": b, "p": p, "max_new": max_new,
+        "capture": capture, "audio_ctx": int(xa.shape[1]),
+        "prefix_arr": prefix_arr, "n_prefix": n_prefix,
+        "phase_timer": phase_timer,
+    }
+
+
+def greedy_decode_finalize(handle: dict) -> DecodeResult:
+    """Blocking half of ``greedy_decode_dispatch``: one device→host transfer
+    of the packed result blob, then the host-side unpack."""
+    cfg, b, p = handle["cfg"], handle["b"], handle["p"]
+    max_new, capture = handle["max_new"], handle["capture"]
+    n_prefix, prefix_arr = handle["n_prefix"], handle["prefix_arr"]
+    phase_timer = handle["phase_timer"]
     if phase_timer is not None:
-        packed.block_until_ready()
+        handle["packed"].block_until_ready()
         phase_timer.lap("decode")
-    # single device→host transfer; unpack by the static layout
-    audio_ctx = int(xa.shape[1])
     TRANSFER_STATS["d2h"] += 1
-    flat = fetch_d2h(packed)
+    flat = fetch_d2h(handle["packed"])
     if phase_timer is not None:
         phase_timer.lap("download")
     rows = _unpack_packed_rows(
-        flat, cfg, b, p, max_new, capture, audio_ctx, [prefix_arr] * b
+        flat, cfg, b, p, max_new, capture, handle["audio_ctx"], [prefix_arr] * b
     )
     # one batched DecodeResult (the shared prefix makes rows rectangular)
     full_tokens = np.stack([r[0] for r in rows])

@@ -21,6 +21,7 @@ explicitly serializable for checkpoint/resume (SURVEY.md §5).
 from __future__ import annotations
 
 import logging
+import os
 import time as _time
 from typing import Callable, Optional
 
@@ -84,6 +85,7 @@ class OnlineASRProcessor:
         incremental_prefix: bool = True,
         prefix_policy: str = "agree2",  # agree2 | last (SimulStreaming-style)
         prefix_safety_tokens: int = 4,
+        pipeline: Optional[bool] = None,
         clock: Callable[[], float] = _time.monotonic,
         logfile=None,
     ):
@@ -109,6 +111,20 @@ class OnlineASRProcessor:
             raise ValueError(f"unknown prefix_policy {prefix_policy!r}")
         self.prefix_policy = prefix_policy
         self.prefix_safety_tokens = prefix_safety_tokens
+        # software-pipelined tick loop: process_iter() dispatches tick N, then
+        # finalizes + applies tick N-1, so the result download's tunnel round
+        # trip overlaps tick N's device compute instead of serializing behind
+        # it. The REQUEST stream is bit-identical to the synchronous loop
+        # (tick N's request is a function of audio ≤ N and results ≤ N-1 in
+        # both modes); only the EMISSION of tick N's commit moves one
+        # process_iter call later — right for back-to-back feeds (file
+        # transcription, catch-up after a stall, throughput benches), while a
+        # paced mic session keeps the synchronous default for per-chunk
+        # latency. RWA_PIPELINE=1 flips the default.
+        if pipeline is None:
+            pipeline = os.environ.get("RWA_PIPELINE", "") not in ("", "0")
+        self.pipeline = pipeline and hasattr(asr, "transcribe_dispatch")
+        self._inflight: Optional[tuple[dict, float]] = None
         self.clock = clock
         #: device-buffer key for upload prefetch. None = the ASR's active
         #: stream (single-session use); the multi-stream server sets each
@@ -121,6 +137,10 @@ class OnlineASRProcessor:
 
     def init(self, offset: Optional[float] = None):
         """Reset all streaming state (session start / error recovery)."""
+        # abandon any in-flight pipelined tick: its result belongs to the
+        # state being wiped (the unfetched device blob is simply dropped)
+        self._inflight = None
+        self.last_apply_latency_s = 0.0
         self.audio_buffer = np.array([], dtype=np.float32)
         self.transcript_buffer = HypothesisBuffer(agreement_n=self.agreement_n)
         self.buffer_time_offset = offset if offset is not None else 0.0
@@ -163,6 +183,8 @@ class OnlineASRProcessor:
 
     def process_iter(self) -> tuple[Optional[float], Optional[float], str]:
         """Re-transcribe the buffer, commit agreed words, trim, return commit."""
+        if self.pipeline:
+            return self._process_iter_pipelined()
         t_start = self.clock()
         req = self.prepare_request()
         logger.debug(
@@ -183,6 +205,45 @@ class OnlineASRProcessor:
             self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
             return (None, None, "")
         return self.apply_result(res, self.clock() - t_start)
+
+    def _process_iter_pipelined(self) -> tuple[Optional[float], Optional[float], str]:
+        """One software-pipelined tick: finalize + apply tick N-1, then
+        dispatch tick N (see the ``pipeline`` constructor comment). Applying
+        the previous result BEFORE preparing this tick's request keeps the
+        request stream identical to the synchronous loop — same prompts,
+        prefixes, drafts, and trims, just emitted one call later."""
+        out = self._drain_inflight()
+        t_start = self.clock()
+        req = self.prepare_request()
+        try:
+            self._inflight = (
+                self.asr.transcribe_dispatch(
+                    req["audio"], req["init_prompt"],
+                    req.get("prefix_ids"), req.get("draft_ids"),
+                    key=self.stream_key,
+                ),
+                t_start,
+            )
+        except Exception:
+            # reference behavior: reset streaming state and continue
+            # (enhanced_asr_processor.py:369-381)
+            logger.exception("pipelined dispatch failed; resetting stream state")
+            self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
+        return out
+
+    def _drain_inflight(self) -> tuple[Optional[float], Optional[float], str]:
+        """Finalize + apply the in-flight pipelined tick, if any."""
+        if self._inflight is None:
+            return (None, None, "")
+        st, t_dispatch = self._inflight
+        self._inflight = None
+        try:
+            res = self.asr.transcribe_finalize(st)
+        except Exception:
+            logger.exception("pipelined finalize failed; resetting stream state")
+            self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
+            return (None, None, "")
+        return self.apply_result(res, self.clock() - t_dispatch)
 
     # two-phase tick for batched serving: prepare_request() gathers this
     # stream's transcribe inputs with no side effects; the server runs ONE
@@ -209,6 +270,10 @@ class OnlineASRProcessor:
         return req
 
     def apply_result(self, res, proc_delay_s: float = 0.0):
+        #: dispatch→apply span of the tick that produced the LAST applied
+        #: result — in pipelined mode this is the true chunk→text latency
+        #: (the per-call process_iter time only covers the drain+dispatch)
+        self.last_apply_latency_s = proc_delay_s
         try:
             if self.incremental_prefix:
                 toks = getattr(res, "tokens", None)
@@ -241,6 +306,10 @@ class OnlineASRProcessor:
 
     def finish(self) -> tuple[Optional[float], Optional[float], str]:
         """Flush the uncommitted tail at stream end."""
+        # pipelined mode: the last dispatched tick's commit hasn't been
+        # returned yet — apply it first so the tail flush below sees it, and
+        # merge its committed text into the return (they're contiguous)
+        head = self._drain_inflight() if self._inflight is not None else (None, None, "")
         o = self.transcript_buffer.complete()
         f = self.to_flush(o)
         logger.debug("final non-committed: %s", f)
@@ -250,6 +319,9 @@ class OnlineASRProcessor:
         self.transcript_buffer.buffer = []
         self.buffer_time_offset += len(self.audio_buffer) / SAMPLING_RATE
         self.audio_buffer = np.array([], dtype=np.float32)
+        if head[2]:
+            f = (head[0], f[1] if f[1] is not None else head[1],
+                 (head[2] + self.asr.sep + f[2]) if f[2] else head[2])
         return f
 
     # ---------------------------------------------------------------- trimming
@@ -391,6 +463,10 @@ class OnlineASRProcessor:
 
     def state_dict(self) -> dict:
         """Serializable streaming state (SURVEY.md §5 checkpoint/resume)."""
+        if self._inflight is not None:
+            # settle the pipelined tick so the snapshot captures its commit
+            # (a resumed session can't fetch this process's device handle)
+            self._drain_inflight()
         tb = self.transcript_buffer
         return {
             "audio_buffer": self.audio_buffer.copy(),

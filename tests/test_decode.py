@@ -1134,3 +1134,61 @@ def test_idle_keepalive_pings_when_idle(asr, monkeypatch):
     monkeypatch.setenv("RWA_KEEPALIVE_MS", "0")
     assert not asr.start_idle_keepalive()
     assert asr._keepalive_thread is None
+
+
+def test_pipelined_online_matches_sync(asr):
+    """OnlineASRProcessor(pipeline=True) — the software-pipelined tick loop
+    (dispatch tick N, then finalize tick N-1 so the result download's tunnel
+    round trip overlaps device compute) — must produce the EXACT transcript of
+    the synchronous loop: tick N's request is a function of audio ≤ N and
+    results ≤ N-1 in both modes, so the request stream is bit-identical and
+    only the emission shifts one process_iter call later (the finish() drain
+    recovers the last tick)."""
+    from realtime_whisper_asr_tpu.streaming.online import OnlineASRProcessor
+
+    audio = _audio(6.0, seed=3)
+    chunk = 16000
+
+    def run(pipeline):
+        proc = OnlineASRProcessor(
+            asr, buffer_trimming=("segment", 4.0), pipeline=pipeline
+        )
+        outs = []
+        for i in range(0, len(audio), chunk):
+            proc.insert_audio_chunk(audio[i : i + chunk])
+            outs.append(proc.process_iter())
+        outs.append(proc.finish())
+        return proc, outs
+
+    proc_s, sync = run(False)
+    proc_p, piped = run(True)
+    join = lambda outs: asr.sep.join(t for _, _, t in outs if t)
+    assert join(piped) == join(sync)
+    # committed words (with times) identical too, not just the joined text
+    assert proc_p.commited == proc_s.commited
+    # emission lag: every commit the sync loop made at tick i, the pipelined
+    # loop must NOT have made before tick i (one-call lag, recovered at finish)
+    assert piped[0] == (None, None, "")
+
+
+def test_pipelined_online_survives_dispatch_error(asr):
+    """A dispatch/finalize failure mid-stream resets state and the loop keeps
+    accepting audio (reference error-reset contract,
+    enhanced_asr_processor.py:369-381)."""
+    from realtime_whisper_asr_tpu.streaming.online import OnlineASRProcessor
+
+    proc = OnlineASRProcessor(asr, buffer_trimming=("segment", 4.0), pipeline=True)
+    audio = _audio(3.0, seed=4)
+    proc.insert_audio_chunk(audio[:16000])
+    proc.process_iter()
+    # poison the in-flight handle so finalize raises
+    assert proc._inflight is not None
+    st, t0 = proc._inflight
+    proc._inflight = ({"handle": None, "items": [], "requests": [], "n_real": 1}, t0)
+    proc.insert_audio_chunk(audio[16000:32000])
+    b, e, txt = proc.process_iter()  # finalize fails -> reset, no crash
+    assert txt == ""
+    # the loop recovers: new audio flows and finish() drains cleanly
+    proc.insert_audio_chunk(audio[32000:])
+    proc.process_iter()
+    proc.finish()
