@@ -262,6 +262,7 @@ class StreamingApp:
             buffer_trimming=(s.get("buffer_trimming_way", "segment"), s["buffer_trimming_sec"]),
             prompt_chars=s["prompt_chars"],
             dynamic_buffer=s["dynamic_buffer"],
+            pipeline=s.get("pipeline"),
             clock=clock,
         )
         v = cfg["vad"]

@@ -41,6 +41,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "prompt_chars": 300,
         "online_chunk_size": 0.5,
         "min_chunk_seconds": 1.0,
+        # software-pipelined ticks (dispatch N, finalize N-1; token-exact —
+        # online.py): null = RWA_PIPELINE env decides (default off). Right for
+        # back-to-back feeds (files, catch-up); a paced mic keeps sync ticks
+        # for per-chunk latency.
+        "pipeline": None,
     },
     "vad": {
         "enable": True,
