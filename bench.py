@@ -580,8 +580,9 @@ def main() -> int:
     # test_pipelined_online_matches_sync) the way file transcription and
     # catch-up-after-stall run. BENCH_PIPELINE=0/1 overrides.
     paced_env = os.environ.get("BENCH_PACED", "") not in ("", "0")
-    pipelined = os.environ.get(
-        "BENCH_PIPELINE", "0" if paced_env else "1") not in ("", "0")
+    pipe_env = os.environ.get("BENCH_PIPELINE", "0" if paced_env else "async")
+    pipelined = {"": False, "0": False, "1": True, "exact": True,
+                 "async": "async"}.get(pipe_env.strip().lower(), bool(pipe_env))
     online = OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0),
                                 prefix_policy=prefix_policy, pipeline=pipelined)
     vac = VACOnlineASRProcessor(
@@ -702,7 +703,7 @@ def main() -> int:
         "max_new_tokens": max_new,
         "beam_size": beam,
         "paced_realtime_feed": paced,
-        "pipelined_ticks": pipelined,
+        "pipelined_ticks": str(pipelined) if pipelined else False,
         **extras,
         **DEGRADED,
         "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download) and BENCH_PHASES=1 publishes the corrected split",

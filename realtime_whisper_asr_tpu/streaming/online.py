@@ -111,20 +111,39 @@ class OnlineASRProcessor:
             raise ValueError(f"unknown prefix_policy {prefix_policy!r}")
         self.prefix_policy = prefix_policy
         self.prefix_safety_tokens = prefix_safety_tokens
-        # software-pipelined tick loop: process_iter() dispatches tick N, then
-        # finalizes + applies tick N-1, so the result download's tunnel round
-        # trip overlaps tick N's device compute instead of serializing behind
-        # it. The REQUEST stream is bit-identical to the synchronous loop
-        # (tick N's request is a function of audio ≤ N and results ≤ N-1 in
-        # both modes); only the EMISSION of tick N's commit moves one
-        # process_iter call later — right for back-to-back feeds (file
-        # transcription, catch-up after a stall, throughput benches), while a
-        # paced mic session keeps the synchronous default for per-chunk
-        # latency. RWA_PIPELINE=1 flips the default.
+        # software-pipelined tick loop. Two depths:
+        #
+        #   pipeline=True ("exact"): process_iter() finalizes + applies tick
+        #   N-1, THEN dispatches tick N. The request stream is bit-identical
+        #   to the synchronous loop (tick N is a function of audio ≤ N and
+        #   results ≤ N-1 in both modes); only the emission of each commit
+        #   moves one call later. Overlap is limited: the N-1 fetch still
+        #   waits out N-1's device compute (the device idles during the wait),
+        #   so it saves only the host-work slice (~0.059 → 0.053 measured).
+        #
+        #   pipeline="async": process_iter() dispatches tick N FIRST — built
+        #   from audio ≤ N and results ≤ N-2 — then finalizes N-1, so the
+        #   fetch's tunnel round trip travels while N's decode runs on-chip
+        #   (0.0527 → ~0.03 measured; the rig's ~26 ms sync floor is the
+        #   remaining term). The one-tick-staler prefix costs almost nothing:
+        #   the previous hypothesis tail rides as the self-speculative draft
+        #   and re-verifies in the prefill pass. Deterministic (the lag is
+        #   structural, not timing-dependent) but NOT bit-identical to the
+        #   sync loop — hypotheses condition on a one-tick-older prefix.
+        #
+        # Both are the right shape for back-to-back feeds (file transcription,
+        # catch-up after a stall, throughput benches); a paced mic session
+        # keeps the synchronous default for per-chunk latency.
+        # RWA_PIPELINE=1|exact|async flips the default.
         if pipeline is None:
-            pipeline = os.environ.get("RWA_PIPELINE", "") not in ("", "0")
-        self.pipeline = pipeline and hasattr(asr, "transcribe_dispatch")
+            env = os.environ.get("RWA_PIPELINE", "").strip().lower()
+            pipeline = {"": False, "0": False, "1": True, "exact": True,
+                        "async": "async"}.get(env, bool(env))
+        if not hasattr(asr, "transcribe_dispatch"):
+            pipeline = False
+        self.pipeline = pipeline
         self._inflight: Optional[tuple[dict, float]] = None
+        self._generation = 0  # bumped by init(); guards cross-reset handles
         self.clock = clock
         #: device-buffer key for upload prefetch. None = the ASR's active
         #: stream (single-session use); the multi-stream server sets each
@@ -140,6 +159,7 @@ class OnlineASRProcessor:
         # abandon any in-flight pipelined tick: its result belongs to the
         # state being wiped (the unfetched device blob is simply dropped)
         self._inflight = None
+        self._generation = getattr(self, "_generation", 0) + 1
         self.last_apply_latency_s = 0.0
         self.audio_buffer = np.array([], dtype=np.float32)
         self.transcript_buffer = HypothesisBuffer(agreement_n=self.agreement_n)
@@ -207,35 +227,63 @@ class OnlineASRProcessor:
         return self.apply_result(res, self.clock() - t_start)
 
     def _process_iter_pipelined(self) -> tuple[Optional[float], Optional[float], str]:
-        """One software-pipelined tick: finalize + apply tick N-1, then
-        dispatch tick N (see the ``pipeline`` constructor comment). Applying
-        the previous result BEFORE preparing this tick's request keeps the
-        request stream identical to the synchronous loop — same prompts,
-        prefixes, drafts, and trims, just emitted one call later."""
-        out = self._drain_inflight()
+        """One software-pipelined tick (see the ``pipeline`` constructor
+        comment).
+
+        exact mode: finalize + apply tick N-1, THEN dispatch tick N — applying
+        the previous result before preparing this tick's request keeps the
+        request stream identical to the synchronous loop, just emitted one
+        call later.
+
+        async mode: dispatch tick N FIRST (from results ≤ N-2), then finalize
+        N-1 — the fetch's round trip overlaps N's device compute."""
+        if self.pipeline != "async":
+            out = self._drain_inflight()
+            t_start = self.clock()
+            req = self.prepare_request()
+            try:
+                self._inflight = (
+                    self.asr.transcribe_dispatch(
+                        req["audio"], req["init_prompt"],
+                        req.get("prefix_ids"), req.get("draft_ids"),
+                        key=self.stream_key,
+                    ),
+                    t_start,
+                    self.buffer_time_offset,
+                )
+            except Exception:
+                # reference behavior: reset streaming state and continue
+                # (enhanced_asr_processor.py:369-381)
+                logger.exception("pipelined dispatch failed; resetting stream state")
+                self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
+            return out
+        # ---- async: overlap the previous fetch with this tick's compute
+        gen = self._generation
         t_start = self.clock()
         req = self.prepare_request()
+        st = None
+        off = self.buffer_time_offset
         try:
-            self._inflight = (
-                self.asr.transcribe_dispatch(
-                    req["audio"], req["init_prompt"],
-                    req.get("prefix_ids"), req.get("draft_ids"),
-                    key=self.stream_key,
-                ),
-                t_start,
+            st = self.asr.transcribe_dispatch(
+                req["audio"], req["init_prompt"],
+                req.get("prefix_ids"), req.get("draft_ids"),
+                key=self.stream_key,
             )
         except Exception:
-            # reference behavior: reset streaming state and continue
-            # (enhanced_asr_processor.py:369-381)
             logger.exception("pipelined dispatch failed; resetting stream state")
             self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
+        out = self._drain_inflight()
+        # a reset (dispatch failure above, or inside the drain) invalidates
+        # the just-dispatched handle — its request came from pre-reset state
+        if st is not None and self._generation == gen:
+            self._inflight = (st, t_start, off)
         return out
 
     def _drain_inflight(self) -> tuple[Optional[float], Optional[float], str]:
         """Finalize + apply the in-flight pipelined tick, if any."""
         if self._inflight is None:
             return (None, None, "")
-        st, t_dispatch = self._inflight
+        st, t_dispatch, off = self._inflight
         self._inflight = None
         try:
             res = self.asr.transcribe_finalize(st)
@@ -243,7 +291,7 @@ class OnlineASRProcessor:
             logger.exception("pipelined finalize failed; resetting stream state")
             self.init(offset=self.buffer_time_offset + len(self.audio_buffer) / SAMPLING_RATE)
             return (None, None, "")
-        return self.apply_result(res, self.clock() - t_dispatch)
+        return self.apply_result(res, self.clock() - t_dispatch, time_offset=off)
 
     # two-phase tick for batched serving: prepare_request() gathers this
     # stream's transcribe inputs with no side effects; the server runs ONE
@@ -269,18 +317,31 @@ class OnlineASRProcessor:
                 req["draft_ids"] = draft
         return req
 
-    def apply_result(self, res, proc_delay_s: float = 0.0):
+    def apply_result(self, res, proc_delay_s: float = 0.0,
+                     time_offset: Optional[float] = None):
+        """Finish a tick: hypothesis insert, LocalAgreement commit, trimming.
+
+        ``time_offset`` is the buffer_time_offset the request was PREPARED at;
+        it only differs from the current offset in async-pipelined mode, where
+        a trim from applying tick N-1 can land between tick N's dispatch and
+        its apply — the stale result's window-relative times must shift by the
+        offset it was decoded against, and its token history (old-window
+        timestamp tokens) is dropped so the next prefix rebuilds cleanly."""
         #: dispatch→apply span of the tick that produced the LAST applied
         #: result — in pipelined mode this is the true chunk→text latency
         #: (the per-call process_iter time only covers the drain+dispatch)
         self.last_apply_latency_s = proc_delay_s
+        off = self.buffer_time_offset if time_offset is None else time_offset
+        trimmed_since_dispatch = off != self.buffer_time_offset
         try:
             if self.incremental_prefix:
                 toks = getattr(res, "tokens", None)
-                if toks is not None:
+                if trimmed_since_dispatch:
+                    self._token_history = []
+                elif toks is not None:
                     self._token_history = (self._token_history + [list(toks)])[-2:]
             tsw = self.asr.ts_words(res)
-            self.transcript_buffer.insert(tsw, self.buffer_time_offset)
+            self.transcript_buffer.insert(tsw, off)
             o = self.transcript_buffer.flush()
             self.commited.extend(o)
         except Exception:
@@ -295,7 +356,7 @@ class OnlineASRProcessor:
             if self.buffer_trimming_way == "sentence":
                 self.chunk_completed_sentence()
             else:
-                self.chunk_completed_segment(res)
+                self.chunk_completed_segment(res, time_offset=off)
         return self.to_flush(o)
 
     def finish_all(self) -> list[tuple[Optional[float], Optional[float], str]]:
@@ -366,17 +427,20 @@ class OnlineASRProcessor:
             return
         self.chunk_at(sentences[-2][1])
 
-    def chunk_completed_segment(self, res) -> None:
-        """Trim at the last completed-segment boundary before the last commit."""
+    def chunk_completed_segment(self, res, time_offset: Optional[float] = None) -> None:
+        """Trim at the last completed-segment boundary before the last commit.
+        ``time_offset``: the offset ``res`` was decoded against (async-pipelined
+        staleness — see apply_result); defaults to the current offset."""
         if not self.commited:
             return
+        off = self.buffer_time_offset if time_offset is None else time_offset
         ends = self.asr.segments_end_ts(res)
         t = self.commited[-1][1]
         if len(ends) > 1:
-            e = ends[-2] + self.buffer_time_offset
+            e = ends[-2] + off
             while len(ends) > 2 and e > t:
                 ends.pop(-1)
-                e = ends[-2] + self.buffer_time_offset
+                e = ends[-2] + off
             if e <= t:
                 self.chunk_at(e)
                 return

@@ -1183,8 +1183,13 @@ def test_pipelined_online_survives_dispatch_error(asr):
     proc.process_iter()
     # poison the in-flight handle so finalize raises
     assert proc._inflight is not None
-    st, t0 = proc._inflight
-    proc._inflight = ({"handle": None, "items": [], "requests": [], "n_real": 1}, t0)
+    st, t0, off0 = proc._inflight
+    proc._inflight = (
+        {"decode_handle": None, "beam": False, "xa": None, "opts": None,
+         "prompt_ids": None, "prefix_ids": None, "audio_len": 0,
+         "time_offset": 0.0, "t0": t0},
+        t0, off0,
+    )
     proc.insert_audio_chunk(audio[16000:32000])
     b, e, txt = proc.process_iter()  # finalize fails -> reset, no crash
     assert txt == ""
@@ -1192,3 +1197,35 @@ def test_pipelined_online_survives_dispatch_error(asr):
     proc.insert_audio_chunk(audio[32000:])
     proc.process_iter()
     proc.finish()
+
+
+def test_async_pipelined_online_deterministic(asr):
+    """pipeline="async" (dispatch tick N from results ≤ N-2, then finalize
+    N-1 — the overlap mode) is NOT bit-identical to the sync loop by design,
+    but it must be structurally deterministic (the lag is fixed, not
+    timing-dependent), produce time-monotonic commits even when a trim lands
+    between a tick's dispatch and its apply, and transcribe."""
+    from realtime_whisper_asr_tpu.streaming.online import OnlineASRProcessor
+
+    audio = _audio(10.0, seed=5)
+
+    def run():
+        proc = OnlineASRProcessor(
+            asr, buffer_trimming=("segment", 4.0), pipeline="async"
+        )
+        outs = []
+        for i in range(0, len(audio), 16000):
+            proc.insert_audio_chunk(audio[i : i + 16000])
+            outs.append(proc.process_iter())
+        outs.append(proc.finish())
+        return proc, outs
+
+    p1, o1 = run()
+    p2, o2 = run()
+    assert [o[2] for o in o1] == [o[2] for o in o2]
+    assert p1.commited == p2.commited
+    starts = [w[0] for w in p1.commited]
+    assert starts == sorted(starts)
+    assert any(t for _, _, t in o1), "async pipeline transcribed nothing"
+    # the buffer was actually trimmed (so the stale-offset path was exercised)
+    assert p1.buffer_time_offset > 0.0
