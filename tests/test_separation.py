@@ -480,3 +480,26 @@ def test_small_variant_trained_floor():
     assert report["overall"] >= 8.0, report
     for cond in T.CONDITIONS:
         assert report[cond] > 2.5, report
+
+
+def test_4stem_variant_trained_floor():
+    """The packaged 4-stem variant (drums/bass/other/vocals softmax partition,
+    reference vocal_separation.py:98-129,187-213) measures per-stem SI-SNR
+    improvements of +10.6 to +16.8 dB at train time (seed 123) and +12.6 dB
+    overall as a 2-stem vocals frontend; this locks a >= +8 dB PER-STEM floor
+    on a fresh evaluation seed plus the >= +10 dB frontend floor — 4-stem
+    output must not have cost the vocals path its round-3 quality bar."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import train_separator as T
+
+    sep = NeuralSeparator(variant="4stem", use_device=False)
+    assert sep.variant == "4stem" and sep.trained
+    per_stem = T.evaluate_4stem(sep, seed=777)
+    assert set(per_stem) == {"vocals", "drums", "bass", "other"}, per_stem
+    for name, gain in per_stem.items():
+        assert gain >= 8.0, (name, per_stem)
+    frontend = T.evaluate(sep, seed=777, per_cond=4)
+    assert frontend["overall"] >= 10.0, frontend
