@@ -583,6 +583,10 @@ def main() -> int:
     pipe_env = os.environ.get("BENCH_PIPELINE", "0" if paced_env else "async")
     pipelined = {"": False, "0": False, "1": True, "exact": True,
                  "async": "async"}.get(pipe_env.strip().lower(), bool(pipe_env))
+    if profile_phases:
+        # the phase split blocks at every phase boundary inside one tick —
+        # inherently synchronous; pipelined laps would interleave across ticks
+        pipelined = False
     online = OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0),
                                 prefix_policy=prefix_policy, pipeline=pipelined)
     vac = VACOnlineASRProcessor(

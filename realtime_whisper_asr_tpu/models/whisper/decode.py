@@ -198,7 +198,19 @@ TRANSFER_STATS = {"d2h": 0, "d2h_block_s": 0.0}
 
 def _d2h_mode() -> str:
     """Eager-download strategy: ``async`` (default), ``thread``, or ``off``.
-    ``RWA_D2H_MODE`` picks explicitly; legacy ``RWA_NO_ASYNC_D2H=1`` = off."""
+    ``RWA_D2H_MODE`` picks explicitly; legacy ``RWA_NO_ASYNC_D2H=1`` = off.
+
+    Round-4 transport findings (tools/microbench_* + inline probes), which
+    bound what any strategy can win on this rig:
+    - D2H ≈ 24.6 ms fixed round trip + ~25 ms/MB payload;
+    - ``arr.is_ready()`` is LOCAL and free (0.01 ms);
+    - a D2H does NOT overlap in-flight device compute — even a READY buffer's
+      fetch stalls behind a running program (measured 45 ms during compute vs
+      25 ms idle), so pipelining can hide host work but never the fetch;
+    - ``thread`` with an is_ready poll loop LOSES on this 1-core host
+      (headline 0.0647 vs 0.0508 async): the poll wakeups starve the main
+      thread and the tunnel client's IO.
+    """
     mode = os.environ.get("RWA_D2H_MODE", "").strip().lower()
     if mode in ("async", "thread", "off"):
         return mode
@@ -242,7 +254,7 @@ def enqueue_d2h(arr) -> None:
             )
         if len(_PENDING_D2H) > 64:  # bound leak if a dispatch is abandoned
             _PENDING_D2H.pop(next(iter(_PENDING_D2H)))
-        _PENDING_D2H[id(arr)] = (arr, _D2H_EXECUTOR.submit(np.asarray, arr))
+        _PENDING_D2H[id(arr)] = (arr, _D2H_EXECUTOR.submit(_poll_then_fetch, arr))
         return
     if not _ASYNC_D2H_OK:
         return
@@ -250,6 +262,24 @@ def enqueue_d2h(arr) -> None:
         arr.copy_to_host_async()
     except Exception:
         _ASYNC_D2H_OK = False
+
+
+def _poll_then_fetch(arr) -> np.ndarray:
+    """Reader-thread body: wait for the result to EXIST (local is_ready poll,
+    no transport traffic), then issue the blocking host read — a fetch of a
+    still-pending array would hold the tunneled transport and serialize the
+    main thread's next dispatch behind the wait (see _d2h_mode)."""
+    ready = getattr(arr, "is_ready", None)
+    if ready is not None:
+        deadline = time.monotonic() + 60.0
+        while time.monotonic() < deadline:
+            try:
+                if arr.is_ready():
+                    break
+            except Exception:
+                break
+            time.sleep(0.0005)
+    return np.asarray(arr)
 
 
 def fetch_d2h(arr) -> np.ndarray:
