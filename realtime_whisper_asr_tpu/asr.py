@@ -941,10 +941,13 @@ class TPUWhisperASR:
         prefix_ids: Optional[list[int]] = None,
         draft_ids: Optional[list[int]] = None,
         key=None,
+        device_draft: Optional[dict] = None,
     ) -> dict:
         """Non-blocking half of ``transcribe`` for ≤30 s windows: plan + upload
         + encode + enqueue the decode loop, returning a handle for
-        ``transcribe_finalize``.
+        ``transcribe_finalize``. ``device_draft`` (async-pipelined streaming):
+        ``{"packed", "offset", "max_new", "row_len"}`` referencing the previous
+        tick's device-resident result — spliced into the draft slots on device.
 
         This is the single-stream face of the dispatch/finalize pair that
         powers the streaming pipeline (OnlineASRProcessor(pipeline=True)):
@@ -966,7 +969,8 @@ class TPUWhisperASR:
             self.set_active_stream(key)
         try:
             return self._transcribe_window_dispatch(
-                audio, init_prompt, 0.0, prefix_ids, draft_ids
+                audio, init_prompt, 0.0, prefix_ids, draft_ids,
+                device_draft=device_draft,
             )
         finally:
             if key is not None and key != prev:
@@ -1002,6 +1006,7 @@ class TPUWhisperASR:
         prefix_ids: Optional[list[int]] = None,
         draft_ids: Optional[list[int]] = None,
         prompt_ids: Optional[list[int]] = None,  # overrides init_prompt (carry)
+        device_draft: Optional[dict] = None,  # async-pipeline device-side draft
     ) -> dict:
         """Non-blocking half of ``_transcribe_window``: plan + ONE bundled
         upload + encode + enqueue the decode loop. Identical planning (and
@@ -1030,6 +1035,19 @@ class TPUWhisperASR:
         if pt is not None:
             pt.mark()
         aux_dev = self._sync_audio_and_aux(audio, aux_np)
+        if device_draft is not None and opts.beam_size == 1:
+            # async-pipelined streaming: splice the PREVIOUS tick's
+            # device-resident sampled tokens into this tick's draft slots
+            # (patch_aux_device_draft) — no host round trip touches the draft
+            aux2d = aux_dev.reshape(1, D.AUX_LEN) if aux_dev.ndim == 1 else aux_dev
+            aux_dev = D.patch_aux_device_draft(
+                aux2d, device_draft["packed"], device_draft["offset"],
+                prev_max_new=device_draft["max_new"],
+                prev_row_len=device_draft["row_len"], eot=self.cfg.eot,
+                force=device_draft.get("force", False),
+                safety=device_draft.get("safety", 4),
+            )
+            draft_ids = None  # the device draft replaces any host draft
         if pt is not None:
             # ONE representative block: the ring write consumes the same
             # uploaded blob as aux, so it covers the whole upload chain —
@@ -1060,6 +1078,7 @@ class TPUWhisperASR:
                 alignment_heads=self.alignment_heads,
                 kv_quant=self._kv_quant,
                 draft_tokens=draft_ids,
+                force_draft_bucket=device_draft is not None,
                 **({"phase_timer": pt} if pt is not None else {}),
             )
         return {

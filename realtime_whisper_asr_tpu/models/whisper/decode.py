@@ -324,6 +324,71 @@ def pack_aux(
     return aux
 
 
+@functools.partial(
+    jax.jit, static_argnames=("prev_max_new", "prev_row_len", "eot", "force", "safety")
+)
+def patch_aux_device_draft(
+    aux: jnp.ndarray,            # (B, AUX_LEN) packed bundles
+    prev_packed: jnp.ndarray,    # previous tick's flat packed result (device)
+    offset,                      # traced scalar: draft start inside prev sampled
+    prev_max_new: int,
+    prev_row_len: int,
+    eot: int,
+    force: bool = False,
+    safety: int = 4,
+) -> jnp.ndarray:
+    """Write the PREVIOUS tick's device-resident sampled tokens into this
+    tick's aux draft slots — the device-side speculative draft of the
+    async-pipelined streaming loop.
+
+    In async mode tick N dispatches before tick N-1's result reaches the
+    host, so the host can only force a prefix from hypothesis N-2 and the
+    decode would re-generate N-1's tokens step-by-step (~2× decode work
+    measured: 1170 vs 531 new tokens on the r4 headline). N-1's tokens are
+    already ON DEVICE in its packed result buffer; this one tiny program
+    slices hypothesis N-1's continuation beyond this tick's prefix
+    (``offset`` = len(prefix_N) - len(prefix_{N-1}), host-known) into the
+    draft slots, and the prefill verify accepts them wholesale where the
+    model agrees (lossless — a revised hypothesis just rejects from the
+    first mismatch). No host round trip touches the draft.
+
+    ``force=True`` (prefix_policy "last" under the async pipeline): the draft
+    minus its last ``safety`` tokens is FORCED rather than verified — exactly
+    the "last" policy's semantics (the previous hypothesis minus a safety
+    tail is the committed continuation), applied to hypothesis N-1 instead of
+    the one-tick-staler N-2 the host can see. Encoded as a NEGATIVE n_draft
+    in the aux bundle (read back in _greedy_loop). Forced tokens keep the
+    model's own logprobs in sum_logprob (like verified ones), so avg_logprob
+    reads slightly high on forced mismatches — same caveat as host prefix
+    forcing."""
+    b = aux.shape[0]
+    rows = prev_packed.reshape(b, prev_row_len)
+    tokens = rows[:, :prev_max_new]  # f32 token ids (exact for ids < 2^24)
+    # valid length of the previous sampled region: first EOT (inclusive), else all
+    is_eot = tokens == float(eot)
+    any_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    n_valid = jnp.where(any_eot, first_eot + 1, prev_max_new)  # (B,)
+    off = jnp.clip(offset, 0, prev_max_new - 1)
+    start = jnp.full((b,), off, jnp.int32) if jnp.ndim(off) == 0 else off.astype(jnp.int32)
+    idx = start[:, None] + jnp.arange(DRAFT_MAX)[None, :]
+    draft = jnp.take_along_axis(tokens, jnp.minimum(idx, prev_max_new - 1), axis=1)
+    # a forced draft must never force EOT or the trailing unstable tokens:
+    # stop before the first EOT and drop the safety tail
+    n_avail = jnp.clip(n_valid - start, 0, DRAFT_MAX)  # (B,)
+    if force:
+        has_eot = jnp.any(is_eot, axis=1)
+        n_avail = jnp.clip(
+            jnp.where(has_eot, n_avail - 1, n_avail) - safety, 0, DRAFT_MAX
+        )
+    valid = jnp.arange(DRAFT_MAX)[None, :] < n_avail[:, None]
+    draft = jnp.where(valid, draft, 0.0)
+    signed = -n_avail if force else n_avail
+    aux = aux.at[:, AUX_TOK + 5].set(signed.astype(jnp.float32))
+    aux = aux.at[:, AUX_TOK + 6 : AUX_TOK + 6 + DRAFT_MAX].set(draft)
+    return aux
+
+
 @functools.lru_cache(maxsize=64)
 def _sup_mask_dev(cfg: WhisperConfig, extra_suppress: tuple[int, ...]):
     return jax.device_put(suppress_mask(cfg, extra_suppress))
@@ -391,7 +456,12 @@ def _greedy_loop(
     total = jnp.minimum(
         jnp.int32(p + max_new), jnp.int32(p) + aux[:, AUX_TOK + 4].astype(jnp.int32)
     )  # (B,)
-    n_draft_arr = aux[:, AUX_TOK + 5].astype(jnp.int32)  # (B,)
+    # sign convention (patch_aux_device_draft): n_draft < 0 means the draft is
+    # FORCED (async-pipeline policy "last": the previous hypothesis minus a
+    # safety tail IS the prefix continuation), not merely verified
+    n_draft_raw = aux[:, AUX_TOK + 5].astype(jnp.int32)  # (B,)
+    draft_forced = n_draft_raw < 0
+    n_draft_arr = jnp.abs(n_draft_raw)
     draft_tok = aux[:, AUX_TOK + 6 : AUX_TOK + 6 + draft_max].astype(jnp.int32)
     # pad rows beyond each row's draft with EOT (never matches a real choice,
     # and keeps the span's token ids in-vocab for the embedding lookup)
@@ -540,7 +610,7 @@ def _greedy_loop(
     if draft_max:
         iidx = jnp.arange(draft_max)[:, None]  # (DM, 1)
         match = (
-            (choices[:draft_max] == draft_tok.T)
+            ((choices[:draft_max] == draft_tok.T) | draft_forced[None, :])
             & (iidx < n_draft_arr[None, :])
             & ((p + iidx) < total[None, :])
         )
@@ -641,10 +711,15 @@ def greedy_decode_dispatch(
     bucket: Optional[int] = None,
     draft_tokens: Optional[list[int]] = None,
     kv_quant: bool = False,
+    force_draft_bucket: bool = False,
 ) -> dict:
     """Non-blocking half of ``greedy_decode``: identical planning (and
     therefore identical traces — no prompt re-bucketing like the batched
-    path), stopping after the decode loop + eager D2H are enqueued."""
+    path), stopping after the decode loop + eager D2H are enqueued.
+
+    ``force_draft_bucket``: compile the DRAFT_MAX prefill span even with no
+    host draft tokens — the caller patched a device-side draft into
+    ``aux_device`` (patch_aux_device_draft)."""
     init, sot_index, n_prefix = build_initial_tokens(
         cfg, opts, prompt_tokens, prefix_tokens, bucket=bucket
     )
@@ -653,7 +728,7 @@ def greedy_decode_dispatch(
     p = int(init.shape[0])
     max_new, max_new_cap = plan_decode_budget(cfg, opts, p, n_prefix)
     cache_len = min(cfg.n_text_ctx, _round_up(p + max_new, 128))
-    draft_max = DRAFT_MAX if draft_tokens else 0
+    draft_max = DRAFT_MAX if (draft_tokens or force_draft_bucket) else 0
 
     sup = _sup_mask_dev(cfg, tuple(extra_suppress))
     capture = opts.word_timestamps

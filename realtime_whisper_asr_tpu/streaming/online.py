@@ -268,6 +268,7 @@ class OnlineASRProcessor:
                 req["audio"], req["init_prompt"],
                 req.get("prefix_ids"), req.get("draft_ids"),
                 key=self.stream_key,
+                device_draft=self._device_draft(req),
             )
         except Exception:
             logger.exception("pipelined dispatch failed; resetting stream state")
@@ -278,6 +279,37 @@ class OnlineASRProcessor:
         if st is not None and self._generation == gen:
             self._inflight = (st, t_start, off)
         return out
+
+    def _device_draft(self, req: dict) -> Optional[dict]:
+        """Async-pipeline device-side draft: point this tick's dispatch at the
+        IN-FLIGHT previous tick's device-resident sampled tokens, so the
+        prefill verify re-accepts them without the host ever seeing them
+        (patch_aux_device_draft). The host can only force a prefix from
+        hypothesis N-2 here; without this the decode re-generates N-1's
+        tokens step-by-step (~2× decode work measured). None when there is no
+        usable in-flight greedy handle or the prefix offsets don't line up
+        (first ticks, post-trim resets, beam mode) — the verify is lossless
+        either way, this is purely a speed hint."""
+        if self._inflight is None or not req.get("prefix_ids"):
+            return None
+        prev_st = self._inflight[0]
+        h = prev_st.get("decode_handle")
+        if h is None or prev_st.get("beam") or "packed" not in h:
+            return None
+        offset = len(req["prefix_ids"]) - len(prev_st.get("prefix_ids") or [])
+        if offset < 0:
+            return None
+        return {
+            "packed": h["packed"],
+            "offset": offset,
+            "max_new": h["max_new"],
+            "row_len": int(h["packed"].size) // int(h["b"]),
+            # policy "last" forces the previous hypothesis minus the safety
+            # tail (its exact sync-mode semantics, one tick fresher than the
+            # host can see); agree2 stays verify-only (conservative)
+            "force": self.prefix_policy == "last",
+            "safety": self.prefix_safety_tokens,
+        }
 
     def _drain_inflight(self) -> tuple[Optional[float], Optional[float], str]:
         """Finalize + apply the in-flight pipelined tick, if any."""

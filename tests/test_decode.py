@@ -1229,3 +1229,70 @@ def test_async_pipelined_online_deterministic(asr):
     assert any(t for _, _, t in o1), "async pipeline transcribed nothing"
     # the buffer was actually trimmed (so the stale-offset path was exercised)
     assert p1.buffer_time_offset > 0.0
+
+
+def test_patch_aux_device_draft_slices_and_signs():
+    """patch_aux_device_draft splices the previous tick's device-resident
+    sampled tokens into the aux draft slots: offset slicing, EOT-bounded
+    length, zeroed invalid tail, and the NEGATIVE length encoding of forced
+    mode (minus the safety tail and the EOT itself)."""
+    cfg = W.get_config("test-tiny")
+    max_new, row_len = 12, 20
+    row = np.zeros(row_len, np.float32)
+    toks = [101, 102, 103, 104, 105, 106, 107, cfg.eot, 0, 0, 0, 0]
+    row[:max_new] = toks
+    prev = jnp.asarray(row)
+    aux = jnp.zeros((1, D.AUX_LEN), jnp.float32)
+
+    out = D.patch_aux_device_draft(aux, prev, 2, prev_max_new=max_new,
+                                   prev_row_len=row_len, eot=cfg.eot)
+    out = np.asarray(out)[0]
+    # verify mode: draft = tokens[2:8] = 103..107,eot (6 incl. EOT), positive
+    assert out[D.AUX_TOK + 5] == 6
+    assert list(out[D.AUX_TOK + 6 : D.AUX_TOK + 6 + 6].astype(int)) == [103, 104, 105, 106, 107, cfg.eot]
+    assert np.all(out[D.AUX_TOK + 12 : D.AUX_TOK + 6 + D.DRAFT_MAX] == 0)
+
+    outf = D.patch_aux_device_draft(aux, prev, 2, prev_max_new=max_new,
+                                    prev_row_len=row_len, eot=cfg.eot,
+                                    force=True, safety=2)
+    outf = np.asarray(outf)[0]
+    # force mode: drop EOT and 2 safety tokens -> 3 forced, encoded negative
+    assert outf[D.AUX_TOK + 5] == -3
+    assert list(outf[D.AUX_TOK + 6 : D.AUX_TOK + 6 + 3].astype(int)) == [103, 104, 105]
+    assert np.all(outf[D.AUX_TOK + 9 : D.AUX_TOK + 6 + D.DRAFT_MAX] == 0)
+
+    # offset past the valid region -> empty draft either way
+    oute = np.asarray(D.patch_aux_device_draft(aux, prev, 9, prev_max_new=max_new,
+                                               prev_row_len=row_len, eot=cfg.eot))[0]
+    assert oute[D.AUX_TOK + 5] == 0
+
+
+def test_forced_device_draft_tokens_are_kept(asr):
+    """With force=True the draft tokens from the previous device result must
+    appear verbatim in the new transcript (prefix-continuation semantics of
+    policy "last"), even where the model would argmax something else; the
+    decode then continues with the model's own choices."""
+    audio = _audio(4.0, seed=7)
+    xa = asr._encode_window(audio)
+    opts = D.DecodeOptions(timestamps=True, word_timestamps=False)
+    h0 = D.greedy_decode_dispatch(asr.params, asr.cfg, xa, opts)
+    r0 = D.greedy_decode_finalize(h0)
+    n0 = int(r0.lengths[0])
+    assert n0 > 6
+    # second decode: force the first decode's tokens 1..k as a device draft
+    init, sot_index, n_prefix = D.build_initial_tokens(asr.cfg, opts, None, None)
+    aux_np = D.pack_aux(init, n_prefix, sot_index, -1)
+    aux = jnp.asarray(aux_np).reshape(1, -1)
+    row_len = int(h0["packed"].size)
+    patched = D.patch_aux_device_draft(
+        aux, h0["packed"], 1, prev_max_new=h0["max_new"], prev_row_len=row_len,
+        eot=asr.cfg.eot, force=True, safety=2,
+    )
+    n_forced = int(abs(np.asarray(patched)[0, D.AUX_TOK + 5]))
+    assert n_forced > 0
+    h1 = D.greedy_decode_dispatch(asr.params, asr.cfg, xa, opts,
+                                  aux_device=patched, force_draft_bucket=True)
+    r1 = D.greedy_decode_finalize(h1)
+    toks0 = r0.tokens[0][: n0].tolist()
+    toks1 = r1.tokens[0][: int(r1.lengths[0])].tolist()
+    assert toks1[:n_forced] == toks0[1 : 1 + n_forced], (toks0[:8], toks1[:8], n_forced)
