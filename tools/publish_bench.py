@@ -64,12 +64,19 @@ def main(argv=None) -> int:
         baseline = json.load(f)
     pub: dict = {"hardware": "1x TPU v5e via tunneled axon backend", "round": args.round}
     # the headline row is the shipped default config: int8-all, 1 s chunks,
-    # as-fast feed; round <4 sweeps named it plain "headline"
-    h = results.get("headline_int8all") or results.get("headline")
+    # as-fast feed, async-pipelined ticks + forced device draft (round 4b)
+    h = results.get("headline") or results.get("headline_int8all")
     if h:
         pub["large_v3_streaming_rtf"] = h.get("rtf")
         pub["large_v3_p50_chunk_to_text_ms"] = h.get("value")
         pub["quantization"] = h.get("quantization")
+        pub["pipelined_ticks"] = h.get("pipelined_ticks")
+    hs = results.get("headline_sync") or results.get("headline_int8all")
+    if hs:
+        pub["large_v3_sync_ticks_rtf"] = hs.get("rtf")
+    he = results.get("headline_exact") or results.get("headline_pipelined")
+    if he:
+        pub["large_v3_exact_pipeline_rtf"] = he.get("rtf")
     hp = results.get("headline_phases")
     if hp:
         pub["large_v3_compute_rtf"] = hp.get("compute_rtf")
@@ -77,13 +84,18 @@ def main(argv=None) -> int:
         pub["large_v3_sync_rtf_rig_tax"] = hp.get("sync_rtf")
         pub["sync_floor_ms"] = hp.get("sync_floor_ms")
         pub["decode_ms_per_token"] = hp.get("decode_ms_per_token")
-    if h and hp:
-        # pin the headline-vs-target gap to the measured sync floor (VERDICT
-        # r2 #2): at 1 s cadence ticks == audio seconds, so the predicted
-        # end-to-end rtf is compute + transfer + host parse + (blocking
-        # d2h syncs/tick × sync floor). The gap% is how much of the headline
-        # rtf this accounting fails to explain.
-        syncs = h.get("d2h_per_tick", 1.0)
+    acct = (results.get("headline_sync") or results.get("headline_int8all")
+            or (h if h and not h.get("pipelined_ticks") else None))
+    if acct and hp:
+        # pin the tick budget to the measured sync floor (VERDICT r2 #2) —
+        # against the SYNC-tick row (the phases split blocks per phase and is
+        # sync by construction, so the accounting must compare like-for-like;
+        # the pipelined headline overlaps host work and drafts device-side).
+        # At 1 s cadence ticks == audio seconds, so the predicted end-to-end
+        # rtf is compute + transfer + host parse + (blocking d2h syncs/tick ×
+        # sync floor). The gap% is how much of the sync rtf this accounting
+        # fails to explain.
+        syncs = acct.get("d2h_per_tick", 1.0)
         floor_s = (hp.get("sync_floor_ms") or 0.0) / 1e3
         host_s = (hp.get("phases_ms_per_tick", {}).get("host_parse") or 0.0) / 1e3
         # prefer the MEASURED time blocked in the result download (eager D2H
@@ -98,7 +110,7 @@ def main(argv=None) -> int:
             (hp.get("compute_rtf") or 0.0) + (hp.get("transfer_rtf") or 0.0)
             + host_s + sync_s
         )
-        rtf = h.get("rtf")
+        rtf = acct.get("rtf")
         pub["sync_accounting"] = {
             "blocking_d2h_syncs_per_tick_counted": syncs,
             "sync_floor_ms": hp.get("sync_floor_ms"),
@@ -109,7 +121,7 @@ def main(argv=None) -> int:
             if rtf else None,
         }
     # paced realtime feed (deployment mode): prefer the keep-alive-tuned row
-    hpaced = results.get("headline_paced_ka100") or results.get("headline_paced")
+    hpaced = results.get("headline_paced") or results.get("headline_paced_ka100")
     if hpaced:
         pub["large_v3_paced_streaming_rtf"] = hpaced.get("rtf")
         pub["large_v3_paced_p50_ms"] = hpaced.get("value")
@@ -125,6 +137,12 @@ def main(argv=None) -> int:
         if s:
             pub[f"scenario{i}"] = {"metric": s.get("metric"), "rtf": s.get("value"),
                                    "p50_ms": s.get("p50_ms")}
+        sp = results.get(f"scenario{i}_pipe")
+        if sp:
+            pub[f"scenario{i}_pipelined_rtf"] = sp.get("value")
+    hpp = results.get("headline_paced_pipe")
+    if hpp:
+        pub["large_v3_paced_pipelined_rtf"] = hpp.get("rtf")
     h60 = results.get("headline_60s")
     if h60:
         pub["large_v3_streaming_rtf_60s_run"] = h60.get("rtf")
@@ -140,7 +158,7 @@ def main(argv=None) -> int:
             s = results.get(f"streams{n}_{variant}")
             if s:
                 pub[f"aggregate_rtf_{n}_streams_{variant}"] = s.get("value")
-    hb = results.get("headline_beam5")
+    hb = results.get("headline_beam5_pipe") or results.get("headline_beam5")
     if hb:
         pub["large_v3_beam5_rtf"] = hb.get("rtf")
         pub["large_v3_beam5_p50_ms"] = hb.get("value")

@@ -54,11 +54,20 @@ run() {
   cat "$DIR/$name.json" >&2
 }
 
-run headline_pipelined      BENCH_QUANT=int8-all
+# headline: the shipped default (async pipeline + forced device draft)
+run headline                BENCH_QUANT=int8-all
+# controls: sync ticks / exact pipeline (token-identical mode)
+run headline_sync           BENCH_QUANT=int8-all BENCH_PIPELINE=0
+run headline_exact          BENCH_QUANT=int8-all BENCH_PIPELINE=exact
+# paced deployment feed: sync ticks (latency-optimal) + pipelined variant
+run headline_paced          BENCH_QUANT=int8-all BENCH_PACED=1
+run headline_paced_pipe     BENCH_QUANT=int8-all BENCH_PACED=1 BENCH_PIPELINE=async
+# beam 5 through both tick modes (no device draft on the beam path)
 run headline_beam5_pipe     BENCH_QUANT=int8-all BENCH_BEAM=5
-run headline_paced_pipe     BENCH_QUANT=int8-all BENCH_PACED=1 BENCH_PIPELINE=1
-run scenario5_pipe          BENCH_SCENARIO=5 RWA_PIPELINE=1
-run scenario3_pipe          BENCH_SCENARIO=3 RWA_PIPELINE=1
-run scenario2_pipe          BENCH_SCENARIO=2 RWA_PIPELINE=1
-run scenario4_pipe          BENCH_SCENARIO=4 RWA_PIPELINE=1
+run headline_beam5_sync     BENCH_QUANT=int8-all BENCH_BEAM=5 BENCH_PIPELINE=0
+# BASELINE scenario configs through the app with the async pipeline
+run scenario5_pipe          BENCH_SCENARIO=5 RWA_PIPELINE=async
+run scenario3_pipe          BENCH_SCENARIO=3 RWA_PIPELINE=async
+run scenario2_pipe          BENCH_SCENARIO=2 RWA_PIPELINE=async
+run scenario4_pipe          BENCH_SCENARIO=4 RWA_PIPELINE=async
 echo "sweep complete: $DIR" >&2
