@@ -152,6 +152,11 @@ def run_scenario(n: int) -> int:
     cm.set("performance.display_interval_s", 1e9)
     for k, v in s["overrides"].items():
         cm.set(k, v)
+    if os.environ.get("BENCH_PHASES", "") not in ("", "0"):
+        # the phase split blocks at every phase boundary inside one tick —
+        # inherently synchronous; pin the session to sync ticks so the
+        # auto-selected async loop can't interleave laps across ticks
+        cm.set("streaming.pipeline", False)
     if os.environ.get("BENCH_NOVAD", "") not in ("", "0"):
         # diagnostic A/B: isolates the VAC layer's cost (utterance staging /
         # re-prompting churn on music-backed audio) from the asr tick itself
@@ -195,6 +200,7 @@ def run_scenario(n: int) -> int:
     stats = app.record_session(stream, chunk_seconds=1.0, max_seconds=seconds,
                                until_exhausted=False)
     wall = time.perf_counter() - t0
+    pipelined_mode = str(getattr(app, "last_session_pipeline", False) or False)
     mon = app.monitor.get_status() if app.monitor else {}
     quant = cm.get("model.quantization") or "none"
     extras = perf_extras(app.asr, seconds, quant, h2d_before, d2h_before,
@@ -218,6 +224,12 @@ def run_scenario(n: int) -> int:
         "dedup_skips": stats.dedup_skipped,
         "wall_seconds": round(wall, 2),
         "scenario": n,
+        # which tick loop the session auto-selected (streaming.pipeline=None +
+        # an unpaced feed → "async"; BENCH_SCENARIO feeds are as-fast, the
+        # async pipelined loop's design case — VERDICT r4 #2). Read DURING the
+        # run via record_session's restore semantics: report the mode the
+        # measured pass ran under.
+        "pipelined_ticks": pipelined_mode,
         **extras,
         **DEGRADED,
     }))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Callable, Optional
 
@@ -264,6 +265,16 @@ class StreamingApp:
             dynamic_buffer=s["dynamic_buffer"],
             pipeline=s.get("pipeline"),
             clock=clock,
+        )
+        self.online = online  # inner tick loop (processor may be the VAC wrap)
+        #: streaming.pipeline=None (+ no RWA_PIPELINE env) = auto: the session
+        #: loop picks per feed pacing — async pipelined ticks for as-fast
+        #: feeds (file transcription, catch-up, scenario benches: the fetch's
+        #: round trip overlaps the next tick's device compute), synchronous
+        #: ticks for realtime-paced mics (idle between chunks; sync minimizes
+        #: per-chunk latency). An explicit config/env value wins.
+        self._pipeline_auto = (
+            s.get("pipeline") is None and not os.environ.get("RWA_PIPELINE")
         )
         v = cfg["vad"]
         if v["enable"]:
@@ -541,6 +552,11 @@ class StreamingApp:
         proc_s = self.clock() - t0
         if not text:
             return None
+        if getattr(self.online, "pipeline", False):
+            # pipelined ticks: the per-call span only covers drain+dispatch;
+            # the true chunk→text latency of the tick that PRODUCED this text
+            # is its dispatch→apply span (same accounting as bench.py)
+            proc_s = self.online.last_apply_latency_s or proc_s
         if self.monitor is not None and beg is not None and end is not None:
             self.monitor.record_recognition(max(end - beg, 1e-3), max(proc_s, 1e-6))
         if not validate_timestamps(beg, end, text):
@@ -618,6 +634,21 @@ class StreamingApp:
             protector.healthy = True
         n = int(chunk_seconds * SR)
         fed = 0.0
+        # pipeline auto-select per feed pacing (streaming.pipeline=None):
+        # an as-fast feed (SimulatedMicStream realtime=False — file
+        # transcription, catch-up replay, the scenario benches) runs the
+        # async software-pipelined tick loop so the result fetch's round trip
+        # overlaps the next tick's device compute; a realtime-paced source (a
+        # real mic, or a simulated one with realtime=True) keeps synchronous
+        # ticks for minimal per-chunk latency. The hot loop the reference
+        # models here is 一键实时识别麦克风.py:1444-1677.
+        restore_pipeline = None
+        if self._pipeline_auto and not getattr(stream, "realtime", True):
+            restore_pipeline = self.online.pipeline
+            self.online.set_pipeline("async")
+        #: tick-loop mode THIS session ran under (bench/observability; the
+        #: configured mode is restored on exit when auto-select engaged)
+        self.last_session_pipeline = self.online.pipeline
         # anchor the idle indicator at session start — a getattr default of
         # "now" re-evaluated every iteration could never age past the 2 s
         # gate, so a session that STARTS silent showed no heartbeat at all
@@ -725,6 +756,10 @@ class StreamingApp:
                     self.output.print(f"💬 {text}")
                     if self.translation is not None:
                         self.translation.add_text(text)
+            if restore_pipeline is not None:
+                # finish_all above drained any in-flight tick; restore the
+                # configured (auto) mode for the next session's feed
+                self.online.set_pipeline(restore_pipeline)
             stats.duration_s = fed
         return stats
 

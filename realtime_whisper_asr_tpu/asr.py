@@ -588,8 +588,19 @@ class TPUWhisperASR:
         ``stop_idle_keepalive()`` joins the thread.
         """
         if interval_s is None:
+            env = os.environ.get("RWA_KEEPALIVE_MS")
+            if env is None:
+                # default on TUNNELED transports only: on a direct-attached
+                # chip the pings buy nothing and just burn host CPU
+                # (VERDICT r4 #4); RWA_KEEPALIVE_MS forces either way
+                from realtime_whisper_asr_tpu.utils.hardware import (
+                    is_tunneled_backend,
+                )
+
+                if not is_tunneled_backend():
+                    return False
             try:
-                interval_s = float(os.environ.get("RWA_KEEPALIVE_MS", "100")) / 1e3
+                interval_s = float(env if env is not None else "100") / 1e3
             except ValueError:
                 interval_s = 0.1
         if interval_s <= 0:

@@ -545,6 +545,23 @@ class OnlineASRProcessor:
 
     # ----------------------------------------------------------------- helpers
 
+    def set_pipeline(self, mode) -> tuple[Optional[float], Optional[float], str]:
+        """Switch tick-loop pipelining (False | True/"exact" | "async") at
+        runtime — the session loop auto-selects per feed pacing (an as-fast
+        feed wants the async overlap, a realtime mic wants the synchronous
+        per-chunk latency; StreamingApp.record_session). Any in-flight tick is
+        drained first so the switch is safe mid-session; the drained commit
+        (if any) is returned so the caller can emit it."""
+        mode = {False: False, "": False, "0": False, 0: False, True: True,
+                "1": True, 1: True, "exact": True, "async": "async"}.get(mode, bool(mode))
+        if mode and not hasattr(self.asr, "transcribe_dispatch"):
+            mode = False
+        out = (None, None, "")
+        if self._inflight is not None and mode != self.pipeline:
+            out = self._drain_inflight()
+        self.pipeline = mode
+        return out
+
     def set_agreement_n(self, n: int) -> None:
         self.agreement_n = n
         self.transcript_buffer.set_agreement_n(n)

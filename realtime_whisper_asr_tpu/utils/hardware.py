@@ -41,6 +41,29 @@ def detect_hardware() -> dict[str, Any]:
     return info
 
 
+def is_tunneled_backend() -> bool:
+    """True when the accelerator is reached through a TCP relay (the axon
+    tunnel serving this image's one real chip) rather than direct-attached.
+
+    Transport-level workarounds — the idle keep-alive pings that stop the
+    tunnel's congestion window from collapsing between paced chunks
+    (``TPUWhisperASR.start_idle_keepalive``) — only make sense on a tunneled
+    transport; on a direct-attached chip they are pure dispatch noise, so
+    callers gate on this. Detection: the axon sitecustomize registers the
+    relay backend iff ``PALLAS_AXON_POOL_IPS`` is set, and a process that
+    forced CPU (tests, degraded fallback) has no tunnel either way."""
+    import os
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def probe_backend() -> dict[str, Any]:
     """Startup probe with degraded-mode detection (reference GPU→CPU-int8
     fallback, `一键实时识别麦克风.py:1138-1175`): try to initialize the

@@ -1136,6 +1136,24 @@ def test_idle_keepalive_pings_when_idle(asr, monkeypatch):
     assert asr._keepalive_thread is None
 
 
+def test_idle_keepalive_gated_on_tunneled_backend(asr, monkeypatch):
+    """Without RWA_KEEPALIVE_MS the pump only starts on a tunneled transport
+    (axon relay): on a direct-attached chip — or this CPU test backend — the
+    pings are pure dispatch noise, so the default is off (VERDICT r4 #4).
+    An explicit interval still forces it anywhere."""
+    monkeypatch.delenv("RWA_KEEPALIVE_MS", raising=False)
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    assert not asr.start_idle_keepalive()
+    assert asr._keepalive_thread is None
+    # the env-less gate keys on the relay's pool env + a non-cpu backend;
+    # tests run forced-CPU so even a fake pool IP must not enable it
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert not asr.start_idle_keepalive()
+    # explicit interval overrides the gate
+    assert asr.start_idle_keepalive(interval_s=5.0)
+    asr.stop_idle_keepalive()
+
+
 def test_pipelined_online_matches_sync(asr):
     """OnlineASRProcessor(pipeline=True) — the software-pipelined tick loop
     (dispatch tick N, then finalize tick N-1 so the result download's tunnel

@@ -58,6 +58,49 @@ class TimecodedFakeASR:
         return [e for b, e, w in segments]
 
 
+class DispatchingFakeASR(TimecodedFakeASR):
+    """TimecodedFakeASR + the two-phase dispatch/finalize protocol, so the
+    software-pipelined tick loop (sync-emulated: the 'device' result is just
+    computed eagerly) can be exercised without a device backend."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.dispatches = 0
+
+    def transcribe_dispatch(self, audio, init_prompt="", prefix_ids=None,
+                            draft_ids=None, key=None, device_draft=None):
+        self.dispatches += 1
+        return {"res": self.transcribe(audio, init_prompt=init_prompt)}
+
+    def transcribe_finalize(self, st):
+        return st["res"]
+
+
+def test_set_pipeline_drains_inflight():
+    """Switching pipelining modes mid-session drains the in-flight tick and
+    hands its commit back to the caller (nothing is silently dropped)."""
+    words = [(0.2, 0.6, " a"), (0.7, 1.1, " b"), (1.2, 1.6, " c")]
+    asr = DispatchingFakeASR(words, unstable_tail=False)
+    proc = OnlineASRProcessor(asr, pipeline="async")
+    t = 0.0
+    outs = []
+    while t < 3.0:
+        proc.insert_audio_chunk(timecoded_audio(t, t + 1.0))
+        t += 1.0
+        outs.append(proc.process_iter())
+    assert proc._inflight is not None
+    drained = proc.set_pipeline(False)
+    assert proc._inflight is None and proc.pipeline is False
+    text = "".join(txt for _, _, txt in outs + [drained, proc.finish()] if txt)
+    assert "a" in text and "b" in text and "c" in text
+    # switching to the same mode with nothing in flight is a no-op
+    assert proc.set_pipeline(False) == (None, None, "")
+    # an ASR without the dispatch protocol can never be switched into it
+    proc2 = OnlineASRProcessor(TimecodedFakeASR(words))
+    proc2.set_pipeline("async")
+    assert proc2.pipeline is False
+
+
 def make_words(n, start=0.25, dur=0.4, gap=0.1):
     t = start
     words = []
