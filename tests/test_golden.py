@@ -64,3 +64,12 @@ def test_feature_matrix_reproduces_exactly():
     assert recorded["matrix"]["prequant"]["matches_int8all"] is True
     assert recorded["matrix"]["vac"]["commits"] >= 1, "VAC never committed"
     assert len(set(recorded["matrix"]["diarize"]["labels"])) >= 2
+    # pipelined-mode quality contract (VERDICT r4 #3): exact mode is
+    # commit-for-commit identical to the synchronous loop; async mode is
+    # deterministic (locked by the equality assert above) with a measured,
+    # bounded divergence — random weights are the worst case (chaotic
+    # hypotheses + one-tick-staler prefix), so the bound is loose here and
+    # tight in deployment (see the fixture's note field)
+    assert recorded["matrix"]["pipeline_exact"]["matches_sync"] is True
+    for d in recorded["matrix"]["pipeline_async"]["divergence"]:
+        assert d["commit_wer_vs_sync"] <= 0.65

@@ -202,6 +202,66 @@ def run_matrix() -> dict:
         pieces.append(txt)
     rows["vac"] = {"text": asr.sep.join(pieces).strip(), "commits": len(pieces)}
 
+    # pipelined tick loops (VERDICT r4 #3 — the headline operating mode gets
+    # a quality contract): pipeline=True ("exact") must be commit-for-commit
+    # identical to the synchronous loop; pipeline="async" (dispatch from
+    # results ≤ N-2 + forced device draft under prefix_policy=last — the
+    # fastest shipped mode) is deterministic but not bit-identical, so its
+    # commits are locked AND its divergence vs the sync loop is measured
+    # (commit-WER + final-transcript equality per golden clip). All three run
+    # prefix_policy="last", the wizard-recommended large-model mode the
+    # headline bench uses (reference semantics being relaxed:
+    # enhanced_asr_processor.py:343-381).
+    from realtime_whisper_asr_tpu.eval import wer as _wer
+
+    asr = build_asr()
+
+    def _stream(aud, key, pipeline):
+        """Final committed word stream [(beg, end, word)] after finish() —
+        the pipelined invariant is on COMMITTED WORDS, not per-call emission
+        grouping (exact mode emits each commit one process_iter later;
+        test_pipelined_online_matches_sync)."""
+        proc = OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0),
+                                  prefix_policy="last", pipeline=pipeline)
+        asr.set_active_stream(key)
+        for pos in range(0, len(aud), SR):
+            proc.insert_audio_chunk(aud[pos : pos + SR])
+            proc.process_iter()
+        proc.finish()
+        return [[round(float(b), 3), round(float(e), 3), w]
+                for b, e, w in proc.commited]
+
+    sync_c, exact_c, async_c = [], [], []
+    for i in range(3):
+        aud = golden_audio(i)
+        sync_c.append(_stream(aud, f"pl_sync{i}", False))
+        exact_c.append(_stream(aud, f"pl_exact{i}", True))
+        async_c.append(_stream(aud, f"pl_async{i}", "async"))
+    rows["pipeline_exact"] = {
+        "commits": exact_c,
+        "matches_sync": exact_c == sync_c,  # locked True: the exact-mode contract
+    }
+    divergence = []
+    for s, a in zip(sync_c, async_c):
+        st = asr.sep.join(w for _, _, w in s).strip()
+        at = asr.sep.join(w for _, _, w in a).strip()
+        divergence.append({"commit_wer_vs_sync": round(_wer(st, at), 4),
+                           "final_equal_vs_sync": st == at})
+    rows["pipeline_async"] = {
+        "commits": async_c,
+        "sync_commits": sync_c,
+        "divergence": divergence,
+        # caveat carried into the artifact: random-init weights make every
+        # hypothesis chaotic, the WORST case for the async loop's one-tick-
+        # staler conditioning — LocalAgreement then withholds commits that
+        # stable real-weight hypotheses would confirm. The locked numbers
+        # are determinism + an upper bound, not expected real-model loss.
+        "note": "random-weight divergence is an upper bound: one-tick-staler "
+                "prefixes under chaotic hypotheses suppress LocalAgreement "
+                "commits; with stable (real-weight) hypotheses the async and "
+                "sync streams coincide except at the safety tail",
+    }
+
     # diarization: online speaker labels over alternating synthetic speakers
     # (same voice model the embedder was trained against)
     from realtime_whisper_asr_tpu.models.speaker import SpeakerTracker
