@@ -503,3 +503,28 @@ def test_4stem_variant_trained_floor():
         assert gain >= 8.0, (name, per_stem)
     frontend = T.evaluate(sep, seed=777, per_cond=4)
     assert frontend["overall"] >= 10.0, frontend
+
+
+def test_4stem_robust_to_real_music_degradations():
+    """Per-condition table for the 4-stem head under the real-music
+    degradations (VERDICT r4 #7): lossy-codec spectral holes + band limit,
+    loudness-war compression, stereo-bleed-to-mono comb coloration, and
+    crowd babble. Measured at n=24/condition (seed 10000): min cell +6.4 dB
+    (clean/vocals), all degraded cells >= +9 dB — lock a >= +5 dB per-stem
+    per-condition floor so robustness can't silently regress. (The clean
+    corpus here differs from test_4stem_variant_trained_floor's evaluation
+    stream; both floors hold independently.)"""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import train_separator as T
+
+    sep = NeuralSeparator(variant="4stem", use_device=False)
+    assert sep.trained
+    table = T.evaluate_4stem_conditions(sep, seed=10000, n=24)
+    assert set(table) == set(T.DEGRADATIONS), table
+    for deg, per_stem in table.items():
+        assert set(per_stem) == {"vocals", "drums", "bass", "other"}, (deg, table)
+        for name, gain in per_stem.items():
+            assert gain >= 5.0, (deg, name, table)

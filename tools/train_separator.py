@@ -136,9 +136,11 @@ def synth_bass(rng: np.random.Generator, seconds: float) -> np.ndarray:
     return sig / (np.abs(sig).max() + 1e-9)
 
 
-def make_example_4stem(rng: np.random.Generator):
+def make_example_4stem(rng: np.random.Generator, degradation: str | None = None):
     """(mix, stems (4, CLIP)) with random per-stem gains and dropout — the
-    softmax mask net must learn both separation and absence."""
+    softmax mask net must learn both separation and absence. ``degradation``
+    optionally passes the mixture through one of DEGRADATIONS (codec /
+    compress / bleed / crowd — the real-music conditions, VERDICT r4 #7)."""
     from realtime_whisper_asr_tpu.models.vad.synthetic import synth_speech
 
     seconds = CLIP / SR
@@ -164,15 +166,128 @@ def make_example_4stem(rng: np.random.Generator):
             stems[i] = s / rms * 10 ** (gain_db / 20)
     level = rng.uniform(0.02, 0.15)
     stems *= level
-    return stems.sum(axis=0), stems
+    mix = stems.sum(axis=0)
+    if degradation is not None:
+        mix, stems = apply_degradation(rng, degradation, mix, stems)
+    return mix, stems
 
 
-def make_batch_4stem(rng: np.random.Generator, batch: int):
+def make_batch_4stem(rng: np.random.Generator, batch: int,
+                     degrade_prob: float = 0.0):
     mix = np.zeros((batch, CLIP), np.float32)
     stems = np.zeros((batch, 4, CLIP), np.float32)
     for b in range(batch):
-        mix[b], stems[b] = make_example_4stem(rng)
+        deg = None
+        if degrade_prob and rng.random() < degrade_prob:
+            deg = str(rng.choice(DEGRADATIONS[1:]))
+        mix[b], stems[b] = make_example_4stem(rng, degradation=deg)
     return mix, stems
+
+
+# ---------------------------------------------------------------------------
+# Real-music degradations (VERDICT r4 #7): the synthetic 4-stem corpus is
+# clean by construction; real music arrives lossy-coded, loudness-war
+# compressed, mono-downmixed with inter-channel bleed, and crowd-noised
+# (reference variant breadth being approximated: vocal_separation.py:98-129).
+# Each degradation transforms the MIXTURE the net sees; targets stay the
+# clean stems (SI-SNRi then measures separation under distortion) except
+# compression, whose time-varying gain is applied to targets too — a
+# separator should not be scored on undoing a mastering gain ride.
+
+DEGRADATIONS = ("clean", "codec", "compress", "bleed", "crowd")
+
+
+def degrade_codec(rng: np.random.Generator, x: np.ndarray) -> np.ndarray:
+    """Lossy-codec surrogate: per-frame spectral hole punching (keep only the
+    strongest 8–25 % of bins — perceptual coders drop masked content), a hard
+    5.5–7.8 kHz band limit, and an 8–11-bit PCM re-quantization."""
+    n = len(x)
+    frame, hop = 512, 256
+    win = np.hanning(frame).astype(np.float32)
+    pad = np.concatenate([x, np.zeros(frame, np.float32)])
+    out = np.zeros(n + frame, np.float32)
+    wsum = np.zeros(n + frame, np.float32)
+    keep = rng.uniform(0.08, 0.25)
+    cut_bin = int(rng.uniform(5500.0, 7800.0) / (SR / frame))
+    for i in range(0, n, hop):
+        seg = pad[i : i + frame] * win
+        S = np.fft.rfft(seg)
+        mag = np.abs(S)
+        S[mag < np.quantile(mag, 1.0 - keep)] = 0
+        S[cut_bin:] = 0
+        out[i : i + frame] += np.fft.irfft(S).astype(np.float32) * win
+        wsum[i : i + frame] += win * win
+    y = out[:n] / np.maximum(wsum[:n], 1e-3)
+    q = 2.0 ** (1 - int(rng.integers(8, 12)))
+    peak = np.abs(y).max() + 1e-9
+    return (np.round(y / peak / q) * q * peak).astype(np.float32)
+
+
+def compress_gain(rng: np.random.Generator, mix: np.ndarray) -> np.ndarray:
+    """Loudness-war gain trajectory: one-pole envelope follower (30–150 ms),
+    4–10:1 ratio above a program-dependent threshold."""
+    from scipy.signal import lfilter
+
+    a = np.exp(-1.0 / (rng.uniform(0.03, 0.15) * SR))
+    env = lfilter([1.0 - a], [1.0, -a], np.abs(mix)).astype(np.float32)
+    thresh = float(np.quantile(env, rng.uniform(0.3, 0.6))) + 1e-6
+    ratio = rng.uniform(4.0, 10.0)
+    gain = np.ones_like(env)
+    over = env > thresh
+    gain[over] = (thresh / env[over]) ** (1.0 - 1.0 / ratio)
+    return gain
+
+
+def degrade_bleed(rng: np.random.Generator, mix: np.ndarray,
+                  stems: np.ndarray) -> np.ndarray:
+    """Stereo-bleed-to-mono surrogate: each stem leaks a 4–15 ms delayed,
+    lowpassed copy into the downmix (comb-filter coloration a mask trained on
+    clean sums never saw)."""
+    y = mix.copy()
+    for s in stems:
+        if np.sqrt(np.mean(s**2)) < 1e-6:
+            continue
+        d = int(rng.uniform(0.004, 0.015) * SR)
+        leaked = np.zeros_like(s)
+        leaked[d:] = s[:-d]
+        leaked = np.convolve(leaked, np.ones(8, np.float32) / 8.0, mode="same")
+        y += rng.uniform(0.1, 0.3) * leaked
+    return y.astype(np.float32)
+
+
+def crowd_babble(rng: np.random.Generator, seconds: float) -> np.ndarray:
+    """6–10 overlapping speech-like voices (live-recording crowd bed) —
+    adversarial for a vocals mask because it IS speech-shaped."""
+    from realtime_whisper_asr_tpu.models.vad.synthetic import synth_speech
+
+    n = int(seconds * SR)
+    out = np.zeros(n, np.float32)
+    for _ in range(int(rng.integers(6, 11))):
+        v, _ = synth_speech(rng, seconds + 0.05)
+        g = rng.uniform(0.2, 1.0)
+        off = int(rng.integers(0, max(1, n // 4)))
+        seg = v[: n - off]
+        out[off : off + len(seg)] += g * seg
+    return out / (np.abs(out).max() + 1e-9)
+
+
+def apply_degradation(rng: np.random.Generator, deg: str, mix: np.ndarray,
+                      stems: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(mix', stems') under the named degradation (see DEGRADATIONS)."""
+    if deg == "clean":
+        return mix, stems
+    if deg == "codec":
+        return degrade_codec(rng, mix), stems
+    if deg == "compress":
+        g = compress_gain(rng, mix)
+        return (mix * g).astype(np.float32), (stems * g).astype(np.float32)
+    if deg == "bleed":
+        return degrade_bleed(rng, mix, stems), stems
+    if deg == "crowd":
+        bed = crowd_babble(rng, len(mix) / SR)[: len(mix)]
+        rms = np.sqrt(np.mean(mix**2) + 1e-9)
+        return (mix + bed * rms * rng.uniform(0.15, 0.5)).astype(np.float32), stems
+    raise ValueError(f"unknown degradation {deg!r}")
 
 
 def evaluate_4stem(sep, seed: int, n: int = 24) -> dict:
@@ -191,6 +306,28 @@ def evaluate_4stem(sep, seed: int, n: int = 24) -> dict:
                 continue  # stem absent in this example
             gains[name].append(si_snr(est[name], stems[i]) - si_snr(mix, stems[i]))
     return {name: round(float(np.mean(g)), 2) for name, g in gains.items() if g}
+
+
+def evaluate_4stem_conditions(sep, seed: int, n: int = 16) -> dict:
+    """Per-degradation × per-stem SI-SNR improvement table (VERDICT r4 #7 —
+    the per-condition table the 2-stem net already has, for the 4-stem head,
+    under the real-music degradations)."""
+    from realtime_whisper_asr_tpu.models.separation_nn import STEM_NAMES
+
+    table: dict = {}
+    for deg in DEGRADATIONS:
+        rng = np.random.default_rng((seed, zlib.crc32(deg.encode())))
+        gains = {name: [] for name in STEM_NAMES}
+        for _ in range(n):
+            mix, stems = make_example_4stem(rng, degradation=deg)
+            est = sep.separate_stems(mix)
+            for i, name in enumerate(STEM_NAMES):
+                if np.sqrt(np.mean(stems[i] ** 2)) < 1e-6:
+                    continue
+                gains[name].append(si_snr(est[name], stems[i]) - si_snr(mix, stems[i]))
+        table[deg] = {name: round(float(np.mean(g)), 2)
+                      for name, g in gains.items() if g}
+    return table
 
 
 def si_snr(est: np.ndarray, ref: np.ndarray) -> float:
@@ -231,6 +368,10 @@ def main(argv=None) -> int:
                     help="v2s = the 'small' packaged variant (same dilated "
                          "receptive field, ~2.6x fewer MACs); v2x4 = 4-stem "
                          "softmax head (drums/bass/other/vocals, VERDICT r3 #5)")
+    ap.add_argument("--degrade-prob", type=float, default=0.0,
+                    help="fraction of 4-stem training mixtures passed through "
+                         "a random real-music degradation (codec/compress/"
+                         "bleed/crowd) — robustness fine-tuning")
     ap.add_argument("--ckpt-every", type=int, default=250,
                     help="save params+opt state every N steps (crash resume)")
     ap.add_argument("--resume", default=None,
@@ -327,7 +468,10 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     for step in range(start_step, args.steps):
-        mix, clean = (make_batch_4stem if n_stems > 1 else make_batch)(rng, args.batch)
+        mix, clean = (
+            make_batch_4stem(rng, args.batch, degrade_prob=args.degrade_prob)
+            if n_stems > 1 else make_batch(rng, args.batch)
+        )
         params, opt_state, loss = train_step(params, opt_state, jnp.asarray(mix), jnp.asarray(clean))
         if step % 100 == 0 or step == args.steps - 1:
             print(f"step {step:5d} loss {float(loss):.5f} ({time.time()-t0:.0f}s)", flush=True)
@@ -345,6 +489,9 @@ def main(argv=None) -> int:
         report4 = evaluate_4stem(sep, seed=args.seed + 10_000)
         print("held-out per-stem SI-SNR improvement (dB):")
         print(json.dumps(report4, indent=1))
+        table = evaluate_4stem_conditions(sep, seed=args.seed + 10_000)
+        print("per-degradation per-stem SI-SNR improvement (dB):")
+        print(json.dumps(table, indent=1))
         # the vocals stem doubles as the ASR frontend: score it on the SAME
         # 2-stem hard corpus the packaged default is locked against
         report = evaluate(sep, seed=args.seed + 10_000)
