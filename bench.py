@@ -722,7 +722,7 @@ def main() -> int:
         "pipelined_ticks": str(pipelined) if pipelined else False,
         **extras,
         **DEGRADED,
-        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download) and BENCH_PHASES=1 publishes the corrected split",
+        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download). d2h_block accounting: in plain rows dispatch is async, so the blocking fetch also waits out whatever device compute host work didn't hide — d2h_block_ms_per_tick = un-overlapped compute + the sync floor (r4: headline 39.3 = ~13 unhidden + ~26 floor; paced 55.9 = ~30 compute, nothing hidden in a sync paced tick, + floor; beam5 98 = ~77 beam compute + floor). BENCH_PHASES=1 rows block before the fetch (compute billed to its own lap) and show the pure download residual",
     }))
     return 0
 

@@ -6,7 +6,12 @@ The reference exposes beam_size 1–5 through faster-whisper/CTranslate2
 
 - the prompt/prefix prefill runs once per stream, then the KV cache is TILED
   across K beams; each step is one batched decode_step over (K,) beams with
-  a top-K reselection and a cache gather along the beam axis,
+  a top-K reselection. The self-KV cache is NEVER reordered on reselect:
+  rows stay physical and each beam reads its ancestors through a (K, K, T)
+  ancestry table inside attention (model._attend_beam, paged-attention
+  style) — attention already streams every cache row per step, so the
+  selection is free while the retired per-step reorder cost 2.22 ms at
+  large-v3 K=5 ctx=256 (most of the 6.6 ms round-4 beam token),
 - B streams batch via ``jax.vmap`` of the per-stream loop — per-stream top-K
   and termination, one compiled trace shared by every B (B=1 included), the
   serving path's dispatch/finalize split works unchanged,
@@ -83,7 +88,12 @@ def _reorder_rows(x: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_beams(cache: M.DecoderCache, parent: jnp.ndarray) -> M.DecoderCache:
-    """Reorder the self-attention cache rows by beam parent (cross is shared)."""
+    """Reorder the self-attention cache rows by beam parent (cross is shared).
+
+    RETIRED from the hot loop (kept as tools/microbench_beam_step.py's
+    baseline): the loop now keeps cache rows physical and selects ancestors
+    inside attention via a (K, K, T) ancestry table (model._attend_beam —
+    paged-attention style), which removes this 2.22 ms/step rewrite."""
     oh = jax.nn.one_hot(parent, parent.shape[0], dtype=jnp.float32)
     kw = dict(
         self_k=_reorder_rows(cache.self_k, oh),
@@ -185,10 +195,10 @@ def _beam_core(
         return jnp.where(force_ts, -jnp.inf, logits)
 
     def cond(state):
-        tokens, pos, finished, cache, scores, last_ts, xcap = state
+        tokens, pos, finished, cache, scores, last_ts, xcap, anc = state
         return (~jnp.all(finished)) & (pos < total)
 
-    def expand(logits, tokens, pos, finished, cache, scores, last_ts, xcap):
+    def expand(logits, tokens, pos, finished, cache, scores, last_ts, xcap, anc):
         """One beam expansion from already-computed logits at ``pos``."""
         flogits = filters(logits, tokens, pos, last_ts)
         logprobs = jax.nn.log_softmax(flogits.astype(jnp.float32), axis=-1)  # (K,V)
@@ -200,11 +210,15 @@ def _beam_core(
         top_scores, top_idx = jax.lax.top_k(flat, k)
         parent = (top_idx // cfg.n_vocab).astype(jnp.int32)
         tok = (top_idx % cfg.n_vocab).astype(jnp.int32)
-        # reorder beam state by parent
+        # reorder beam state by parent. The self-KV cache does NOT move:
+        # rows stay physical and the (K, K, T) ancestry table — beam b's
+        # position-t KV lives in physical row anc[b, :, t] — follows the
+        # parent instead (model._attend_beam; replaces the retired
+        # _gather_beams reorder, 2.22 ms/step at large-v3 K=5 ctx=256)
         tokens = tokens[parent]
         last_ts = last_ts[parent]
         finished = finished[parent]
-        cache = _gather_beams(cache, parent)
+        anc = anc[parent]
         if capture:
             # a beam's captured rows must follow its token history on reselect
             # (a few-MB gather, vs the ~315 GFLOP re-prefill this replaced)
@@ -213,13 +227,19 @@ def _beam_core(
         tokens = jax.lax.dynamic_update_slice_in_dim(tokens, tok[:, None], pos, axis=1)
         last_ts = jnp.where((tok >= ts0) & ~finished, tok, last_ts)
         finished = finished | (tok == cfg.eot)
-        return tokens, finished, cache, top_scores, last_ts, xcap
+        return tokens, finished, cache, top_scores, last_ts, xcap, anc
+
+    eye_k = jnp.eye(k, dtype=jnp.float32)
 
     def body(state):
-        tokens, pos, finished, cache, scores, last_ts, xcap = state
+        tokens, pos, finished, cache, scores, last_ts, xcap, anc = state
         cur = jax.lax.dynamic_index_in_dim(tokens, pos - 1, axis=1, keepdims=False)
+        # this step writes beam b's KV for position pos-1 into physical row b
+        # — pin the ancestry column to identity before attention reads it
+        anc = jax.lax.dynamic_update_index_in_dim(anc, eye_k, pos - 1, axis=2)
         logits, cache, xw = M.decode_step(
-            params, cfg, cur, pos - 1, cache, alignment_mask=amask_or_none
+            params, cfg, cur, pos - 1, cache, alignment_mask=amask_or_none,
+            beam_ancestry=anc,
         )
         if capture:
             # same slot convention as the greedy loop (decode.py body): the
@@ -229,10 +249,10 @@ def _beam_core(
             xcap = jax.lax.dynamic_update_slice_in_dim(
                 xcap, xw[:, None, :].astype(jnp.float32), pos - p, axis=1
             )
-        tokens, finished, cache, scores, last_ts, xcap = expand(
-            logits, tokens, pos, finished, cache, scores, last_ts, xcap
+        tokens, finished, cache, scores, last_ts, xcap, anc = expand(
+            logits, tokens, pos, finished, cache, scores, last_ts, xcap, anc
         )
-        return (tokens, pos + 1, finished, cache, scores, last_ts, xcap)
+        return (tokens, pos + 1, finished, cache, scores, last_ts, xcap, anc)
 
     # seed the FIRST expansion from the prefill's last logits row — the span
     # pass already computed the distribution for position p, and its KV rows
@@ -242,6 +262,9 @@ def _beam_core(
     # the (cap == 0) edge where the loop would never have run.
     audio_ctx = int(xa.shape[0])
     xcap0 = jnp.zeros((k, max_new if capture else 1, audio_ctx), jnp.float32)
+    # ancestry starts at identity: the tiled prefill rows are per-beam copies,
+    # so beam b's history (all t so far) lives in its own physical row b
+    anc0 = jnp.tile(jnp.eye(k, dtype=jnp.float32)[:, :, None], (1, 1, cache_len))
     state0 = (
         tokens0,
         jnp.int32(p),
@@ -250,18 +273,19 @@ def _beam_core(
         scores0,
         jnp.broadcast_to(last_ts0, (k,)),
         xcap0,
+        anc0,
     )
 
     def _seeded(state):
-        tokens, pos, finished, cache, scores, last_ts, xcap = state
+        tokens, pos, finished, cache, scores, last_ts, xcap, anc = state
         logits0 = jnp.broadcast_to(pre_logits[0, p - 1], (k, cfg.n_vocab))
-        tokens, finished, cache, scores, last_ts, xcap = expand(
-            logits0, tokens, pos, finished, cache, scores, last_ts, xcap
+        tokens, finished, cache, scores, last_ts, xcap, anc = expand(
+            logits0, tokens, pos, finished, cache, scores, last_ts, xcap, anc
         )
-        return (tokens, pos + 1, finished, cache, scores, last_ts, xcap)
+        return (tokens, pos + 1, finished, cache, scores, last_ts, xcap, anc)
 
     state = jax.lax.cond(total > p, _seeded, lambda s: s, state0)
-    tokens, pos, finished, cache, scores, last_ts, xcap = jax.lax.while_loop(
+    tokens, pos, finished, cache, scores, last_ts, xcap, anc = jax.lax.while_loop(
         cond, body, state
     )
     # length-penalized pick: score / length**penalty over sampled region.

@@ -262,6 +262,73 @@ def _attend_q8(
     return (out, w) if return_weights else (out, None)
 
 
+def _attend_beam(
+    q: jnp.ndarray,  # (K, H, 1, Dh) per-beam queries
+    kc: jnp.ndarray,  # (K, H, T, Dh) PHYSICAL cache rows (never reordered)
+    vc: jnp.ndarray,  # (K, H, T, Dh)
+    anc: jnp.ndarray,  # (K, K, T) 0/1 ancestry: anc[b,j,t]=1 iff position t of
+    #                    beam b's history lives in physical row j
+    mask: jnp.ndarray,  # additive (1, 1, 1, T)
+):
+    """Beam self-attention with ancestry selection instead of cache reorder.
+
+    The classic beam step reorders the whole self-KV cache by parent every
+    expansion — 2.22 ms/step at large-v3 K=5 ctx=256 even as a one-hot MXU
+    contraction (beam._reorder_rows), i.e. most of the 6.6 ms beam token.
+    Attention already streams every (row, t) of the cache each step, so
+    selecting a beam's ancestor rows INSIDE the contraction (paged-attention
+    style: physical rows + a tiny block table) costs only O(K²·T·Dh) extra
+    MXU flops and removes the 2× cache rewrite entirely.
+
+    Numerics: scores are the same whole-row dot products (selection happens
+    after the Dh contraction), and the value sum adds the same nonzero terms
+    plus exact zeros — bit-differences vs the reorder path are limited to
+    f32 reduction-order noise.
+    """
+    scale = q.shape[-1] ** -0.5
+    q2 = q[:, :, 0, :]  # (K, H, Dh)
+    s_all = jnp.einsum("bhd,jhtd->bjht", q2, kc,
+                       preferred_element_type=jnp.float32) * scale
+    anc_f = anc.astype(jnp.float32)
+    scores = jnp.einsum("bjht,bjt->bht", s_all, anc_f)
+    scores = scores + mask[:, :, 0, :]  # (1,1,T) broadcast over (K,H,T)
+    w = jax.nn.softmax(scores, axis=-1)  # (K, H, T) f32
+    w2 = (w[:, None, :, :] * anc_f[:, :, None, :]).astype(vc.dtype)  # (K,J,H,T)
+    out = jnp.einsum("bjht,jhtd->bhd", w2, vc,
+                     preferred_element_type=jnp.float32)
+    return out.astype(vc.dtype)[:, :, None, :]  # (K, H, 1, Dh)
+
+
+def _attend_beam_q8(
+    q: jnp.ndarray,  # (K, H, 1, Dh) compute dtype
+    k8: jnp.ndarray,  # (K, H, T, Dh) int8 physical rows
+    v8: jnp.ndarray,  # (K, H, T, Dh) int8
+    ks: jnp.ndarray,  # (K, H, T, 1) f32 per-row key scales
+    vs: jnp.ndarray,  # (K, H, T, 1) f32 per-row value scales
+    anc: jnp.ndarray,  # (K, K, T) ancestry (see _attend_beam)
+    mask: jnp.ndarray,  # additive (1, 1, 1, T)
+    out_dtype=jnp.bfloat16,
+):
+    """int8-KV variant of _attend_beam (same recipe as _attend_q8: both dots
+    native int8×int8, per-row scales factored out exactly, softmax f32)."""
+    scale = q.shape[-1] ** -0.5
+    q32 = q[:, :, 0, :].astype(jnp.float32)  # (K, H, Dh)
+    sq = jnp.maximum(jnp.max(jnp.abs(q32), axis=-1, keepdims=True) / 127.0, 1e-12)
+    q8 = jnp.clip(jnp.round(q32 / sq), -127, 127).astype(jnp.int8)
+    s_all = jnp.einsum("bhd,jhtd->bjht", q8, k8, preferred_element_type=jnp.int32)
+    s_all = s_all.astype(jnp.float32) * sq[:, None, :, :] * ks[None, :, :, :, 0] * scale
+    anc_f = anc.astype(jnp.float32)
+    scores = jnp.einsum("bjht,bjt->bht", s_all, anc_f)
+    scores = scores + mask[:, :, 0, :]
+    w = jax.nn.softmax(scores, axis=-1)  # (K, H, T)
+    wv = w[:, None, :, :] * anc_f[:, :, None, :] * vs[None, :, :, :, 0]  # (K,J,H,T)
+    sw = jnp.maximum(jnp.max(wv, axis=(1, 3), keepdims=True) / 127.0, 1e-12)  # (K,1,H,1)
+    w8 = jnp.clip(jnp.round(wv / sw), -127, 127).astype(jnp.int8)
+    out = jnp.einsum("bjht,jhtd->bhd", w8, v8, preferred_element_type=jnp.int32)
+    out = (out.astype(jnp.float32) * sw[:, 0, :, :]).astype(out_dtype)
+    return out[:, :, None, :]
+
+
 def _self_qkv(attn: Params, h: jnp.ndarray, n_head: int):
     """Self-attention projections; uses the fused wqkv weight when present
     (quant.fuse_qkv) — one matmul instead of three on the latency-bound
@@ -524,11 +591,16 @@ def decode_step(
     pos: jnp.ndarray,  # scalar int32
     cache: DecoderCache,
     alignment_mask: Optional[jnp.ndarray] = None,  # (L, H) f32 weights for xattn capture
+    beam_ancestry: Optional[jnp.ndarray] = None,  # (B, B, T) — see _attend_beam
 ):
     """One incremental decode step. Returns (logits (B, n_vocab), cache, xattn).
 
     xattn: (B, n_audio_ctx) alignment-head-averaged cross-attention weights for
     DTW word timestamps, or None if alignment_mask is None.
+
+    beam_ancestry: when the B rows are beams over ONE stream, self-attention
+    reads each beam's ancestor KV through the ancestry table instead of a
+    per-step cache reorder (_attend_beam); rows still write their own slot.
     """
     dec = params["decoder"]
     kvq = cache.kv_quant
@@ -557,11 +629,18 @@ def decode_step(
             vc = jax.lax.dynamic_update_slice_in_dim(vc, v8, pos, axis=2)
             kcs = jax.lax.dynamic_update_slice_in_dim(kcs, ksc, pos, axis=2)
             vcs = jax.lax.dynamic_update_slice_in_dim(vcs, vsc, pos, axis=2)
-            o, _ = _attend_q8(q, kc, vc, kcs, vcs, t_mask, out_dtype=dtype)
+            if beam_ancestry is not None:
+                o = _attend_beam_q8(q, kc, vc, kcs, vcs, beam_ancestry, t_mask,
+                                    out_dtype=dtype)
+            else:
+                o, _ = _attend_q8(q, kc, vc, kcs, vcs, t_mask, out_dtype=dtype)
         else:
             kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos, axis=2)
             vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos, axis=2)
-            o, _ = _attend(q, kc, vc, t_mask)
+            if beam_ancestry is not None:
+                o = _attend_beam(q, kc, vc, beam_ancestry, t_mask)
+            else:
+                o, _ = _attend(q, kc, vc, t_mask)
         h = h + _linear(_merge_heads(o), blk["attn"]["wo"], blk["attn"]["bo"])
         # cross-attention against precomputed K/V
         hn = layer_norm(h, blk["cross_ln"]["g"], blk["cross_ln"]["b"])

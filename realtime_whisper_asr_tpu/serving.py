@@ -77,7 +77,8 @@ class _Stream:
         self._prev_utt_ends = 0  # consumed VAC end-event count (diarizer)
 
 
-def _hbm_safe_batch(cfg, param_bytes: int, hbm_bytes: Optional[int]) -> Optional[int]:
+def _hbm_safe_batch(cfg, param_bytes: int, hbm_bytes: Optional[int],
+                    kv_quant: bool = False) -> Optional[int]:
     """Largest per-dispatch decode batch whose working set fits device HBM,
     or None when the device's HBM size is unknown (CPU tests, hosts without
     memory_stats).
@@ -94,8 +95,14 @@ def _hbm_safe_batch(cfg, param_bytes: int, hbm_bytes: Optional[int]) -> Optional
     if not hbm_bytes or cfg is None:
         return None
     d = cfg.n_text_state
-    cross_kv = 2 * cfg.n_text_layer * cfg.n_audio_ctx * d * 2
-    self_kv = 2 * cfg.n_text_layer * 256 * d * 2  # conservative decode ctx
+    # int8-kv halves the dominant per-row cost — cross-KV rows are int8 plus
+    # f32 per-row scales (1/Dh of the row bytes) instead of bf16. This is the
+    # quantization tier that actually RAISES the serving batch ceiling: weight
+    # tiers (int8-all / int4) shrink the shared params, which buys ~1 batch
+    # row at 16 GB, while the per-row KV working set is untouched.
+    kv_byte = (1.0 + 4.0 / (d // cfg.n_text_head)) if kv_quant else 2.0
+    cross_kv = int(2 * cfg.n_text_layer * cfg.n_audio_ctx * d * kv_byte)
+    self_kv = int(2 * cfg.n_text_layer * 256 * d * kv_byte)  # conservative decode ctx
     enc_transient = 4 * cfg.n_audio_ctx * d * 2
     per_row = cross_kv + self_kv + enc_transient
     # 15% HBM held back for XLA workspace/fragmentation + a flat 3 GiB for
@@ -141,7 +148,8 @@ class StreamServer:
                     l.size * l.dtype.itemsize for l in jax.tree.leaves(params)
                 )
                 self.device_batch_cap = _hbm_safe_batch(
-                    cfg, pbytes, detect_hardware().get("hbm_bytes")
+                    cfg, pbytes, detect_hardware().get("hbm_bytes"),
+                    kv_quant=getattr(asr, "quantization", None) == "int8-kv",
                 )
         except Exception:  # sizing is best-effort; never block serving
             logger.exception("HBM batch sizing failed; max_batch unclamped")

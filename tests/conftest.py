@@ -112,3 +112,29 @@ def _safe_put_executable_and_time(cache_key, module_name, executable, backend,
 
 
 _cc.put_executable_and_time = _safe_put_executable_and_time
+
+
+# The serialize-probe guard alone is not enough: the round-5 repro showed
+# that once the session reaches the poisoned state, the NEXT native XLA
+# compile (backend_compile_and_load) segfaults too — in the parent, where no
+# probe can shield it. The accumulating resource is the session's compiled-
+# executable population (hundreds of CPU JIT programs by test ~190); bounding
+# it keeps the client far from the cliff. Dropping jax's traced/compiled
+# caches every N tests releases the LoadedExecutables (the persistent cache
+# makes the recompiles cheap deserializes); unbounded sessions crashed 5/5
+# (3 judge runs + 2 round-5 repros) — see ROADMAP.md for the green-run proof.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+_CLEAR_EVERY = int(os.environ.get("RWA_TEST_CLEAR_CACHES_EVERY", "50"))
+_test_count = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_xla_session_state():
+    yield
+    _test_count["n"] += 1
+    if _CLEAR_EVERY > 0 and _test_count["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
+        gc.collect()

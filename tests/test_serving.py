@@ -596,6 +596,10 @@ def test_hbm_safe_batch_sizing():
     assert cap < 32  # the measured-OOM batch must be refused
     assert _hbm_safe_batch(cfg, int8all_bytes, None) is None
     assert _hbm_safe_batch(None, 0, 16 * 2**30) is None
+    # int8-kv halves the per-row cross-KV working set — the quantization tier
+    # that RAISES the dispatch ceiling (weight tiers only shrink shared params)
+    cap_kv = _hbm_safe_batch(cfg, int8all_bytes, 16 * 2**30, kv_quant=True)
+    assert cap_kv >= int(1.7 * cap), (cap, cap_kv)
     # tiny models on big HBM: effectively uncapped for sane stream counts
     assert _hbm_safe_batch(W.get_config("tiny"), 80_000_000, 16 * 2**30) > 64
     # pathological squeeze still returns a usable batch, never 0/negative
