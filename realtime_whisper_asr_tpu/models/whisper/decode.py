@@ -194,7 +194,7 @@ AUX_LEN = AUX_TEMP + 1
 #: exact device→host transfer counter (bench reports syncs/tick COUNTED, not
 #: inferred — round-2 VERDICT #2c). Incremented at every blocking download in
 #: this module; host→device uploads are counted in asr.TPUWhisperASR.counters.
-TRANSFER_STATS = {"d2h": 0, "d2h_block_s": 0.0}
+TRANSFER_STATS = {"d2h": 0, "d2h_block_s": 0.0, "d2h_wait_s": 0.0}
 
 def _d2h_mode() -> str:
     """Eager-download strategy: ``async`` (default), ``thread``, or ``off``.
@@ -288,7 +288,27 @@ def fetch_d2h(arr) -> np.ndarray:
     otherwise. The time actually spent blocked accumulates in
     ``TRANSFER_STATS["d2h_block_s"]`` — with eager D2H, transfers-counted ×
     sync-floor over-predicts the tick's sync cost, so the bench reports this
-    measured residual instead."""
+    measured residual instead.
+
+    ``RWA_D2H_SPLIT=1`` (accounting rows only): before fetching, poll
+    ``arr.is_ready()`` — LOCAL and free on this backend (no transport
+    traffic) — and bill the time until readiness to
+    ``TRANSFER_STATS["d2h_wait_s"]``. That is the residual DEVICE COMPUTE the
+    host failed to hide; what remains in ``d2h_block_s`` is the pure
+    transfer (sync round trip + payload). Splits the conflated d2h_block
+    number the round-4 verdict flagged (headline 39.3 / paced 55.9 /
+    beam 98.1 ms) into counted compute-vs-transfer parts."""
+    if os.environ.get("RWA_D2H_SPLIT", "") == "1" and id(arr) not in _PENDING_D2H:
+        ready = getattr(arr, "is_ready", None)
+        if ready is not None:
+            t0 = time.perf_counter()
+            deadline = t0 + 60.0
+            try:
+                while not arr.is_ready() and time.perf_counter() < deadline:
+                    time.sleep(0.0003)
+            except Exception:
+                pass
+            TRANSFER_STATS["d2h_wait_s"] += time.perf_counter() - t0
     t0 = time.perf_counter()
     try:
         entry = _PENDING_D2H.pop(id(arr), None)

@@ -61,10 +61,13 @@ run() {
 
 run headline                 BENCH_QUANT=int8-all
 run headline_phases          BENCH_QUANT=int8-all BENCH_PHASES=1
+run headline_split           BENCH_QUANT=int8-all RWA_D2H_SPLIT=1
 run headline_paced           BENCH_QUANT=int8-all BENCH_PACED=1
 run headline_paced_phases    BENCH_QUANT=int8-all BENCH_PACED=1 BENCH_PHASES=1
+run headline_paced_split     BENCH_QUANT=int8-all BENCH_PACED=1 RWA_D2H_SPLIT=1
 run headline_beam5           BENCH_QUANT=int8-all BENCH_BEAM=5
 run headline_beam5_phases    BENCH_QUANT=int8-all BENCH_BEAM=5 BENCH_PHASES=1
+run headline_beam5_split     BENCH_QUANT=int8-all BENCH_BEAM=5 RWA_D2H_SPLIT=1
 run beam5_kvquant            BENCH_QUANT=int8-kv BENCH_BEAM=5
 run scenario1                BENCH_SCENARIO=1
 run scenario2                BENCH_SCENARIO=2
