@@ -232,10 +232,34 @@ def run_scenario(n: int) -> int:
         # run via record_session's restore semantics: report the mode the
         # measured pass ran under.
         "pipelined_ticks": pipelined_mode,
+        **_async_quality_contract(pipelined_mode),
         **extras,
         **DEGRADED,
     }))
     return 0
+
+
+def _async_quality_contract(pipelined_mode) -> dict:
+    """When the measured row ran pipeline=async, cite the golden matrix's
+    locked divergence numbers (VERDICT r4 #3: the fastest mode's bench row
+    must carry its quality contract). Values come from the committed fixture,
+    not a hardcode, so re-recording the matrix updates the citation."""
+    if str(pipelined_mode) != "async":
+        return {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "fixtures", "golden",
+                               "transcripts.json")) as f:
+            row = json.load(f)["matrix"]["pipeline_async"]
+        wers = [d["commit_wer_vs_sync"] for d in row["divergence"]]
+        return {"async_quality_contract": (
+            "pipeline=async is determinism-locked (EVAL matrix row "
+            "pipeline_async); commit-WER vs the sync loop on the golden "
+            f"clips: {'/'.join(f'{w:.2f}' for w in wers)} under random "
+            "weights — an upper bound (see fixture note); pipeline=exact "
+            "is locked token-identical to sync")}
+    except Exception:
+        return {}
 
 
 def _tree_bytes_count(tree) -> tuple[int, int]:
@@ -734,6 +758,7 @@ def main() -> int:
         "beam_size": beam,
         "paced_realtime_feed": paced,
         "pipelined_ticks": str(pipelined) if pipelined else False,
+        **_async_quality_contract(pipelined),
         **extras,
         **DEGRADED,
         "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download). d2h_block accounting: in plain rows dispatch is async, so the blocking fetch also waits out whatever device compute host work didn't hide — d2h_block_ms_per_tick = un-overlapped compute + the sync floor (r4: headline 39.3 = ~13 unhidden + ~26 floor; paced 55.9 = ~30 compute, nothing hidden in a sync paced tick, + floor; beam5 98 = ~77 beam compute + floor). BENCH_PHASES=1 rows block before the fetch (compute billed to its own lap) and show the pure download residual",
