@@ -635,6 +635,14 @@ def main() -> int:
         # the phase split blocks at every phase boundary inside one tick —
         # inherently synchronous; pipelined laps would interleave across ticks
         pipelined = False
+    if os.environ.get("RWA_D2H_SPLIT", "") == "1":
+        # same reason: the wait-vs-fetch decomposition is only meaningful when
+        # the fetch belongs to the tick that dispatched it. Measured on-rig:
+        # polling is_ready inside the ASYNC tick loop serializes work the
+        # plain fetch overlaps (rtf 0.123 vs 0.047 headline) — the poll
+        # wakeups starve the 1-core host's tunnel client, the round-4
+        # thread-mode finding again. Split rows therefore run sync ticks.
+        pipelined = False
     online = OnlineASRProcessor(asr, buffer_trimming=("segment", 15.0),
                                 prefix_policy=prefix_policy, pipeline=pipelined)
     vac = VACOnlineASRProcessor(
