@@ -769,7 +769,7 @@ def main() -> int:
         **_async_quality_contract(pipelined),
         **extras,
         **DEGRADED,
-        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download). d2h_block accounting: in plain rows dispatch is async, so the blocking fetch also waits out whatever device compute host work didn't hide — d2h_block_ms_per_tick = un-overlapped compute + the sync floor (r4: headline 39.3 = ~13 unhidden + ~26 floor; paced 55.9 = ~30 compute, nothing hidden in a sync paced tick, + floor; beam5 98 = ~77 beam compute + floor). BENCH_PHASES=1 rows block before the fetch (compute billed to its own lap) and show the pure download residual",
+        "note": "random-init weights; decode capped at max_new_tokens/window; prefix_policy=last is the SimulStreaming-style large-model mode (agree2 = conservative default; ~2.5x slower on unstable random-weight hypotheses); this rig pays ~26-31 ms per blocking device sync through a tunneled backend — transfers are COUNTED (h2d_per_tick/d2h_per_tick; upload prefetched at insert time, ticks pay exactly 1 blocking download). d2h_block accounting: in plain rows dispatch is async, so the blocking fetch also waits out whatever device compute host work didn't hide — d2h_block_ms_per_tick = un-overlapped compute + the ~26-31 ms readiness-propagation floor. COUNTED split (RWA_D2H_SPLIT=1 rows, round 5): once is_ready, the fetch itself takes 0.1-0.2 ms — the dispatch-time async copy fully overlaps the payload, so the whole block is wait-for-ready (paced: 64.9 wait / 0.1 fetch; beam5: 115.3 / 0.2). BENCH_PHASES=1 rows block before the fetch (compute billed to its own lap) and show the pure download residual",
     }))
     return 0
 

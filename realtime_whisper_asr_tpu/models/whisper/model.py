@@ -556,6 +556,30 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, xa: jnp.ndarray):
     return ck, cv  # (L, B, H, T_audio, Dh)
 
 
+def _precompute_cross_kv_q8(params: Params, cfg: WhisperConfig, xa: jnp.ndarray):
+    """int8-KV variant of precompute_cross_kv: quantization runs INSIDE the
+    layer scan, so at most ONE layer's bf16 K/V rows are ever live.
+
+    Sizing matters at serving batch: quantizing the full stacked (L,B,H,T,Dh)
+    output holds the bf16 stack and its int8 copy alive together — at
+    large-v3 B=29 that transient alone is ~7.1 GB bf16 + 3.8 GB int8, and the
+    XLA AOT compile refuses the program outright (measured round 5: "Used
+    18.81G of 15.75G hbm" — the int8-kv serving cap of 29 rows was
+    uncompilable, failing the very capacity story the tier exists for).
+    Per-layer quantization bounds the bf16 transient to ~230 MB at B=29."""
+    dec = params["decoder"]
+
+    def body(_, blk):
+        k = _split_heads(_linear(xa, blk["cross"]["wk"], None), cfg.n_text_head)
+        v = _split_heads(_linear(xa, blk["cross"]["wv"], blk["cross"]["bv"]), cfg.n_text_head)
+        k8, ks = _quantize_kv_rows(k)
+        v8, vs = _quantize_kv_rows(v)
+        return None, (k8, ks, v8, vs)
+
+    _, (ck8, cks, cv8, cvs) = jax.lax.scan(body, None, dec["blocks"])
+    return ck8, cks, cv8, cvs  # int8 (L,B,H,T,Dh) + f32 (L,B,H,T,1) scales
+
+
 def init_cache(
     params: Params,
     cfg: WhisperConfig,
@@ -569,13 +593,13 @@ def init_cache(
     (the aggressive int8-all mode; see _attend_q8)."""
     b = xa.shape[0]
     h, dh = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
-    ck, cv = precompute_cross_kv(params, cfg, xa)
     tc = text_ctx or cfg.n_text_ctx
     if not kv_quant:
+        ck, cv = precompute_cross_kv(params, cfg, xa)
         zeros = jnp.zeros((cfg.n_text_layer, b, h, tc, dh), xa.dtype)
         return DecoderCache(self_k=zeros, self_v=zeros, cross_k=ck, cross_v=cv)
-    ck8, cks = _quantize_kv_rows(ck)
-    cv8, cvs = _quantize_kv_rows(cv)
+    # per-layer fused quantize: never materializes the full bf16 cross stack
+    ck8, cks, cv8, cvs = _precompute_cross_kv_q8(params, cfg, xa)
     z8 = jnp.zeros((cfg.n_text_layer, b, h, tc, dh), jnp.int8)
     zs = jnp.full((cfg.n_text_layer, b, h, tc, 1), 1e-12, jnp.float32)
     return DecoderCache(
