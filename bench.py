@@ -628,7 +628,12 @@ def main() -> int:
     # test_pipelined_online_matches_sync) the way file transcription and
     # catch-up-after-stall run. BENCH_PIPELINE=0/1 overrides.
     paced_env = os.environ.get("BENCH_PACED", "") not in ("", "0")
-    pipe_env = os.environ.get("BENCH_PIPELINE", "0" if paced_env else "async")
+    # beam defaults to "exact" pipelining (same overlap, sync-identical
+    # commits): async's stale conditioning has no device draft in beam mode
+    # and random-weight beam hypotheses then never agree — measured 0 commits
+    # in 72 ticks (round 5). Mirrors StreamingApp's auto-select.
+    pipe_env = os.environ.get(
+        "BENCH_PIPELINE", "0" if paced_env else ("exact" if beam > 1 else "async"))
     pipelined = {"": False, "0": False, "1": True, "exact": True,
                  "async": "async"}.get(pipe_env.strip().lower(), bool(pipe_env))
     if profile_phases:

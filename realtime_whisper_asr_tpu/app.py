@@ -645,7 +645,16 @@ class StreamingApp:
         restore_pipeline = None
         if self._pipeline_auto and not getattr(stream, "realtime", True):
             restore_pipeline = self.online.pipeline
-            self.online.set_pipeline("async")
+            # beam sessions pipeline in "exact" mode: same download/compute
+            # overlap, commits token-identical to the sync loop. async's
+            # one-tick-staler conditioning has no device draft in beam mode
+            # (online._device_draft guards it out), and beam's re-searched
+            # hypotheses under that staleness suppress agreement commits —
+            # measured round 5 on-rig: beam-5 async committed 0 results in
+            # 72 ticks where the sync loop commits 54. Beam is the quality
+            # knob; it gets the quality-locked pipelined mode.
+            beam = getattr(self.asr, "beam_size", 1) or 1
+            self.online.set_pipeline("exact" if beam > 1 else "async")
         #: tick-loop mode THIS session ran under (bench/observability; the
         #: configured mode is restored on exit when auto-select engaged)
         self.last_session_pipeline = self.online.pipeline

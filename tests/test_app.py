@@ -101,6 +101,25 @@ def test_session_auto_pipeline_keeps_sync_for_paced_feed():
     assert "hello" in " ".join(lines)
 
 
+def test_session_auto_pipeline_beam_selects_exact():
+    """Beam sessions auto-select the EXACT pipelined mode, not async: beam
+    has no device draft (online._device_draft guards it out) and async's
+    one-tick-staler conditioning suppresses agreement commits under beam's
+    re-searched hypotheses (measured 0 commits in 72 on-rig beam-5 ticks,
+    round 5). exact keeps the download/compute overlap with commits
+    token-identical to the sync loop."""
+    words = [(1.2, 1.6, " hello"), (1.7, 2.1, " world")]
+    lines = []
+    app, asr = _dispatch_app(words, [(1.0, 2.5)], lines)
+    asr.beam_size = 5
+    app.record_session(SimulatedMicStream(timecoded_audio(0.0, 5.0)),
+                       chunk_seconds=0.25)
+    app.shutdown()
+    assert asr.dispatches > 0  # pipelining still engaged...
+    assert app.last_session_pipeline is True  # ...in exact mode, not "async"
+    assert "hello" in " ".join(lines)
+
+
 def test_session_explicit_pipeline_config_wins_over_auto():
     """streaming.pipeline set explicitly (False here) disables auto-select
     even for as-fast feeds."""
