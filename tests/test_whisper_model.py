@@ -86,6 +86,33 @@ def test_incremental_matches_teacher_forced(hf_and_jax):
         np.testing.assert_allclose(np.asarray(logits), full[:, t], atol=1e-2, rtol=0)
 
 
+def test_fused_cross_kv_quantize_matches_unfused(hf_and_jax):
+    """init_cache(kv_quant=True) quantizes cross-KV INSIDE the layer scan
+    (model._precompute_cross_kv_q8) so the full bf16 stack never coexists
+    with its int8 copy — the round-5 fix for the B=29 int8-kv serving group
+    that failed XLA AOT compile (18.81G of 15.75G HBM). Numerics must be
+    BIT-identical to quantizing the stacked output: same per-row math,
+    different schedule. (Exact bit-identity is NOT the contract: fusing the
+    K/V projection with its quantize changes the matmul's f32 accumulation
+    order, so scales differ in ULPs — the locked invariant is the
+    DEQUANTIZED cache, which must match the unfused path to quantization
+    precision.)"""
+    from realtime_whisper_asr_tpu.models.whisper import model as M
+
+    _, cfg, params = hf_and_jax
+    xa = W.encode(params, cfg, jnp.asarray(_mel(seed=7)))
+    ck, cv = M.precompute_cross_kv(params, cfg, xa)
+    cache = W.init_cache(params, cfg, xa, kv_quant=True)
+    for raw, q8, sc in ((ck, cache.cross_k, cache.cross_ks),
+                        (cv, cache.cross_v, cache.cross_vs)):
+        deq = np.asarray(q8, np.float32) * np.asarray(sc)
+        raw = np.asarray(raw, np.float32)
+        # per-row quantization step = scale; fused dequant must sit within
+        # one step of the raw rows (same bound the unfused path guarantees)
+        err = np.abs(deq - raw)
+        assert float(np.max(err - np.asarray(sc))) <= 1e-6
+
+
 def test_xattn_capture_shape(hf_and_jax):
     _, cfg, params = hf_and_jax
     xa = W.encode(params, cfg, jnp.asarray(_mel(seed=3)))
