@@ -81,21 +81,21 @@ def main():
 
         return run, (params, cache)
 
-    def steps_b5(mode):
+    def steps_b5(mode, k=K):
         cache1 = M.init_cache(params, cfg, xa, text_ctx=CACHE_LEN)
-        cache = B._tile_beams(cache1, K)
+        cache = B._tile_beams(cache1, k)
         if mode == "crosstile":
             cache = M.DecoderCache(
                 self_k=cache.self_k, self_v=cache.self_v,
-                cross_k=jnp.repeat(cache.cross_k, K, axis=1),
-                cross_v=jnp.repeat(cache.cross_v, K, axis=1),
+                cross_k=jnp.repeat(cache.cross_k, k, axis=1),
+                cross_v=jnp.repeat(cache.cross_v, k, axis=1),
             )
         vocab_ids = jnp.arange(cfg.n_vocab)
 
         @jax.jit
         def run(params, cache):  # params traced (see steps_b1)
-            xcap0 = jnp.zeros((K, MAXNEW, AUDIO_CTX), jnp.float32)
-            scores0 = jnp.zeros((K,), jnp.float32)
+            xcap0 = jnp.zeros((k, MAXNEW, AUDIO_CTX), jnp.float32)
+            scores0 = jnp.zeros((k,), jnp.float32)
 
             def body(i, st):
                 tok, cache, scores, xcap = st
@@ -106,7 +106,7 @@ def main():
                     return (jnp.argmax(logits, -1).astype(jnp.int32), cache,
                             scores, xcap)
                 if mode == "gather":
-                    parent = (jnp.arange(K, dtype=jnp.int32) + i) % K
+                    parent = (jnp.arange(k, dtype=jnp.int32) + i) % k
                     cache = B._gather_beams(cache, parent)
                     return (jnp.argmax(logits, -1).astype(jnp.int32), cache,
                             scores, xcap)
@@ -114,7 +114,7 @@ def main():
                 lp1 = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
                 lp2 = jax.nn.log_softmax(lp1, -1)  # filters pass 2 analog
                 cand = (scores[:, None] + lp2).reshape(-1)
-                top_scores, top_idx = jax.lax.top_k(cand, K)
+                top_scores, top_idx = jax.lax.top_k(cand, k)
                 parent = (top_idx // cfg.n_vocab).astype(jnp.int32)
                 tok = (top_idx % cfg.n_vocab).astype(jnp.int32)
                 cache = B._gather_beams(cache, parent)
@@ -124,7 +124,7 @@ def main():
                         xcap, xw[:, None, :].astype(jnp.float32), i, axis=1)
                 return (tok, cache, top_scores, xcap)
 
-            tok0 = jnp.zeros((K,), jnp.int32)
+            tok0 = jnp.zeros((k,), jnp.int32)
             tok, cache, scores, xcap = jax.lax.fori_loop(
                 0, N, body, (tok0, cache, scores0, xcap0))
             return tok
@@ -136,14 +136,25 @@ def main():
     results["step_b1_ms"] = t / N * 1e3
     print(f"step_b1:          {t / N * 1e3:7.2f} ms/step", flush=True)
 
-    for mode, key in [("plain", "step_b5_ms"), ("gather", "step_b5_gather_ms"),
-                      ("expand", "step_b5_expand_ms"),
-                      ("capture", "step_b5_capture_ms"),
-                      ("crosstile", "step_b5_crosstile_ms")]:
-        run, args = steps_b5(mode)
-        t = timed(run, *args)
-        results[key] = t / N * 1e3
-        print(f"{key[:-3]:17s} {t / N * 1e3:7.2f} ms/step", flush=True)
+    if os.environ.get("MB_SCALING", "") == "1":
+        # batch-scaling curve of the PLAIN step (round 5): is the B=5 step's
+        # +2.75 ms over B=1 linear per row (per-row VPU/bandwidth — then a
+        # hand-tiled fused dequant matmul is the lever) or a fixed jump at
+        # B≥2 (layout/padding — then the lever is the tiling shape)?
+        for k in (2, 3, 5, 8):
+            run, args = steps_b5("plain", k=k)
+            t = timed(run, *args)
+            results[f"step_b{k}_plain_ms"] = t / N * 1e3
+            print(f"step_b{k}_plain:   {t / N * 1e3:7.2f} ms/step", flush=True)
+    else:
+        for mode, key in [("plain", "step_b5_ms"), ("gather", "step_b5_gather_ms"),
+                          ("expand", "step_b5_expand_ms"),
+                          ("capture", "step_b5_capture_ms"),
+                          ("crosstile", "step_b5_crosstile_ms")]:
+            run, args = steps_b5(mode)
+            t = timed(run, *args)
+            results[key] = t / N * 1e3
+            print(f"{key[:-3]:17s} {t / N * 1e3:7.2f} ms/step", flush=True)
 
     print(json.dumps(results))
     with open("/tmp/microbench_beam_step.json", "w") as f:
