@@ -53,7 +53,9 @@ def main():
     from realtime_whisper_asr_tpu.models.whisper import decode as D
     from realtime_whisper_asr_tpu.models.whisper import model as M
 
-    asr = TPUWhisperASR(model_size="large-v3", quantization="int8-all")
+    quant = os.environ.get("MB_QUANT", "int8-all")
+    asr = TPUWhisperASR(model_size="large-v3",
+                        quantization=None if quant in ("", "none") else quant)
     params, cfg = asr.params, asr.cfg
     K, N = 5, 24  # beams, steps per program
     AUDIO_CTX, CACHE_LEN, MAXNEW = 800, 256, 96
